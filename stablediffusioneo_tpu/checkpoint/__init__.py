@@ -1,0 +1,25 @@
+"""Checkpoint IO: torch-pickle / safetensors readers and key-mapping to JAX.
+
+Replaces the reference's `load_state_dict` (cldm/model.py:8-21) and the
+missing-from-snapshot `ldm/models` instantiation. The ONNX stage of the
+reference's pipeline disappears entirely: original `.pth`/`.safetensors`
+checkpoints load straight into the JAX param trees.
+"""
+
+from stablediffusioneo_tpu.checkpoint.torch_reader import load_torch_state_dict
+from stablediffusioneo_tpu.checkpoint.convert import (
+    convert_unet,
+    convert_controlnet,
+    convert_vae,
+    convert_clip,
+    load_controlnet_pipeline,
+)
+
+__all__ = [
+    "load_torch_state_dict",
+    "convert_unet",
+    "convert_controlnet",
+    "convert_vae",
+    "convert_clip",
+    "load_controlnet_pipeline",
+]

@@ -1,0 +1,335 @@
+"""torch state-dict -> JAX param-tree key mapping for the four CNSD models.
+
+Layout rules (fixed framework-wide, see ops/layers.py):
+  conv   torch OIHW (O,I,kH,kW)  ->  HWIO (kH,kW,I,O)
+  linear torch (out,in)          ->  (in,out)
+  norm   weight/bias             ->  g/b
+
+Checkpoint naming follows the original ControlNet `control_sd15_*.pth`
+full-model state dict:
+  model.diffusion_model.*   -> UNet        (openaimodel.py naming)
+  control_model.*           -> ControlNet  (cldm/cldm.py naming)
+  first_stage_model.*       -> VAE         (model.py naming)
+  cond_stage_model.transformer.* -> CLIP   (HF CLIPTextModel naming)
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from stablediffusioneo_tpu.config import (
+    CLIPTextConfig,
+    ControlNetConfig,
+    PipelineConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from stablediffusioneo_tpu.models.unet import decoder_plan, encoder_plan
+
+
+def _conv(sd, name, dtype=None):
+    w = np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0))  # OIHW -> HWIO
+    p = {"w": jnp.asarray(w, dtype)}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"], dtype)
+    return p
+
+
+def _linear(sd, name, dtype=None):
+    p = {"w": jnp.asarray(np.transpose(sd[f"{name}.weight"]), dtype)}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"], dtype)
+    return p
+
+
+def _norm(sd, name, dtype=None):
+    return {
+        "g": jnp.asarray(sd[f"{name}.weight"], dtype),
+        "b": jnp.asarray(sd[f"{name}.bias"], dtype),
+    }
+
+
+def _strip(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+# ------------------------------------------------------------------- UNet
+
+
+def _resblock(sd, base, dtype):
+    p = {
+        "norm1": _norm(sd, f"{base}.in_layers.0", dtype),
+        "conv1": _conv(sd, f"{base}.in_layers.2", dtype),
+        "emb": _linear(sd, f"{base}.emb_layers.1", dtype),
+        "norm2": _norm(sd, f"{base}.out_layers.0", dtype),
+        "conv2": _conv(sd, f"{base}.out_layers.3", dtype),
+    }
+    if f"{base}.skip_connection.weight" in sd:
+        p["skip"] = _conv(sd, f"{base}.skip_connection", dtype)
+    return p
+
+
+def _spatial_transformer(sd, base, depth, dtype):
+    blocks = []
+    for j in range(depth):
+        tb = f"{base}.transformer_blocks.{j}"
+        blocks.append(
+            {
+                "norm1": _norm(sd, f"{tb}.norm1", dtype),
+                "attn1": {
+                    "wq": _linear(sd, f"{tb}.attn1.to_q", dtype),
+                    "wk": _linear(sd, f"{tb}.attn1.to_k", dtype),
+                    "wv": _linear(sd, f"{tb}.attn1.to_v", dtype),
+                    "wo": _linear(sd, f"{tb}.attn1.to_out.0", dtype),
+                },
+                "norm2": _norm(sd, f"{tb}.norm2", dtype),
+                "attn2": {
+                    "wq": _linear(sd, f"{tb}.attn2.to_q", dtype),
+                    "wk": _linear(sd, f"{tb}.attn2.to_k", dtype),
+                    "wv": _linear(sd, f"{tb}.attn2.to_v", dtype),
+                    "wo": _linear(sd, f"{tb}.attn2.to_out.0", dtype),
+                },
+                "norm3": _norm(sd, f"{tb}.norm3", dtype),
+                "ff1": _linear(sd, f"{tb}.ff.net.0.proj", dtype),
+                "ff2": _linear(sd, f"{tb}.ff.net.2", dtype),
+            }
+        )
+    return {
+        "norm": _norm(sd, f"{base}.norm", dtype),
+        "proj_in": _conv(sd, f"{base}.proj_in", dtype),
+        "blocks": blocks,
+        "proj_out": _conv(sd, f"{base}.proj_out", dtype),
+    }
+
+
+def _unet_encoder_part(sd, cfg: UNetConfig, dtype) -> Dict:
+    """time_embed + input_blocks + middle_block (shared by UNet & ControlNet)."""
+    params: Dict = {
+        "time_embed": {
+            "l1": _linear(sd, "time_embed.0", dtype),
+            "l2": _linear(sd, "time_embed.2", dtype),
+        }
+    }
+    blocks = []
+    for i, desc in enumerate(encoder_plan(cfg)):
+        base = f"input_blocks.{i}"
+        if desc["kind"] == "conv":
+            blocks.append({"conv": _conv(sd, f"{base}.0", dtype)})
+        elif desc["kind"] == "down":
+            blocks.append({"down": _conv(sd, f"{base}.0.op", dtype)})
+        else:
+            b = {"res": _resblock(sd, f"{base}.0", dtype)}
+            if desc["attn"]:
+                b["attn"] = _spatial_transformer(
+                    sd, f"{base}.1", cfg.transformer_depth, dtype
+                )
+            blocks.append(b)
+    params["input_blocks"] = blocks
+    params["middle_block"] = {
+        "res1": _resblock(sd, "middle_block.0", dtype),
+        "attn": _spatial_transformer(sd, "middle_block.1", cfg.transformer_depth, dtype),
+        "res2": _resblock(sd, "middle_block.2", dtype),
+    }
+    return params
+
+
+def convert_unet(
+    sd: Dict[str, np.ndarray],
+    cfg: UNetConfig,
+    prefix: str = "model.diffusion_model.",
+    dtype=None,
+) -> Dict:
+    """Map an openaimodel UNetModel state dict onto the JAX UNet tree."""
+    sd = _strip(sd, prefix) if prefix else dict(sd)
+    params = _unet_encoder_part(sd, cfg, dtype)
+
+    out_blocks = []
+    for i, desc in enumerate(decoder_plan(cfg)):
+        base = f"output_blocks.{i}"
+        b = {"res": _resblock(sd, f"{base}.0", dtype)}
+        up_idx = 1
+        if desc["attn"]:
+            b["attn"] = _spatial_transformer(sd, f"{base}.1", cfg.transformer_depth, dtype)
+            up_idx = 2
+        if desc["up"]:
+            b["up"] = _conv(sd, f"{base}.{up_idx}.conv", dtype)
+        out_blocks.append(b)
+    params["output_blocks"] = out_blocks
+
+    params["out"] = {
+        "norm": _norm(sd, "out.0", dtype),
+        "conv": _conv(sd, "out.2", dtype),
+    }
+    return params
+
+
+# --------------------------------------------------------------- ControlNet
+
+
+def convert_controlnet(
+    sd: Dict[str, np.ndarray],
+    cfg: ControlNetConfig,
+    prefix: str = "control_model.",
+    dtype=None,
+) -> Dict:
+    sd = _strip(sd, prefix) if prefix else dict(sd)
+    # the encoder part shares UNet naming
+    unet_part = _unet_encoder_part(sd, cfg.unet, dtype)
+    n_blocks = len(encoder_plan(cfg.unet))
+    hint = []
+    # hint block Sequential indices: convs at 0,2,4,6,8,10,12,14 (SiLU between)
+    for idx in range(0, 16, 2):
+        hint.append(_conv(sd, f"input_hint_block.{idx}", dtype))
+    return {
+        "time_embed": unet_part["time_embed"],
+        "input_blocks": unet_part["input_blocks"],
+        "middle_block": unet_part["middle_block"],
+        "input_hint_block": hint,
+        "zero_convs": [
+            _conv(sd, f"zero_convs.{i}.0", dtype) for i in range(n_blocks)
+        ],
+        "middle_block_out": _conv(sd, "middle_block_out.0", dtype),
+    }
+
+
+# --------------------------------------------------------------------- VAE
+
+
+def _vae_resnet(sd, base, dtype):
+    p = {
+        "norm1": _norm(sd, f"{base}.norm1", dtype),
+        "conv1": _conv(sd, f"{base}.conv1", dtype),
+        "norm2": _norm(sd, f"{base}.norm2", dtype),
+        "conv2": _conv(sd, f"{base}.conv2", dtype),
+    }
+    if f"{base}.nin_shortcut.weight" in sd:
+        p["nin_shortcut"] = _conv(sd, f"{base}.nin_shortcut", dtype)
+    return p
+
+
+def _vae_attn(sd, base, dtype):
+    return {
+        "norm": _norm(sd, f"{base}.norm", dtype),
+        "q": _conv(sd, f"{base}.q", dtype),
+        "k": _conv(sd, f"{base}.k", dtype),
+        "v": _conv(sd, f"{base}.v", dtype),
+        "proj_out": _conv(sd, f"{base}.proj_out", dtype),
+    }
+
+
+def convert_vae(
+    sd: Dict[str, np.ndarray],
+    cfg: VAEConfig,
+    prefix: str = "first_stage_model.",
+    dtype=None,
+) -> Dict:
+    sd = _strip(sd, prefix) if prefix else dict(sd)
+    enc: Dict = {"conv_in": _conv(sd, "encoder.conv_in", dtype), "down": []}
+    for i in range(len(cfg.ch_mult)):
+        level = {
+            "block": [
+                _vae_resnet(sd, f"encoder.down.{i}.block.{j}", dtype)
+                for j in range(cfg.num_res_blocks)
+            ]
+        }
+        if f"encoder.down.{i}.downsample.conv.weight" in sd:
+            level["downsample"] = _conv(sd, f"encoder.down.{i}.downsample.conv", dtype)
+        enc["down"].append(level)
+    enc["mid"] = {
+        "block_1": _vae_resnet(sd, "encoder.mid.block_1", dtype),
+        "attn_1": _vae_attn(sd, "encoder.mid.attn_1", dtype),
+        "block_2": _vae_resnet(sd, "encoder.mid.block_2", dtype),
+    }
+    enc["norm_out"] = _norm(sd, "encoder.norm_out", dtype)
+    enc["conv_out"] = _conv(sd, "encoder.conv_out", dtype)
+
+    dec: Dict = {"conv_in": _conv(sd, "decoder.conv_in", dtype), "up": []}
+    dec["mid"] = {
+        "block_1": _vae_resnet(sd, "decoder.mid.block_1", dtype),
+        "attn_1": _vae_attn(sd, "decoder.mid.attn_1", dtype),
+        "block_2": _vae_resnet(sd, "decoder.mid.block_2", dtype),
+    }
+    for i in range(len(cfg.ch_mult)):
+        level = {
+            "block": [
+                _vae_resnet(sd, f"decoder.up.{i}.block.{j}", dtype)
+                for j in range(cfg.num_res_blocks + 1)
+            ]
+        }
+        if f"decoder.up.{i}.upsample.conv.weight" in sd:
+            level["upsample"] = _conv(sd, f"decoder.up.{i}.upsample.conv", dtype)
+        dec["up"].append(level)
+    dec["norm_out"] = _norm(sd, "decoder.norm_out", dtype)
+    dec["conv_out"] = _conv(sd, "decoder.conv_out", dtype)
+
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv", dtype),
+        "post_quant_conv": _conv(sd, "post_quant_conv", dtype),
+    }
+
+
+# -------------------------------------------------------------------- CLIP
+
+
+def convert_clip(
+    sd: Dict[str, np.ndarray],
+    cfg: CLIPTextConfig,
+    prefix: str = "cond_stage_model.transformer.",
+    dtype=None,
+) -> Dict:
+    sd = _strip(sd, prefix) if prefix else dict(sd)
+    tm = "text_model."
+    params: Dict = {
+        "token_embedding": jnp.asarray(
+            sd[f"{tm}embeddings.token_embedding.weight"], dtype
+        ),
+        "position_embedding": jnp.asarray(
+            sd[f"{tm}embeddings.position_embedding.weight"], dtype
+        ),
+        "layers": [],
+        "final_ln": _norm(sd, f"{tm}final_layer_norm", dtype),
+    }
+    for i in range(cfg.num_layers):
+        base = f"{tm}encoder.layers.{i}"
+        params["layers"].append(
+            {
+                "ln1": _norm(sd, f"{base}.layer_norm1", dtype),
+                "q": _linear(sd, f"{base}.self_attn.q_proj", dtype),
+                "k": _linear(sd, f"{base}.self_attn.k_proj", dtype),
+                "v": _linear(sd, f"{base}.self_attn.v_proj", dtype),
+                "out": _linear(sd, f"{base}.self_attn.out_proj", dtype),
+                "ln2": _norm(sd, f"{base}.layer_norm2", dtype),
+                "fc1": _linear(sd, f"{base}.mlp.fc1", dtype),
+                "fc2": _linear(sd, f"{base}.mlp.fc2", dtype),
+            }
+        )
+    return params
+
+
+# --------------------------------------------------------------- full load
+
+
+def load_controlnet_pipeline(
+    path: str,
+    cfg: Optional[PipelineConfig] = None,
+    dtype=None,
+) -> Dict[str, Dict]:
+    """Load a full ControlNet checkpoint (e.g. control_sd15_canny.pth) into
+    the four param trees. Equivalent of create_model + load_state_dict
+    (canny2image_TRT.py:23-28)."""
+    from stablediffusioneo_tpu.checkpoint.torch_reader import load_torch_state_dict
+    from stablediffusioneo_tpu.config import sd15_pipeline
+
+    cfg = cfg or sd15_pipeline()
+    sd = load_torch_state_dict(path)
+    return {
+        "unet": convert_unet(sd, cfg.unet, dtype=dtype),
+        "controlnet": convert_controlnet(sd, cfg.controlnet, dtype=dtype),
+        "vae": convert_vae(sd, cfg.vae, dtype=dtype),
+        "clip": convert_clip(sd, cfg.clip, dtype=dtype),
+    }

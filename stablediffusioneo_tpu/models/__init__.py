@@ -1,0 +1,35 @@
+"""Functional JAX model definitions for the four CNSD networks.
+
+Each model exposes `init_<name>(key, cfg) -> params` (random init, torch
+default distributions) and `<name>_apply(params, cfg, ...) -> outputs`.
+Params are nested dicts of jnp arrays; checkpoint/convert.py maps the
+original torch state-dicts onto these trees.
+"""
+
+from stablediffusioneo_tpu.models.unet import init_unet, unet_apply
+from stablediffusioneo_tpu.models.controlnet import (
+    init_controlnet,
+    controlnet_apply,
+    controlled_unet_apply,
+)
+from stablediffusioneo_tpu.models.vae import (
+    init_vae,
+    vae_decode,
+    vae_encode,
+    DiagonalGaussian,
+)
+from stablediffusioneo_tpu.models.clip import init_clip_text, clip_text_apply
+
+__all__ = [
+    "init_unet",
+    "unet_apply",
+    "init_controlnet",
+    "controlnet_apply",
+    "controlled_unet_apply",
+    "init_vae",
+    "vae_decode",
+    "vae_encode",
+    "DiagonalGaussian",
+    "init_clip_text",
+    "clip_text_apply",
+]

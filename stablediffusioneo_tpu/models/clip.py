@@ -1,0 +1,111 @@
+"""CLIP ViT-L/14 text encoder — functional JAX.
+
+Re-design of the reference's `FrozenCLIPEmbedder`
+(ldm/modules/encoders/modules.py:90-144), which wraps HF
+`openai/clip-vit-large-patch14` `CLIPTextModel` and returns
+`last_hidden_state` for SD-1.5 conditioning (layer="last"), or hidden state
+-(1+layer_idx) for SD-2.x style "penultimate" selection.
+
+Architecture (matches HF CLIPTextModel exactly so the original checkpoint
+weights load 1:1): token+position embeddings; N pre-LN transformer layers
+(self-attention with q/k/v/out all biased, quick_gelu MLP); final LayerNorm;
+causal attention mask.
+
+bf16 safety: the causal mask uses a large negative finite constant instead
+of -inf — the native analog of the reference's ONNX graph surgery replacing
+Trilu -inf with -10000 for fp16 (surgeon_graph.py:7-27).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stablediffusioneo_tpu.config import CLIPTextConfig
+from stablediffusioneo_tpu.ops.layers import linear, linear_init
+from stablediffusioneo_tpu.ops.norms import layer_norm
+from stablediffusioneo_tpu.ops.attention import attention
+
+MASK_NEG = -10000.0  # fp16/bf16-safe "-inf" (surgeon_graph.py:18-27)
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def init_clip_text(key, cfg: CLIPTextConfig) -> Dict:
+    ks = iter(jax.random.split(key, 16 + 8 * cfg.num_layers))
+    d = cfg.hidden_size
+    params: Dict = {
+        "token_embedding": jax.random.normal(next(ks), (cfg.vocab_size, d)) * 0.02,
+        "position_embedding": jax.random.normal(next(ks), (cfg.max_length, d)) * 0.01,
+        "layers": [],
+        "final_ln": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append(
+            {
+                "ln1": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+                "q": linear_init(next(ks), d, d),
+                "k": linear_init(next(ks), d, d),
+                "v": linear_init(next(ks), d, d),
+                "out": linear_init(next(ks), d, d),
+                "ln2": {"g": jnp.ones((d,)), "b": jnp.zeros((d,))},
+                "fc1": linear_init(next(ks), d, cfg.intermediate_size),
+                "fc2": linear_init(next(ks), cfg.intermediate_size, d),
+            }
+        )
+    return params
+
+
+def _self_attn(p: dict, cfg: CLIPTextConfig, x, mask):
+    b, t, d = x.shape
+    h = cfg.num_heads
+    hd = d // h
+    q = linear(x, p["q"]).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+    k = linear(x, p["k"]).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+    v = linear(x, p["v"]).reshape(b, t, h, hd).transpose(0, 2, 1, 3)
+    o = attention(q, k, v, mask=mask)
+    o = o.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return linear(o, p["out"])
+
+
+def clip_text_apply(
+    params: dict,
+    cfg: CLIPTextConfig,
+    input_ids: jax.Array,
+    layer: Optional[str] = None,
+) -> jax.Array:
+    """input_ids: (B, T) int32. Returns (B, T, hidden) conditioning.
+
+    layer: "last" (SD-1.5, default from cfg) returns final-LN output;
+    "penultimate" returns the hidden state before the last block, LN'd
+    (FrozenOpenCLIPEmbedder-style, modules.py:147-225).
+    """
+    layer = layer or cfg.layer
+    b, t = input_ids.shape
+    x = jnp.take(params["token_embedding"], input_ids, axis=0)
+    x = x + params["position_embedding"][None, :t, :].astype(x.dtype)
+
+    causal = np.triu(np.full((t, t), MASK_NEG, np.float32), k=1)
+    mask = jnp.asarray(causal)[None, None]
+
+    hidden_states = []
+    for p in params["layers"]:
+        hidden_states.append(x)
+        h = layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.layer_norm_eps)
+        x = x + _self_attn(p, cfg, h, mask)
+        h = layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], cfg.layer_norm_eps)
+        x = x + linear(quick_gelu(linear(h, p["fc1"])), p["fc2"])
+
+    if layer == "penultimate":
+        h = hidden_states[-1]
+        return layer_norm(
+            h, params["final_ln"]["g"], params["final_ln"]["b"], cfg.layer_norm_eps
+        )
+    return layer_norm(
+        x, params["final_ln"]["g"], params["final_ln"]["b"], cfg.layer_norm_eps
+    )

@@ -1,0 +1,111 @@
+"""Attention ops.
+
+Replaces the reference's CrossAttention einsum path
+(ldm/modules/attention.py:227-250), its fused-QKV ONNX-export rewrite
+(export_onnx_attention.py:48-216), the xformers memory-efficient path
+(attention.py:306-352), and the `enable_sliced_attention` low-VRAM hack
+(cldm/hack.py:72-111). On TPU all four collapse into one design:
+
+  * a single batched `q @ k^T -> fp32 softmax -> @ v` with the softmax kept
+    in fp32 (the bf16 analog of the reference's ATTN_PRECISION fp32 island,
+    attention.py:229-233) — XLA fuses this well for the 77-token and
+    <=4096-latent-token shapes of SD-1.5;
+  * a Pallas blockwise flash-attention kernel (ops/pallas/flash_attention.py)
+    for larger latent grids — the principled version of sliced attention.
+
+Projections (to_q/to_k/to_v/to_out) are kept in the model layer; the ops here
+consume already-projected q/k/v shaped (B, H, Tq, D) / (B, H, Tk, D).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Scaled dot-product attention with fp32 softmax island.
+
+    q: (..., Tq, D), k/v: (..., Tk, D). mask broadcastable to (..., Tq, Tk),
+    additive (use large negative, NOT -inf — the bf16-safe analog of the
+    reference's Trilu -inf -> -10000 graph surgery, surgeon_graph.py:18-27).
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = d ** -0.5
+    logits = jnp.einsum(
+        "...qd,...kd->...qk",
+        q,
+        k,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * jnp.float32(scale)
+    if mask is not None:
+        logits = logits + mask.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "...qk,...kd->...qd",
+        weights.astype(v.dtype),
+        v,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def multi_head_attention(
+    x: jax.Array,
+    context: Optional[jax.Array],
+    wq: jax.Array,
+    wk: jax.Array,
+    wv: jax.Array,
+    wo: jax.Array,
+    bo: Optional[jax.Array],
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full (cross-)attention block: project, attend, merge heads, out-proj.
+
+    x: (B, Tq, C); context: (B, Tk, Ck) or None for self-attention.
+    wq: (C, inner), wk/wv: (Ck, inner), wo: (inner, C). SD's to_q/to_k/to_v
+    have no bias; to_out does (ldm/modules/attention.py:159-176).
+
+    For self-attention, q/k/v projections run as one fused matmul against the
+    concatenated weights — the TPU-native form of the reference's fused-QKV
+    export (export_onnx_attention.py:99-134): one MXU pass instead of three.
+    """
+    b, tq, _ = x.shape
+    inner = wq.shape[1]
+    head_dim = inner // num_heads
+
+    if context is None:
+        wqkv = jnp.concatenate([wq, wk, wv], axis=1)  # (C, 3*inner)
+        qkv = jnp.matmul(x, wqkv, precision=jax.lax.Precision.HIGHEST)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        tk = tq
+    else:
+        q = jnp.matmul(x, wq, precision=jax.lax.Precision.HIGHEST)
+        wkv = jnp.concatenate([wk, wv], axis=1)  # (Ck, 2*inner)
+        kv = jnp.matmul(context, wkv, precision=jax.lax.Precision.HIGHEST)
+        k, v = jnp.split(kv, 2, axis=-1)
+        tk = context.shape[1]
+
+    q = q.reshape(b, tq, num_heads, head_dim).transpose(0, 2, 1, 3)
+    k = k.reshape(b, tk, num_heads, head_dim).transpose(0, 2, 1, 3)
+    v = v.reshape(b, tk, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    out = attention(q, k, v, mask=mask)
+    out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
+    out = jnp.matmul(out, wo, precision=jax.lax.Precision.HIGHEST)
+    if bo is not None:
+        out = out + bo
+    return out
