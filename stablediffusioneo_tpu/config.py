@@ -77,6 +77,11 @@ class VAEConfig:
     norm_eps: float = 1e-6
     scale_factor: float = 0.18215  # LatentDiffusion first-stage scaling
 
+    @property
+    def downsample_factor(self) -> int:
+        """Spatial image->latent factor (f=8 for SD: 3 stride-2 stages)."""
+        return 2 ** (len(self.ch_mult) - 1)
+
 
 @dataclasses.dataclass(frozen=True)
 class CLIPTextConfig:
@@ -156,7 +161,8 @@ def tiny_pipeline() -> PipelineConfig:
     return PipelineConfig(
         unet=unet,
         controlnet=ControlNetConfig(unet=unet),
-        vae=VAEConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1, groups=8),
+        # 4 levels -> f=8, matching the ControlNet hint block's fixed /8
+        vae=VAEConfig(ch=16, ch_mult=(1, 1, 1, 1), num_res_blocks=1, groups=8),
         clip=CLIPTextConfig(
             vocab_size=1000, hidden_size=64, intermediate_size=128,
             num_layers=2, num_heads=2, max_length=16,

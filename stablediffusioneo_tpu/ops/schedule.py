@@ -58,7 +58,11 @@ def make_ddim_timesteps(
 ) -> np.ndarray:
     """Subsampled timestep indices for DDIM, with the reference's +1 offset."""
     if ddim_discr_method == "uniform":
-        c = num_ddpm_timesteps // num_ddim_timesteps
+        # ceil instead of the reference's floor division: identical for the
+        # divisor step counts SD actually uses (20/50/...), but stays
+        # in-range for non-divisor S where the reference's +1 offset would
+        # index alphacums out of bounds (util.py:50-58 latent bug).
+        c = -(-num_ddpm_timesteps // num_ddim_timesteps)
         ddim_timesteps = np.asarray(list(range(0, num_ddpm_timesteps, c)))
     elif ddim_discr_method == "quad":
         ddim_timesteps = (

@@ -1,0 +1,143 @@
+"""canny2image application pipeline — the `hackathon` class equivalent.
+
+Re-design of the reference's app layer (canny2image_TRT.py:18-92 /
+canny2image_torch.py:18-71): `initialize()` builds the runtime and warms it
+up; `process(...)` keeps the reference's 14-parameter surface:
+
+  (input_image, prompt, a_prompt, n_prompt, num_samples, image_resolution,
+   ddim_steps, guess_mode, strength, scale, seed, eta,
+   low_threshold, high_threshold)
+
+Differences by design:
+  - the detected map goes to the ControlNet as NHWC [0,1] floats;
+  - cond & uncond CLIP contexts are encoded in ONE batched CLIP call
+    (the reference runs get_learned_conditioning twice);
+  - the whole denoise loop runs as one compiled program per
+    (steps, batch, resolution-bucket, guess_mode) — see runtime/engine.py;
+  - x_T seeding uses JAX PRNG by default (distributional parity with
+    torch.randn); for bit-exact cross-framework comparison pass `x_T`
+    explicitly (SURVEY §7 "seeded parity").
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stablediffusioneo_tpu.annotators.canny import CannyDetector
+from stablediffusioneo_tpu.annotators.util import HWC3, resize_image
+from stablediffusioneo_tpu.config import PipelineConfig, sd15_pipeline
+from stablediffusioneo_tpu.models.tokenizer import CLIPTokenizer
+from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
+
+
+class Canny2ImagePipeline:
+    """The de-facto public API of the reference (`hackathon`)."""
+
+    def __init__(
+        self,
+        params: Dict[str, Dict],
+        tokenizer: CLIPTokenizer,
+        cfg: Optional[PipelineConfig] = None,
+        persistent_cache: bool = True,
+    ):
+        self.cfg = cfg or sd15_pipeline()
+        self.tokenizer = tokenizer
+        self.apply_canny = CannyDetector()
+        self.runtime = CNSDRuntime(params, self.cfg, persistent_cache=persistent_cache)
+        self.last_timings: Dict[str, float] = {}
+
+    # -------------------------------------------------------------- bring-up
+
+    def initialize(self, warmup_resolution: int = 256, warmup_steps: int = 1):
+        """Compile+run every engine once (hackathon.initialize + warm_up,
+        canny2image_TRT.py:20-50)."""
+        self.runtime.warmup(warmup_resolution, warmup_steps)
+        return self
+
+    # ---------------------------------------------------------------- process
+
+    def process(
+        self,
+        input_image: np.ndarray,
+        prompt: str,
+        a_prompt: str = "best quality, extremely detailed",
+        n_prompt: str = "longbody, lowres, bad anatomy, bad hands, missing fingers, extra digit, fewer digits, cropped, worst quality, low quality",
+        num_samples: int = 1,
+        image_resolution: int = 256,
+        ddim_steps: int = 20,
+        guess_mode: bool = False,
+        strength: float = 1.0,
+        scale: float = 9.0,
+        seed: int = -1,
+        eta: float = 0.0,
+        low_threshold: int = 100,
+        high_threshold: int = 200,
+        x_T: Optional[np.ndarray] = None,
+    ) -> List[np.ndarray]:
+        """Returns [detected_map] + generated uint8 HWC images
+        (canny2image gradio convention)."""
+        t_start = time.perf_counter()
+
+        img = resize_image(HWC3(input_image), image_resolution)
+        H, W = img.shape[:2]
+
+        detected_map = self.apply_canny(img, low_threshold, high_threshold)
+        detected_map = HWC3(detected_map)
+
+        control = detected_map.astype(np.float32) / 255.0
+        hint = np.repeat(control[None], num_samples, axis=0)  # (B,H,W,3)
+
+        if seed == -1:
+            seed = int(np.random.randint(0, 2**31 - 1))
+        key = jax.random.PRNGKey(seed)
+
+        t_pre = time.perf_counter()
+
+        # batched cond+uncond CLIP encode
+        cond_text = prompt + ", " + a_prompt if a_prompt else prompt
+        ids = self.tokenizer([cond_text, n_prompt])
+        ctx = self.runtime.encode_prompt(ids)
+        ctx_cond = jnp.repeat(ctx[0:1], num_samples, axis=0)
+        ctx_uncond = jnp.repeat(ctx[1:2], num_samples, axis=0)
+
+        t_clip = time.perf_counter()
+
+        f = self.cfg.vae.downsample_factor
+        lat_shape = (num_samples, H // f, W // f, 4)
+        if x_T is None:
+            key, sub = jax.random.split(key)
+            x_T_arr = jax.random.normal(sub, lat_shape, jnp.float32)
+        else:
+            x_T_arr = jnp.asarray(x_T)
+
+        samples = self.runtime.sample(
+            ddim_steps,
+            x_T_arr,
+            jnp.asarray(hint),
+            ctx_cond,
+            ctx_uncond,
+            key,
+            guidance_scale=scale,
+            strength=strength,
+            eta=eta,
+            guess_mode=guess_mode,
+        )
+        samples.block_until_ready()
+        t_sample = time.perf_counter()
+
+        images = self.runtime.decode_latent(samples)  # uint8 (B,H,W,3)
+        t_decode = time.perf_counter()
+
+        self.last_timings = {
+            "preprocess_ms": (t_pre - t_start) * 1e3,
+            "clip_ms": (t_clip - t_pre) * 1e3,
+            "sample_ms": (t_sample - t_clip) * 1e3,
+            "decode_ms": (t_decode - t_sample) * 1e3,
+            "total_ms": (t_decode - t_start) * 1e3,
+        }
+        return [detected_map] + [images[i] for i in range(num_samples)]

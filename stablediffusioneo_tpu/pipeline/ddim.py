@@ -1,0 +1,222 @@
+"""DDIM sampler — the denoise loop as a single `lax.scan`.
+
+Re-design of the reference's two samplers:
+  - torch `DDIMSampler.sample -> ddim_sampling -> p_sample_ddim`
+    (cldm/ddim_hacked.py:54-231)
+  - TRT `sample_simple` — the flattened loop driving ControlNet+UNet engines
+    on two CUDA streams with CUDA graphs (cldm_trt/ddim_hacked.py:88-197)
+
+TPU-first mapping:
+  * the whole loop is ONE compiled XLA program (`lax.scan`) — the principled
+    version of CUDA-graph capture/replay;
+  * classifier-free guidance runs as a batch-2 concat through a single
+    ControlNet+UNet evaluation per step, instead of the reference's two
+    sequential passes / two overlapped streams — on TPU the batch dimension
+    feeds the MXU directly and needs no stream choreography;
+  * guess-mode (uncond WITHOUT control, cldm/cldm.py:334-335) changes the
+    traced graph, so it is a distinct compiled variant, exactly as the
+    reference builds distinct engines;
+  * per-step schedule constants are scan inputs (stacked arrays), noise is
+    folded from one PRNG key per step.
+
+Update equations (p_sample_ddim, ddim_hacked.py:208-231):
+    e_t    = e_uncond + scale * (e_cond - e_uncond)
+    pred_x0 = (x - sqrt(1-a_t) * e_t) / sqrt(a_t)
+    dir_xt = sqrt(1 - a_prev - sigma_t^2) * e_t
+    x_prev = sqrt(a_prev) * pred_x0 + dir_xt + sigma_t * noise * temperature
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stablediffusioneo_tpu.config import ControlNetConfig, PipelineConfig
+from stablediffusioneo_tpu.models.controlnet import (
+    controlled_unet_apply,
+    guess_mode_scales,
+)
+from stablediffusioneo_tpu.models.unet import encoder_plan, unet_apply
+from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+
+
+def _cfg_eval(
+    unet_params,
+    controlnet_params,
+    cfg: ControlNetConfig,
+    x,
+    hint,
+    t,
+    ctx_cond,
+    ctx_uncond,
+    control_scales,
+    guess_mode: bool,
+):
+    """One CFG step: returns (e_cond, e_uncond).
+
+    Normal mode: batch-2 concat through one ControlNet+UNet eval (both
+    branches consume the hint, matching canny2image_TRT.py:72 where un_cond
+    also carries c_concat). Guess mode: cond with control, uncond without
+    (different graph, cldm/cldm.py:334-335).
+    """
+    b = x.shape[0]
+    if guess_mode:
+        e_cond = controlled_unet_apply(
+            unet_params, controlnet_params, cfg, x, hint, t, ctx_cond,
+            control_scales=control_scales,
+        )
+        e_uncond = controlled_unet_apply(
+            unet_params, controlnet_params, cfg, x, None, t, ctx_uncond
+        )
+        return e_cond, e_uncond
+    x2 = jnp.concatenate([x, x], axis=0)
+    hint2 = jnp.concatenate([hint, hint], axis=0)
+    t2 = jnp.concatenate([t, t], axis=0)
+    ctx2 = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
+    eps2 = controlled_unet_apply(
+        unet_params, controlnet_params, cfg, x2, hint2, t2, ctx2,
+        control_scales=control_scales,
+    )
+    return eps2[:b], eps2[b:]
+
+
+def ddim_scan_step(
+    unet_params,
+    controlnet_params,
+    cfg: ControlNetConfig,
+    guess_mode: bool,
+    temperature: float,
+    x,
+    step_consts,
+    hint,
+    ctx_cond,
+    ctx_uncond,
+    scale,
+    control_scales,
+    key,
+):
+    """One DDIM step (p_sample_ddim equivalent). step_consts =
+    (t, a_t, a_prev, sigma_t, sqrt_one_minus_at, step_idx)."""
+    t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx = step_consts
+    b = x.shape[0]
+    tb = jnp.full((b,), t, jnp.float32)
+    e_cond, e_uncond = _cfg_eval(
+        unet_params, controlnet_params, cfg, x, hint, tb,
+        ctx_cond, ctx_uncond, control_scales, guess_mode,
+    )
+    e_t = e_uncond + scale.astype(x.dtype) * (e_cond - e_uncond)
+    # fp32 island for the state update: tiny per-step errors compound over
+    # the scan, so x is carried in fp32 even when the nets run bf16.
+    xf = x.astype(jnp.float32)
+    ef = e_t.astype(jnp.float32)
+    pred_x0 = (xf - sqrt_1m_at * ef) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * ef
+    noise_key = jax.random.fold_in(key, step_idx.astype(jnp.int32))
+    noise = sigma_t * jax.random.normal(noise_key, xf.shape, jnp.float32) * temperature
+    x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
+    return x_prev.astype(x.dtype), pred_x0
+
+
+def ddim_sample_scan(
+    unet_params,
+    controlnet_params,
+    cfg: ControlNetConfig,
+    schedule: Dict[str, np.ndarray],
+    x_T: jax.Array,
+    hint: jax.Array,
+    ctx_cond: jax.Array,
+    ctx_uncond: jax.Array,
+    scale: jax.Array,
+    control_scales: jax.Array,
+    key: jax.Array,
+    guess_mode: bool = False,
+    temperature: float = 1.0,
+) -> jax.Array:
+    """Full DDIM sampling loop as one lax.scan. Returns x_0 latents.
+
+    schedule: dict from DiffusionSchedule.ddim() (already in sampling order).
+    """
+    n_steps = len(schedule["timesteps"])
+    consts = (
+        jnp.asarray(schedule["timesteps"], jnp.float32),
+        jnp.asarray(schedule["alphas"], jnp.float32),
+        jnp.asarray(schedule["alphas_prev"], jnp.float32),
+        jnp.asarray(schedule["sigmas"], jnp.float32),
+        jnp.asarray(schedule["sqrt_one_minus_alphas"], jnp.float32),
+        jnp.arange(n_steps, dtype=jnp.int32),
+    )
+
+    def body(x, per_step):
+        x_next, _ = ddim_scan_step(
+            unet_params, controlnet_params, cfg, guess_mode, temperature,
+            x, per_step, hint, ctx_cond, ctx_uncond, scale, control_scales, key,
+        )
+        return x_next, ()
+
+    x0, _ = jax.lax.scan(body, x_T, consts)
+    return x0
+
+
+class DDIMSampler:
+    """User-facing sampler wrapper (DDIMSampler, cldm/ddim_hacked.py:10-120).
+
+    Holds the DDPM schedule; `sample()` assembles the scan inputs and runs
+    the (optionally jitted) loop. Engine-level AOT compilation per shape
+    bucket lives in runtime/engine.py; this class is the eager/debug path.
+    """
+
+    def __init__(self, pipeline_cfg: PipelineConfig, unet_params, controlnet_params):
+        self.cfg = pipeline_cfg
+        self.unet_params = unet_params
+        self.controlnet_params = controlnet_params
+        d = pipeline_cfg.diffusion
+        self.schedule = DiffusionSchedule(
+            d.timesteps, d.linear_start, d.linear_end, d.schedule
+        )
+        self.n_taps = len(encoder_plan(pipeline_cfg.unet)) + 1
+
+    def control_scales(self, strength: float, guess_mode: bool) -> np.ndarray:
+        """[strength]*13, or the guess-mode decay (canny2image_TRT.py:76-78)."""
+        if guess_mode:
+            return np.asarray(guess_mode_scales(strength, self.n_taps), np.float32)
+        return np.full((self.n_taps,), strength, np.float32)
+
+    def sample(
+        self,
+        num_steps: int,
+        shape: Tuple[int, int, int, int],
+        hint: jax.Array,
+        ctx_cond: jax.Array,
+        ctx_uncond: jax.Array,
+        key: jax.Array,
+        guidance_scale: float = 9.0,
+        eta: float = 0.0,
+        strength: float = 1.0,
+        guess_mode: bool = False,
+        x_T: Optional[jax.Array] = None,
+        temperature: float = 1.0,
+    ) -> jax.Array:
+        sched = self.schedule.ddim(num_steps, eta=eta)
+        if x_T is None:
+            key, sub = jax.random.split(key)
+            x_T = jax.random.normal(sub, shape, jnp.float32)
+        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        return ddim_sample_scan(
+            self.unet_params,
+            self.controlnet_params,
+            self.cfg.controlnet,
+            sched,
+            x_T.astype(dtype),
+            hint.astype(dtype),
+            ctx_cond.astype(dtype),
+            ctx_uncond.astype(dtype),
+            jnp.asarray(guidance_scale, jnp.float32),
+            jnp.asarray(self.control_scales(strength, guess_mode)),
+            key,
+            guess_mode=guess_mode,
+            temperature=temperature,
+        )

@@ -1,0 +1,326 @@
+"""Engine layer: AOT-compiled executables per shape bucket.
+
+Re-design of the reference's TRT runtime (`Engine`, Engine.py:45-161) and
+build toolchain (onnx2trt*.py) for XLA:
+
+  TRT concept                          TPU-native equivalent
+  -----------------------------------  -----------------------------------
+  .plan engine per model+shape         jax.jit(...).lower(shapes).compile()
+  min/opt/max optimization profiles    explicit resolution buckets (H,W are
+                                       multiples of 64 by construction —
+                                       annotator resize_image contract)
+  pre-allocated device bindings        buffer donation (donate_argnums) on
+                                       the latent state
+  CUDA graph capture/replay            the jitted lax.scan program itself
+  dual streams for cond/uncond         CFG batch-2 inside one program
+  engine deserialization at startup    persistent XLA compilation cache
+
+`Engine` wraps one compiled executable; `CNSDRuntime` owns device params +
+the engine dictionary for the full canny2image pipeline (CLIP encode,
+sampler loop, VAE decode/encode) and compiles lazily per bucket, exactly as
+the reference falls back / selects engines per shape dict (Engine.py:67-91).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stablediffusioneo_tpu.config import PipelineConfig
+from stablediffusioneo_tpu.models.clip import clip_text_apply
+from stablediffusioneo_tpu.models.unet import encoder_plan
+from stablediffusioneo_tpu.models.vae import vae_decode, vae_encode
+from stablediffusioneo_tpu.pipeline.ddim import ddim_sample_scan
+from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+from stablediffusioneo_tpu.runtime.cache import enable_persistent_cache
+
+log = logging.getLogger("stablediffusioneo_tpu")
+
+# resize_image rounds to multiples of 64 (annotator/util.py:9-38) so this
+# small set covers the reference's dynamic-profile range and then some.
+DEFAULT_BUCKETS = (256, 320, 384, 448, 512, 640, 768)
+
+
+def resolution_buckets(buckets=DEFAULT_BUCKETS):
+    return tuple(sorted(buckets))
+
+
+def snap_to_bucket(value: int, buckets=DEFAULT_BUCKETS) -> int:
+    """Smallest bucket >= value (compile-shape selection)."""
+    for b in sorted(buckets):
+        if b >= value:
+            return b
+    return sorted(buckets)[-1]
+
+
+class Engine:
+    """One AOT-compiled executable (the `.plan`+ExecutionContext analog).
+
+    `load()` lowers+compiles for the given abstract shapes; `infer()`/call
+    executes. Introspection mirrors Engine.get_engine_infor
+    (Engine.py:122-129) via cost/memory analysis.
+    """
+
+    def __init__(
+        self,
+        fn: Callable,
+        name: str = "engine",
+        static_argnums: Tuple[int, ...] = (),
+        donate_argnums: Tuple[int, ...] = (),
+    ):
+        self.name = name
+        self._jitted = jax.jit(
+            fn, static_argnums=static_argnums, donate_argnums=donate_argnums
+        )
+        self._compiled = None
+        self.compile_seconds: Optional[float] = None
+
+    def load(self, *abstract_args, **abstract_kwargs) -> "Engine":
+        """AOT compile for the given example/abstract arguments."""
+        t0 = time.perf_counter()
+        lowered = self._jitted.lower(*abstract_args, **abstract_kwargs)
+        self._compiled = lowered.compile()
+        self.compile_seconds = time.perf_counter() - t0
+        log.info("engine %s compiled in %.1fs", self.name, self.compile_seconds)
+        return self
+
+    def __call__(self, *args, **kwargs):
+        if self._compiled is not None:
+            return self._compiled(*args, **kwargs)
+        return self._jitted(*args, **kwargs)
+
+    infer = __call__  # reference-API alias (Engine.infer, Engine.py:131)
+
+    def get_engine_infor(self) -> Dict[str, Any]:
+        if self._compiled is None:
+            return {"compiled": False}
+        cost = self._compiled.cost_analysis()
+        mem = self._compiled.memory_analysis()
+        return {
+            "compiled": True,
+            "compile_seconds": self.compile_seconds,
+            "flops": cost.get("flops") if cost else None,
+            "bytes_accessed": cost.get("bytes accessed") if cost else None,
+            "memory": {
+                "generated_code_bytes": getattr(mem, "generated_code_size_in_bytes", None),
+                "argument_bytes": getattr(mem, "argument_size_in_bytes", None),
+                "output_bytes": getattr(mem, "output_size_in_bytes", None),
+                "temp_bytes": getattr(mem, "temp_size_in_bytes", None),
+            },
+        }
+
+
+class CNSDRuntime:
+    """Full canny2image runtime: device params + per-bucket engines.
+
+    params: {"unet", "controlnet", "vae", "clip"} trees (from
+    checkpoint.convert or random init). Engines compile lazily on first use
+    of a (kind, shape-bucket) combination and hit the persistent cache on
+    subsequent process starts.
+    """
+
+    def __init__(
+        self,
+        params: Dict[str, Dict],
+        cfg: PipelineConfig,
+        persistent_cache: bool = True,
+        cache_dir: Optional[str] = None,
+    ):
+        if persistent_cache:
+            enable_persistent_cache(cache_dir)
+        self.cfg = cfg
+        self.dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        # Params are stored in the compute dtype: weights stream from HBM
+        # every denoise step, and the bf16 pipeline is HBM-bound — fp32
+        # storage would double that traffic. Norm statistics still happen in
+        # fp32 (ops/norms.py casts internally), so bf16 gamma/beta only
+        # costs ~0.4% rounding, well inside the reference's fp16 envelope.
+        self.params = jax.device_put(
+            jax.tree.map(
+                lambda x: x.astype(self.dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                params,
+            )
+        )
+        d = cfg.diffusion
+        self.schedule = DiffusionSchedule(
+            d.timesteps, d.linear_start, d.linear_end, d.schedule
+        )
+        self.n_taps = len(encoder_plan(cfg.unet)) + 1
+        self._engines: Dict[Tuple, Engine] = {}
+
+    # ------------------------------------------------------------- engines
+
+    def _sampler_fn(self, num_steps: int, guess_mode: bool):
+        cfg = self.cfg
+
+        def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale, cscales, key):
+            return ddim_sample_scan(
+                unet_p, ctrl_p, cfg.controlnet, sched,
+                x_T, hint, ctx_c, ctx_u, scale, cscales, key,
+                guess_mode=guess_mode,
+            )
+
+        return run
+
+    def sampler_engine(
+        self, num_steps: int, batch: int, h: int, w: int, guess_mode: bool = False
+    ) -> Engine:
+        """Compiled denoise loop for (steps, batch, HxW). H,W are image-space
+        (latent is H/8 x W/8)."""
+        key_t = ("sampler", num_steps, batch, h, w, guess_mode)
+        if key_t in self._engines:
+            return self._engines[key_t]
+        fn = self._sampler_fn(num_steps, guess_mode)
+        eng = Engine(fn, name=f"sampler_{num_steps}x{batch}x{h}x{w}"
+                     + ("_guess" if guess_mode else ""),
+                     donate_argnums=(3,))  # donate x_T
+        sched = self.schedule.ddim(num_steps)
+        sched_abs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in sched.items()}
+        f = self.cfg.vae.downsample_factor
+        lat = jax.ShapeDtypeStruct((batch, h // f, w // f, 4), self.dtype)
+        hint = jax.ShapeDtypeStruct((batch, h, w, 3), self.dtype)
+        ctx = jax.ShapeDtypeStruct(
+            (batch, self.cfg.clip.max_length, self.cfg.unet.context_dim), self.dtype
+        )
+        scale = jax.ShapeDtypeStruct((), jnp.float32)
+        cscales = jax.ShapeDtypeStruct((self.n_taps,), jnp.float32)
+        key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        params_abs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (self.params["unet"], self.params["controlnet"])
+        )
+        eng.load(params_abs[0], params_abs[1], sched_abs, lat, hint, ctx, ctx, scale, cscales, key)
+        self._engines[key_t] = eng
+        return eng
+
+    def clip_engine(self, batch: int) -> Engine:
+        key_t = ("clip", batch)
+        if key_t in self._engines:
+            return self._engines[key_t]
+        cfg = self.cfg
+
+        def run(clip_p, ids):
+            out = clip_text_apply(clip_p, cfg.clip, ids)
+            return out.astype(self.dtype)
+
+        eng = Engine(run, name=f"clip_b{batch}")
+        ids = jax.ShapeDtypeStruct((batch, cfg.clip.max_length), jnp.int32)
+        params_abs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params["clip"]
+        )
+        eng.load(params_abs, ids)
+        self._engines[key_t] = eng
+        return eng
+
+    def decoder_engine(self, batch: int, h: int, w: int) -> Engine:
+        key_t = ("decoder", batch, h, w)
+        if key_t in self._engines:
+            return self._engines[key_t]
+        cfg = self.cfg
+
+        def run(vae_p, z):
+            img = vae_decode(vae_p, cfg.vae, z, scaled=True)
+            # denorm to uint8 pixels (canny2image_TRT.py:85-87)
+            img = jnp.clip(img.astype(jnp.float32) * 127.5 + 127.5, 0, 255)
+            return img.astype(jnp.uint8)
+
+        eng = Engine(run, name=f"decoder_b{batch}_{h}x{w}", donate_argnums=(1,))
+        f = self.cfg.vae.downsample_factor
+        z = jax.ShapeDtypeStruct((batch, h // f, w // f, 4), self.dtype)
+        params_abs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params["vae"]
+        )
+        eng.load(params_abs, z)
+        self._engines[key_t] = eng
+        return eng
+
+    def encoder_engine(self, batch: int, h: int, w: int) -> Engine:
+        """VAE encoder (img2img parity; the reference exports but never wires
+        the decoder engine — we wire BOTH, SURVEY §3.3 note)."""
+        key_t = ("encoder", batch, h, w)
+        if key_t in self._engines:
+            return self._engines[key_t]
+        cfg = self.cfg
+
+        def run(vae_p, img, key):
+            dist = vae_encode(vae_p, cfg.vae, img)
+            z = dist.sample(key) * jnp.asarray(cfg.vae.scale_factor, img.dtype)
+            return z
+
+        eng = Engine(run, name=f"encoder_b{batch}_{h}x{w}")
+        img = jax.ShapeDtypeStruct((batch, h, w, 3), self.dtype)
+        key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        params_abs = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params["vae"]
+        )
+        eng.load(params_abs, img, key)
+        self._engines[key_t] = eng
+        return eng
+
+    # ----------------------------------------------------------- user API
+
+    def encode_prompt(self, ids: np.ndarray) -> jax.Array:
+        return self.clip_engine(ids.shape[0])(self.params["clip"], jnp.asarray(ids))
+
+    def sample(
+        self,
+        num_steps: int,
+        x_T: jax.Array,
+        hint: jax.Array,
+        ctx_cond: jax.Array,
+        ctx_uncond: jax.Array,
+        key: jax.Array,
+        guidance_scale: float = 9.0,
+        strength: float = 1.0,
+        eta: float = 0.0,
+        guess_mode: bool = False,
+    ) -> jax.Array:
+        b, lh, lw, _ = x_T.shape
+        f = self.cfg.vae.downsample_factor
+        eng = self.sampler_engine(num_steps, b, lh * f, lw * f, guess_mode)
+        sched = self.schedule.ddim(num_steps, eta=eta)
+        sched = {k: jnp.asarray(v) for k, v in sched.items()}
+        if guess_mode:
+            from stablediffusioneo_tpu.models.controlnet import guess_mode_scales
+
+            cscales = jnp.asarray(guess_mode_scales(strength, self.n_taps), jnp.float32)
+        else:
+            cscales = jnp.full((self.n_taps,), strength, jnp.float32)
+        return eng(
+            self.params["unet"], self.params["controlnet"], sched,
+            x_T.astype(self.dtype), hint.astype(self.dtype),
+            ctx_cond.astype(self.dtype), ctx_uncond.astype(self.dtype),
+            jnp.asarray(guidance_scale, jnp.float32), cscales, key,
+        )
+
+    def decode_latent(self, z: jax.Array) -> np.ndarray:
+        b, lh, lw, _ = z.shape
+        f = self.cfg.vae.downsample_factor
+        eng = self.decoder_engine(b, lh * f, lw * f)
+        return np.asarray(eng(self.params["vae"], z.astype(self.dtype)))
+
+    def encode_image(self, img: jax.Array, key: jax.Array) -> jax.Array:
+        b, h, w, _ = img.shape
+        eng = self.encoder_engine(b, h, w)
+        return eng(self.params["vae"], img.astype(self.dtype), key)
+
+    def warmup(self, resolution: int = 256, num_steps: int = 1, batch: int = 1):
+        """Boot-time self-test, mirroring hackathon.warm_up
+        (canny2image_TRT.py:33-50): compile + run every engine once."""
+        assert resolution % 64 == 0, "resolutions are /64 by resize_image contract"
+        h = w = resolution
+        ids = np.zeros((batch, self.cfg.clip.max_length), np.int32)
+        ctx = self.encode_prompt(ids)
+        key = jax.random.PRNGKey(0)
+        f = self.cfg.vae.downsample_factor
+        x_T = jax.random.normal(key, (batch, h // f, w // f, 4), self.dtype)
+        hint = jnp.zeros((batch, h, w, 3), self.dtype)
+        z = self.sample(num_steps, x_T, hint, ctx, ctx, key)
+        img = self.decode_latent(z)
+        return img.shape

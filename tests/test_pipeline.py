@@ -1,0 +1,110 @@
+"""Runtime + app-layer tests: engine compilation, bucket reuse, and the
+14-arg process() surface (canny2image_TRT.py:51 equivalent)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from stablediffusioneo_tpu.config import tiny_pipeline
+from stablediffusioneo_tpu.models import (
+    init_clip_text,
+    init_controlnet,
+    init_unet,
+    init_vae,
+)
+from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
+from stablediffusioneo_tpu.pipeline.canny2image import Canny2ImagePipeline
+from stablediffusioneo_tpu.runtime.engine import CNSDRuntime, snap_to_bucket
+
+CFG = tiny_pipeline()
+
+
+def _denonzero(tree, key):
+    """Faithful init zeroes several convs (zero_module semantics: UNet out
+    conv, ControlNet taps, proj_out). Trained checkpoints are non-zero there,
+    so tests perturb every all-zero leaf to get non-degenerate dynamics."""
+    leaves, treedef = jax.tree.flatten(tree)
+    keys = jax.random.split(key, len(leaves))
+    out = [
+        l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+        if bool((l == 0).all())
+        else l
+        for l, k in zip(leaves, keys)
+    ]
+    return jax.tree.unflatten(treedef, out)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    k = jax.random.PRNGKey(0)
+    ks = jax.random.split(k, 6)
+    return {
+        "unet": _denonzero(init_unet(ks[0], CFG.unet), ks[4]),
+        "controlnet": _denonzero(init_controlnet(ks[1], CFG.controlnet), ks[5]),
+        "vae": init_vae(ks[2], CFG.vae),
+        "clip": init_clip_text(ks[3], CFG.clip),
+    }
+
+
+class TestEngine:
+    def test_bucket_snap(self):
+        assert snap_to_bucket(256) == 256
+        assert snap_to_bucket(300) == 320
+        assert snap_to_bucket(10000) == 768
+
+    def test_runtime_engines_cached(self, tiny_params):
+        rt = CNSDRuntime(tiny_params, CFG, persistent_cache=False)
+        e1 = rt.clip_engine(2)
+        e2 = rt.clip_engine(2)
+        assert e1 is e2
+        info = e1.get_engine_infor()
+        assert info["compiled"]
+        assert info["flops"] is None or info["flops"] > 0
+
+    def test_warmup(self, tiny_params):
+        rt = CNSDRuntime(tiny_params, CFG, persistent_cache=False)
+        shape = rt.warmup(resolution=64, num_steps=1)
+        assert shape == (1, 64, 64, 3)
+        kinds = {k[0] for k in rt._engines}
+        assert kinds == {"clip", "sampler", "decoder"}
+
+    def test_encode_image(self, tiny_params):
+        rt = CNSDRuntime(tiny_params, CFG, persistent_cache=False)
+        img = jax.numpy.zeros((1, 64, 64, 3))
+        z = rt.encode_image(img, jax.random.PRNGKey(0))
+        assert z.shape == (1, 8, 8, 4)
+
+
+class TestCanny2Image:
+    def test_process_surface(self, tiny_params, rng):
+        pipe = Canny2ImagePipeline(
+            tiny_params, toy_tokenizer(max_length=CFG.clip.max_length), CFG,
+            persistent_cache=False,
+        )
+        img = (rng.random((70, 60, 3)) * 255).astype(np.uint8)
+        results = pipe.process(
+            img, "a bird", num_samples=1, image_resolution=64,
+            ddim_steps=2, seed=42,
+        )
+        # [detected_map, sample_0]
+        assert len(results) == 2
+        detected, sample = results
+        assert detected.dtype == np.uint8 and detected.shape[2] == 3
+        assert sample.dtype == np.uint8
+        # resize_image rounds to /64: short side 60->64
+        assert sample.shape[0] % 64 == 0 and sample.shape[1] % 64 == 0
+        assert pipe.last_timings["total_ms"] > 0
+
+    def test_seed_determinism_and_guess_mode(self, tiny_params, rng):
+        pipe = Canny2ImagePipeline(
+            tiny_params, toy_tokenizer(max_length=CFG.clip.max_length), CFG,
+            persistent_cache=False,
+        )
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        kwargs = dict(num_samples=1, image_resolution=64, ddim_steps=1, seed=7)
+        a = pipe.process(img, "a bird", **kwargs)[1]
+        b = pipe.process(img, "a bird", **kwargs)[1]
+        np.testing.assert_array_equal(a, b)
+        c = pipe.process(img, "a bird", guess_mode=True, **kwargs)[1]
+        assert not np.array_equal(a, c)
