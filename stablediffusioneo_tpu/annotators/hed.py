@@ -1,0 +1,108 @@
+"""HED (soft-edge) annotator — JAX ControlNetHED.
+
+Re-design of the reference's ControlNetHED_Apache2 net
+(annotator/hed/__init__.py:17-81): a VGG-ish tower of 5 DoubleConvBlocks
+(conv3x3+ReLU stacks, maxpool-2 between blocks) with a 1x1 single-channel
+projection per block; the edge map is sigmoid(mean of the 5 projections
+bilinearly resized to input size).
+
+Weights load from the upstream `ControlNetHED.pth` checkpoint when a local
+path is supplied (this framework never downloads); random init otherwise
+(useful only for shape/flow tests).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stablediffusioneo_tpu.ops.layers import conv2d, conv_init
+
+# (cin, cout, n_convs) per block (hed/__init__.py:40-44)
+_BLOCKS = [(3, 64, 2), (64, 128, 2), (128, 256, 3), (256, 512, 3), (512, 512, 3)]
+
+
+def init_hed(key) -> Dict:
+    ks = iter(jax.random.split(key, 32))
+    params: Dict = {"norm": jnp.zeros((1, 1, 1, 3))}
+    for bi, (cin, cout, n) in enumerate(_BLOCKS):
+        block = {"convs": [], "projection": conv_init(next(ks), 1, 1, cout, 1)}
+        c = cin
+        for _ in range(n):
+            block["convs"].append(conv_init(next(ks), 3, 3, c, cout))
+            c = cout
+        params[f"block{bi + 1}"] = block
+    return params
+
+
+def convert_hed(sd: Dict[str, np.ndarray], dtype=None) -> Dict:
+    """Map the upstream ControlNetHED.pth state dict (NCHW naming) onto the
+    NHWC param tree."""
+
+    def conv(name):
+        w = np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0))
+        return {"w": jnp.asarray(w, dtype), "b": jnp.asarray(sd[f"{name}.bias"], dtype)}
+
+    params: Dict = {
+        "norm": jnp.asarray(np.transpose(sd["norm"], (0, 2, 3, 1)), dtype)
+    }
+    for bi, (cin, cout, n) in enumerate(_BLOCKS):
+        base = f"block{bi + 1}"
+        params[base] = {
+            "convs": [conv(f"{base}.convs.{i}") for i in range(n)],
+            "projection": conv(f"{base}.projection"),
+        }
+    return params
+
+
+def _max_pool2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def hed_apply(params: Dict, x: jax.Array) -> List[jax.Array]:
+    """x: (N, H, W, 3) raw 0-255 floats -> 5 projection maps (N, h_i, w_i, 1)."""
+    h = x - params["norm"].astype(x.dtype)
+    projections = []
+    for bi in range(5):
+        block = params[f"block{bi + 1}"]
+        if bi > 0:
+            h = _max_pool2(h)
+        for conv_p in block["convs"]:
+            h = jax.nn.relu(conv2d(h, conv_p, padding=1))
+        projections.append(conv2d(h, block["projection"], padding=0))
+    return projections
+
+
+class HEDdetector:
+    """Drop-in HEDdetector (hed/__init__.py:57-81): uint8 HWC image in,
+    uint8 edge map out."""
+
+    def __init__(self, params: Optional[Dict] = None, ckpt_path: Optional[str] = None):
+        if params is None:
+            if ckpt_path is not None:
+                from stablediffusioneo_tpu.checkpoint.torch_reader import (
+                    load_torch_state_dict,
+                )
+
+                params = convert_hed(load_torch_state_dict(ckpt_path))
+            else:
+                params = init_hed(jax.random.PRNGKey(0))
+        self.params = params
+        self._apply = jax.jit(hed_apply)
+
+    def __call__(self, input_image: np.ndarray) -> np.ndarray:
+        assert input_image.ndim == 3
+        H, W, _ = input_image.shape
+        x = jnp.asarray(input_image[None].astype(np.float32))
+        edges = self._apply(self.params, x)
+        edges = [np.asarray(e, np.float32)[0, :, :, 0] for e in edges]
+        edges = [cv2.resize(e, (W, H), interpolation=cv2.INTER_LINEAR) for e in edges]
+        stacked = np.stack(edges, axis=2)
+        edge = 1.0 / (1.0 + np.exp(-np.mean(stacked, axis=2).astype(np.float64)))
+        return (edge * 255.0).clip(0, 255).astype(np.uint8)

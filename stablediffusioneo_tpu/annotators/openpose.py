@@ -1,0 +1,422 @@
+"""OpenPose body/hand pose annotator — JAX models + numpy decode.
+
+Re-design of the reference's CMU pose stack (annotator/openpose/):
+  - `bodypose_model` (model.py:24-130): VGG-ish trunk then 6 refinement
+    stages with two branches — PAFs (38ch, "L1") and part heatmaps (19ch,
+    "L2") — each stage consuming concat(paf, heat, trunk features);
+  - `handpose_model` (model.py:131-219): trunk + 6 stages -> 22 heatmaps;
+  - `Body.__call__` (body.py:24-219): multi-scale inference, gaussian
+    peak-finding, PAF line-integral limb scoring, greedy limb matching and
+    person assembly;
+  - `Hand.__call__` (hand.py), `util.draw_bodypose`/`draw_handpose`.
+
+The nets here are spec-driven functional JAX (a table of conv specs, not a
+module graph); weights load 1:1 from the upstream `body_pose_model.pth` /
+`hand_pose_model.pth` state dicts. The decode is a clean-room
+implementation of the public CMU PAF algorithm (Cao et al., CVPR'17).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stablediffusioneo_tpu.ops.layers import conv2d, conv_init
+
+# ---------------------------------------------------------------- net specs
+
+# (name, cin, cout, kernel, pad, relu)
+_BODY_TRUNK = [
+    ("conv1_1", 3, 64, 3, 1, True), ("conv1_2", 64, 64, 3, 1, True), ("pool", 0, 0, 0, 0, False),
+    ("conv2_1", 64, 128, 3, 1, True), ("conv2_2", 128, 128, 3, 1, True), ("pool", 0, 0, 0, 0, False),
+    ("conv3_1", 128, 256, 3, 1, True), ("conv3_2", 256, 256, 3, 1, True),
+    ("conv3_3", 256, 256, 3, 1, True), ("conv3_4", 256, 256, 3, 1, True), ("pool", 0, 0, 0, 0, False),
+    ("conv4_1", 256, 512, 3, 1, True), ("conv4_2", 512, 512, 3, 1, True),
+    ("conv4_3_CPM", 512, 256, 3, 1, True), ("conv4_4_CPM", 256, 128, 3, 1, True),
+]
+
+
+def _stage1_spec(branch: str, cout: int):
+    return [
+        (f"conv5_1_CPM_{branch}", 128, 128, 3, 1, True),
+        (f"conv5_2_CPM_{branch}", 128, 128, 3, 1, True),
+        (f"conv5_3_CPM_{branch}", 128, 128, 3, 1, True),
+        (f"conv5_4_CPM_{branch}", 128, 512, 1, 0, True),
+        (f"conv5_5_CPM_{branch}", 512, cout, 1, 0, False),
+    ]
+
+
+def _stageN_spec(stage: int, branch: str, cin: int, cout: int):
+    return [
+        (f"Mconv1_stage{stage}_{branch}", cin, 128, 7, 3, True),
+        (f"Mconv2_stage{stage}_{branch}", 128, 128, 7, 3, True),
+        (f"Mconv3_stage{stage}_{branch}", 128, 128, 7, 3, True),
+        (f"Mconv4_stage{stage}_{branch}", 128, 128, 7, 3, True),
+        (f"Mconv5_stage{stage}_{branch}", 128, 128, 7, 3, True),
+        (f"Mconv6_stage{stage}_{branch}", 128, 128, 1, 0, True),
+        (f"Mconv7_stage{stage}_{branch}", 128, cout, 1, 0, False),
+    ]
+
+
+def _run_spec(params: Dict, prefix: str, spec, x):
+    pool_i = 0
+    for item in spec:
+        name, cin, cout, k, pad, relu = item
+        if name == "pool":
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+            pool_i += 1
+            continue
+        x = conv2d(x, params[f"{prefix}{name}"], padding=pad)
+        if relu:
+            x = jax.nn.relu(x)
+    return x
+
+
+def _init_spec(key, spec, prefix):
+    params = {}
+    ks = iter(jax.random.split(key, len(spec) + 1))
+    for name, cin, cout, k, pad, relu in spec:
+        if name == "pool":
+            continue
+        params[f"{prefix}{name}"] = conv_init(next(ks), k, k, cin, cout)
+    return params
+
+
+def init_body(key) -> Dict:
+    ks = iter(jax.random.split(key, 16))
+    params = _init_spec(next(ks), _BODY_TRUNK, "model0.")
+    params.update(_init_spec(next(ks), _stage1_spec("L1", 38), "model1_1."))
+    params.update(_init_spec(next(ks), _stage1_spec("L2", 19), "model1_2."))
+    for s in range(2, 7):
+        params.update(
+            _init_spec(next(ks), _stageN_spec(s, "L1", 185, 38), f"model{s}_1.")
+        )
+        params.update(
+            _init_spec(next(ks), _stageN_spec(s, "L2", 185, 19), f"model{s}_2.")
+        )
+    return params
+
+
+def convert_body(sd: Dict[str, np.ndarray]) -> Dict:
+    """upstream body_pose_model.pth -> NHWC param tree (keys match:
+    model0.conv1_1.weight etc.)."""
+    out = {}
+    for k, v in sd.items():
+        if k.endswith(".weight"):
+            name = k[: -len(".weight")]
+            out.setdefault(name, {})["w"] = jnp.asarray(
+                np.transpose(v, (2, 3, 1, 0))
+            )
+        elif k.endswith(".bias"):
+            name = k[: -len(".bias")]
+            out.setdefault(name, {})["b"] = jnp.asarray(v)
+    return out
+
+
+def body_apply(params: Dict, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """x: (N, H, W, 3) preprocessed floats -> (paf (N,h,w,38), heat (N,h,w,19))."""
+    feats = _run_spec(params, "model0.", _BODY_TRUNK, x)
+    paf = _run_spec(params, "model1_1.", _stage1_spec("L1", 38), feats)
+    heat = _run_spec(params, "model1_2.", _stage1_spec("L2", 19), feats)
+    for s in range(2, 7):
+        inp = jnp.concatenate([paf, heat, feats], axis=-1)
+        paf = _run_spec(params, f"model{s}_1.", _stageN_spec(s, "L1", 185, 38), inp)
+        heat = _run_spec(params, f"model{s}_2.", _stageN_spec(s, "L2", 185, 19), inp)
+    return paf, heat
+
+
+# hand net: trunk deeper (to conv5_2), 22-channel heatmaps
+_HAND_TRUNK = _BODY_TRUNK[:12] + [
+    ("conv4_3", 512, 512, 3, 1, True), ("conv4_4", 512, 512, 3, 1, True),
+    ("conv5_1", 512, 512, 3, 1, True), ("conv5_2", 512, 512, 3, 1, True),
+    ("conv5_3_CPM", 512, 128, 3, 1, True),
+]
+
+
+def _hand_stage1():
+    return [
+        ("conv6_1_CPM", 128, 512, 1, 0, True),
+        ("conv6_2_CPM", 512, 22, 1, 0, False),
+    ]
+
+
+def _hand_stageN(stage: int):
+    return [
+        (f"Mconv1_stage{stage}", 150, 128, 7, 3, True),
+        (f"Mconv2_stage{stage}", 128, 128, 7, 3, True),
+        (f"Mconv3_stage{stage}", 128, 128, 7, 3, True),
+        (f"Mconv4_stage{stage}", 128, 128, 7, 3, True),
+        (f"Mconv5_stage{stage}", 128, 128, 7, 3, True),
+        (f"Mconv6_stage{stage}", 128, 128, 1, 0, True),
+        (f"Mconv7_stage{stage}", 128, 22, 1, 0, False),
+    ]
+
+
+def init_hand(key) -> Dict:
+    ks = iter(jax.random.split(key, 16))
+    params = _init_spec(next(ks), _HAND_TRUNK, "model1_0.")
+    params.update(_init_spec(next(ks), _hand_stage1(), "model1_1."))
+    for s in range(2, 7):
+        params.update(_init_spec(next(ks), _hand_stageN(s), f"model{s}."))
+    return params
+
+
+convert_hand = convert_body  # same generic name->conv mapping
+
+
+def hand_apply(params: Dict, x: jax.Array) -> jax.Array:
+    feats = _run_spec(params, "model1_0.", _HAND_TRUNK, x)
+    heat = _run_spec(params, "model1_1.", _hand_stage1(), feats)
+    for s in range(2, 7):
+        inp = jnp.concatenate([heat, feats], axis=-1)
+        heat = _run_spec(params, f"model{s}.", _hand_stageN(s), inp)
+    return heat
+
+
+# ------------------------------------------------------------ decode (numpy)
+
+# COCO-18 limb pairs and their PAF channel pairs (public CMU convention)
+LIMB_PAIRS = [
+    (1, 2), (1, 5), (2, 3), (3, 4), (5, 6), (6, 7), (1, 8), (8, 9), (9, 10),
+    (1, 11), (11, 12), (12, 13), (1, 0), (0, 14), (14, 16), (0, 15), (15, 17),
+    (2, 16), (5, 17),
+]
+PAF_CHANNELS = [
+    (12, 13), (20, 21), (14, 15), (16, 17), (22, 23), (24, 25), (0, 1),
+    (2, 3), (4, 5), (6, 7), (8, 9), (10, 11), (28, 29), (30, 31), (34, 35),
+    (32, 33), (36, 37), (18, 19), (26, 27),
+]
+
+
+def find_peaks(heatmap: np.ndarray, thresh: float = 0.1) -> List[List[Tuple]]:
+    """Per-part peak lists [(x, y, score, id), ...] from (h, w, 19) maps."""
+    from scipy.ndimage import gaussian_filter
+
+    all_peaks = []
+    peak_id = 0
+    for part in range(18):
+        m = gaussian_filter(heatmap[:, :, part], sigma=3)
+        up = np.zeros_like(m); up[1:, :] = m[:-1, :]
+        down = np.zeros_like(m); down[:-1, :] = m[1:, :]
+        left = np.zeros_like(m); left[:, 1:] = m[:, :-1]
+        right = np.zeros_like(m); right[:, :-1] = m[:, 1:]
+        is_peak = (m >= up) & (m >= down) & (m >= left) & (m >= right) & (m > thresh)
+        ys, xs = np.nonzero(is_peak)
+        peaks = []
+        for x, y in zip(xs, ys):
+            peaks.append((int(x), int(y), float(heatmap[y, x, part]), peak_id))
+            peak_id += 1
+        all_peaks.append(peaks)
+    return all_peaks
+
+
+def score_limbs(
+    paf: np.ndarray,
+    all_peaks: List[List[Tuple]],
+    img_h: int,
+    n_samples: int = 10,
+    paf_thresh: float = 0.05,
+) -> List[np.ndarray]:
+    """Greedy limb matching via PAF line integrals. Returns per-limb arrays
+    of (peak_id_a, peak_id_b, score, idx_a, idx_b)."""
+    connections = []
+    for limb_idx, (pa, pb) in enumerate(LIMB_PAIRS):
+        ca, cb = PAF_CHANNELS[limb_idx]
+        cand_a = all_peaks[pa]
+        cand_b = all_peaks[pb]
+        if not cand_a or not cand_b:
+            connections.append(np.zeros((0, 5)))
+            continue
+        scored = []
+        for i, a in enumerate(cand_a):
+            for j, b in enumerate(cand_b):
+                vec = np.asarray([b[0] - a[0], b[1] - a[1]], np.float64)
+                norm = max(np.linalg.norm(vec), 1e-6)
+                u = vec / norm
+                xs = np.linspace(a[0], b[0], n_samples)
+                ys = np.linspace(a[1], b[1], n_samples)
+                px = paf[ys.round().astype(int), xs.round().astype(int), ca]
+                py = paf[ys.round().astype(int), xs.round().astype(int), cb]
+                align = px * u[0] + py * u[1]
+                # distance prior: penalize limbs longer than half the image
+                prior = min(0.5 * img_h / norm - 1.0, 0.0)
+                score = float(align.mean() + prior)
+                ok = (align > paf_thresh).sum() > 0.8 * n_samples and score > 0
+                if ok:
+                    scored.append((i, j, score))
+        scored.sort(key=lambda t: -t[2])
+        used_a, used_b = set(), set()
+        conn = []
+        for i, j, s in scored:
+            if i in used_a or j in used_b:
+                continue
+            used_a.add(i)
+            used_b.add(j)
+            conn.append([cand_a[i][3], cand_b[j][3], s, i, j])
+        connections.append(np.asarray(conn).reshape(-1, 5))
+    return connections
+
+
+def assemble_people(
+    all_peaks: List[List[Tuple]],
+    connections: List[np.ndarray],
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge limbs into person `subset` rows (20 cols: 18 part peak-ids,
+    total score, part count) + flat `candidate` (x, y, score, id) array."""
+    candidate = np.asarray(
+        [p for peaks in all_peaks for p in peaks], np.float64
+    ).reshape(-1, 4)
+    subset = np.empty((0, 20))
+    for limb_idx, (pa, pb) in enumerate(LIMB_PAIRS):
+        conn = connections[limb_idx]
+        for row in conn:
+            ida, idb, score = row[0], row[1], row[2]
+            found = []
+            for si, s in enumerate(subset):
+                if s[pa] == ida or s[pb] == idb:
+                    found.append(si)
+            if len(found) == 1:
+                s = subset[found[0]]
+                if s[pb] != idb:
+                    s[pb] = idb
+                    s[19] += 1
+                    s[18] += candidate[int(idb), 2] + score
+                elif s[pa] != ida:
+                    s[pa] = ida
+                    s[19] += 1
+                    s[18] += candidate[int(ida), 2] + score
+            elif len(found) == 2:
+                s1, s2 = subset[found[0]], subset[found[1]]
+                overlap = ((s1[:18] >= 0) & (s2[:18] >= 0)).sum()
+                if overlap == 0:  # disjoint people: merge
+                    s1[:18] = np.where(s2[:18] >= 0, s2[:18], s1[:18])
+                    s1[18:] += s2[18:]
+                    s1[18] += score
+                    subset = np.delete(subset, found[1], axis=0)
+                else:
+                    s1[pb] = idb
+                    s1[19] += 1
+                    s1[18] += candidate[int(idb), 2] + score
+            elif limb_idx < 17:
+                row20 = -1 * np.ones(20)
+                row20[pa] = ida
+                row20[pb] = idb
+                row20[19] = 2
+                row20[18] = candidate[int(ida), 2] + candidate[int(idb), 2] + score
+                subset = np.vstack([subset, row20])
+    # prune weak/small people
+    keep = [
+        i for i, s in enumerate(subset)
+        if s[19] >= 4 and s[18] / max(s[19], 1) >= 0.4
+    ]
+    return candidate, subset[keep]
+
+
+# ------------------------------------------------------------------ drawing
+
+_BODY_COLORS = [
+    (255, 0, 0), (255, 85, 0), (255, 170, 0), (255, 255, 0), (170, 255, 0),
+    (85, 255, 0), (0, 255, 0), (0, 255, 85), (0, 255, 170), (0, 255, 255),
+    (0, 170, 255), (0, 85, 255), (0, 0, 255), (85, 0, 255), (170, 0, 255),
+    (255, 0, 255), (255, 0, 170), (255, 0, 85),
+]
+
+
+def draw_bodypose(canvas: np.ndarray, candidate: np.ndarray, subset: np.ndarray
+                  ) -> np.ndarray:
+    """Skeleton rendering (annotator/openpose/util.py draw_bodypose)."""
+    for limb_idx in range(17):
+        pa, pb = LIMB_PAIRS[limb_idx]
+        for s in subset:
+            ia, ib = int(s[pa]), int(s[pb])
+            if ia < 0 or ib < 0:
+                continue
+            xa, ya = candidate[ia, :2]
+            xb, yb = candidate[ib, :2]
+            mx, my = (xa + xb) / 2, (ya + yb) / 2
+            length = math.hypot(xa - xb, ya - yb)
+            angle = math.degrees(math.atan2(yb - ya, xb - xa))
+            poly = cv2.ellipse2Poly(
+                (int(mx), int(my)), (int(length / 2), 4), int(angle), 0, 360, 1
+            )
+            cv2.fillConvexPoly(canvas, poly, _BODY_COLORS[limb_idx % 18])
+    canvas = (canvas * 0.6).astype(np.uint8)
+    for part in range(18):
+        for s in subset:
+            idx = int(s[part])
+            if idx < 0:
+                continue
+            x, y = candidate[idx, :2]
+            cv2.circle(canvas, (int(x), int(y)), 4, _BODY_COLORS[part], thickness=-1)
+    return canvas
+
+
+# ----------------------------------------------------------------- detector
+
+
+class OpenposeDetector:
+    """Drop-in OpenposeDetector (annotator/openpose/__init__.py:21-50):
+    uint8 HWC RGB image -> (pose canvas uint8, {candidate, subset})."""
+
+    BOX_SIZE = 368
+    STRIDE = 8
+
+    def __init__(
+        self,
+        body_params: Optional[Dict] = None,
+        body_ckpt: Optional[str] = None,
+    ):
+        if body_params is None:
+            if body_ckpt is not None:
+                from stablediffusioneo_tpu.checkpoint.torch_reader import (
+                    load_torch_state_dict,
+                )
+
+                body_params = convert_body(load_torch_state_dict(body_ckpt))
+            else:
+                body_params = init_body(jax.random.PRNGKey(0))
+        self.body_params = body_params
+        self._apply = jax.jit(body_apply)
+
+    def _infer_maps(self, img: np.ndarray, scales=(0.5,)) -> Tuple[np.ndarray, np.ndarray]:
+        h, w = img.shape[:2]
+        heat_avg = np.zeros((h, w, 19), np.float32)
+        paf_avg = np.zeros((h, w, 38), np.float32)
+        for scale in scales:
+            s = scale * self.BOX_SIZE / h
+            scaled = cv2.resize(img, (0, 0), fx=s, fy=s, interpolation=cv2.INTER_CUBIC)
+            pad_h = (self.STRIDE - scaled.shape[0] % self.STRIDE) % self.STRIDE
+            pad_w = (self.STRIDE - scaled.shape[1] % self.STRIDE) % self.STRIDE
+            padded = np.pad(scaled, ((0, pad_h), (0, pad_w), (0, 0)), constant_values=128)
+            x = padded[None].astype(np.float32) / 256.0 - 0.5
+            paf, heat = self._apply(self.body_params, jnp.asarray(x))
+            paf = np.asarray(paf, np.float32)[0]
+            heat = np.asarray(heat, np.float32)[0]
+            up = lambda m: cv2.resize(
+                m, (w, h), interpolation=cv2.INTER_CUBIC
+            )
+            heat_full = cv2.resize(
+                heat, (padded.shape[1], padded.shape[0]), interpolation=cv2.INTER_CUBIC
+            )[: scaled.shape[0], : scaled.shape[1]]
+            paf_full = cv2.resize(
+                paf, (padded.shape[1], padded.shape[0]), interpolation=cv2.INTER_CUBIC
+            )[: scaled.shape[0], : scaled.shape[1]]
+            heat_avg += up(heat_full) / len(scales)
+            paf_avg += up(paf_full) / len(scales)
+        return paf_avg, heat_avg
+
+    def __call__(self, img: np.ndarray, hand: bool = False):
+        paf, heat = self._infer_maps(img)
+        peaks = find_peaks(heat)
+        connections = score_limbs(paf, peaks, img.shape[0])
+        candidate, subset = assemble_people(peaks, connections)
+        canvas = np.zeros_like(img)
+        canvas = draw_bodypose(canvas, candidate, subset)
+        return canvas, dict(candidate=candidate.tolist(), subset=subset.tolist())

@@ -1,0 +1,102 @@
+"""Prompt-encoding front-end: standard 77-token path, long-prompt windowing,
+and clip-skip.
+
+Re-design of the reference's runtime hacks (cldm/hack.py):
+  - `hack_everything`'s `_hacked_clip_forward` (hack.py:32-68): prompts
+    tokenized WITHOUT truncation, split into three 75-token windows, each
+    wrapped [BOS]+window+[EOS] and padded to 77, encoded in one batched
+    CLIP call, concatenated to (B, 231, hidden);
+  - `clip_skip`: hidden state -(skip) passed through the final LayerNorm
+    instead of the last layer's output (hack.py:40-44);
+  - `disable_verbosity` (hack.py:11-14) is irrelevant here (no transformers
+    runtime dependency at inference).
+
+TPU note: both paths are fixed-shape (77 or 3x77), so each maps to exactly
+one compiled CLIP engine — no dynamic token-length profiles needed (the
+analog of onnx2trt_dynamic.py's min/opt/max profile collapses to two
+buckets).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stablediffusioneo_tpu.config import CLIPTextConfig
+from stablediffusioneo_tpu.models.clip import clip_text_apply
+from stablediffusioneo_tpu.models.tokenizer import CLIPTokenizer
+from stablediffusioneo_tpu.ops.norms import layer_norm
+
+
+def clip_text_apply_skip(
+    params: dict, cfg: CLIPTextConfig, input_ids: jax.Array, clip_skip: int = 0
+) -> jax.Array:
+    """CLIP forward with clip_skip semantics: skip<=1 -> last_hidden_state;
+    skip=k>1 -> final_layer_norm(hidden_states[-k])."""
+    if clip_skip <= 1:
+        return clip_text_apply(params, cfg, input_ids)
+    # re-run the tower, capturing the -(k)th hidden state
+    b, t = input_ids.shape
+    x = jnp.take(params["token_embedding"], input_ids, axis=0)
+    x = x + params["position_embedding"][None, :t, :].astype(x.dtype)
+    causal = np.triu(np.full((t, t), -10000.0, np.float32), k=1)
+    mask = jnp.asarray(causal)[None, None]
+    from stablediffusioneo_tpu.models.clip import _self_attn
+
+    hidden = [x]
+    for p in params["layers"]:
+        h = layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.layer_norm_eps)
+        x = x + _self_attn(p, cfg, h, mask)
+        h = layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], cfg.layer_norm_eps)
+        from stablediffusioneo_tpu.models.clip import quick_gelu
+        from stablediffusioneo_tpu.ops.layers import linear
+
+        x = x + linear(quick_gelu(linear(h, p["fc1"])), p["fc2"])
+        hidden.append(x)
+    target = hidden[-clip_skip]
+    return layer_norm(
+        target, params["final_ln"]["g"], params["final_ln"]["b"], cfg.layer_norm_eps
+    )
+
+
+def tokenize_windowed(
+    tokenizer: CLIPTokenizer,
+    texts: List[str],
+    windows: int = 3,
+    window_body: Optional[int] = None,
+) -> np.ndarray:
+    """Tokenize without truncation, split into `windows` x (window_body)
+    chunks, wrap each with SOT/EOT, pad with EOT to max_length.
+    Returns (B, windows, max_length) int32 (hack.py:46-61; window_body=75
+    for the real 77-token CLIP)."""
+    if window_body is None:
+        window_body = tokenizer.max_length - 2
+    out = np.full(
+        (len(texts), windows, window_body + 2), tokenizer.eot, np.int32
+    )
+    for bi, text in enumerate(texts):
+        raw = tokenizer.encode(text)
+        for wi in range(windows):
+            chunk = raw[window_body * wi : window_body * (wi + 1)]
+            row = [tokenizer.sot] + chunk + [tokenizer.eot]
+            out[bi, wi, : len(row)] = row
+    return out
+
+
+def encode_prompt_windowed(
+    params: dict,
+    cfg: CLIPTextConfig,
+    tokenizer: CLIPTokenizer,
+    texts: List[str],
+    windows: int = 3,
+    clip_skip: int = 0,
+) -> jax.Array:
+    """Long-prompt conditioning: (B, windows*77, hidden)."""
+    ids = tokenize_windowed(tokenizer, texts, windows=windows)
+    b, f, l = ids.shape
+    feed = jnp.asarray(ids.reshape(b * f, l))
+    y = clip_text_apply_skip(params, cfg, feed, clip_skip=clip_skip)
+    return y.reshape(b, f * l, -1)

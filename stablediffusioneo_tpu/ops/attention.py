@@ -24,6 +24,41 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from stablediffusioneo_tpu.ops.layers import mm_precision
+
+
+def _flash_attention_path(q, k, v, scale: float) -> jax.Array:
+    """Blockwise flash attention (Pallas TPU kernel) for large self-attention.
+
+    Head dims in SD are 40/80/160 (C/8) — none lane-aligned; they are
+    zero-padded to 128 lanes, which is free on the MXU (a d<128 pass
+    occupies the full 128-lane tile anyway) and exact (zero K columns add 0
+    to logits; zero V columns are sliced off)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+    d = q.shape[-1]
+    dp = max(128, -(-d // 128) * 128)
+    if dp != d:
+        pad = [(0, 0)] * (q.ndim - 1) + [(0, dp - d)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    out = flash_attention(q, k, v, sm_scale=scale)
+    return out[..., :d]
+
+
+def _use_flash(q, k, mask) -> bool:
+    from stablediffusioneo_tpu.ops.dispatch import kernels_enabled
+
+    return (
+        mask is None
+        and q.ndim == 4
+        and q.shape[-2] == k.shape[-2]  # self-attention lengths
+        # measured on v5e: flash wins at 4096 latent tokens (512px), XLA
+        # attention is faster below (logits fit comfortably on-chip)
+        and q.shape[-2] >= 2048
+        and q.shape[-2] % 512 == 0
+        and kernels_enabled("flash_attention")
+    )
+
 
 def attention(
     q: jax.Array,
@@ -37,15 +72,22 @@ def attention(
     q: (..., Tq, D), k/v: (..., Tk, D). mask broadcastable to (..., Tq, Tk),
     additive (use large negative, NOT -inf — the bf16-safe analog of the
     reference's Trilu -inf -> -10000 graph surgery, surgeon_graph.py:18-27).
+
+    Large self-attention (latent tokens >= 1024) dispatches to the Pallas
+    flash-attention kernel on TPU — the principled form of the reference's
+    sliced-attention/xformers memory paths (cldm/hack.py:72-111,
+    attention.py:306-352): no (Tq, Tk) logits materialization in HBM.
     """
     d = q.shape[-1]
     if scale is None:
         scale = d ** -0.5
+    if _use_flash(q, k, mask):
+        return _flash_attention_path(q, k, v, float(scale))
     logits = jnp.einsum(
         "...qd,...kd->...qk",
         q,
         k,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mm_precision(q.dtype),
         preferred_element_type=jnp.float32,
     )
     logits = logits * jnp.float32(scale)
@@ -56,7 +98,7 @@ def attention(
         "...qk,...kd->...qd",
         weights.astype(v.dtype),
         v,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mm_precision(v.dtype),
         preferred_element_type=jnp.float32,
     )
     return out.astype(q.dtype)
@@ -89,13 +131,13 @@ def multi_head_attention(
 
     if context is None:
         wqkv = jnp.concatenate([wq, wk, wv], axis=1)  # (C, 3*inner)
-        qkv = jnp.matmul(x, wqkv, precision=jax.lax.Precision.HIGHEST)
+        qkv = jnp.matmul(x, wqkv, precision=mm_precision(x.dtype))
         q, k, v = jnp.split(qkv, 3, axis=-1)
         tk = tq
     else:
-        q = jnp.matmul(x, wq, precision=jax.lax.Precision.HIGHEST)
+        q = jnp.matmul(x, wq, precision=mm_precision(x.dtype))
         wkv = jnp.concatenate([wk, wv], axis=1)  # (Ck, 2*inner)
-        kv = jnp.matmul(context, wkv, precision=jax.lax.Precision.HIGHEST)
+        kv = jnp.matmul(context, wkv, precision=mm_precision(x.dtype))
         k, v = jnp.split(kv, 2, axis=-1)
         tk = context.shape[1]
 
@@ -105,7 +147,7 @@ def multi_head_attention(
 
     out = attention(q, k, v, mask=mask)
     out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
-    out = jnp.matmul(out, wo, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.matmul(out, wo, precision=mm_precision(out.dtype))
     if bo is not None:
         out = out + bo
     return out

@@ -1,0 +1,32 @@
+"""Kernel dispatch: Pallas fused kernels vs XLA reference implementations.
+
+The analog of the reference's plugin wiring (`ctypes.CDLL(libplugin.so)` +
+graph surgery deciding which nodes become plugin ops,
+onnx2trt_static_plugin.py:7-10, surgeon_graph.py:46-86): a central switch
+that the model layer consults per-op. Defaults: Pallas on TPU, XLA
+elsewhere; override with set_kernels(...) or SDEO_DISABLE_PALLAS=1.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict
+
+import jax
+
+_FLAGS: Dict[str, bool] = {
+    "groupnorm": os.environ.get("SDEO_DISABLE_PALLAS", "0") != "1",
+    "flash_attention": os.environ.get("SDEO_DISABLE_PALLAS", "0") != "1",
+}
+
+
+def set_kernels(**kwargs: bool) -> None:
+    for k, v in kwargs.items():
+        if k not in _FLAGS:
+            raise KeyError(f"unknown kernel flag {k!r}; have {sorted(_FLAGS)}")
+        _FLAGS[k] = bool(v)
+
+
+def kernels_enabled(name: str) -> bool:
+    """True when the Pallas path should be used for `name` (TPU only)."""
+    return _FLAGS.get(name, False) and jax.default_backend() == "tpu"

@@ -67,6 +67,18 @@ def norm_init(c, dtype=jnp.float32):
 # ---------------------------------------------------------------- application
 
 
+def mm_precision(dtype) -> jax.lax.Precision:
+    """Matmul/conv precision policy: fp32 inputs use HIGHEST (true fp32 —
+    the parity/golden path; XLA's default would silently run bf16-grade
+    passes), bf16 inputs use DEFAULT (native single-pass bf16 x bf16 -> fp32
+    on the MXU; HIGHEST would force multi-pass fp32 emulation, ~6x slower)."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def conv2d(
     x: jax.Array,
     p: dict,
@@ -85,7 +97,7 @@ def conv2d(
         window_strides=stride,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=mm_precision(x.dtype),
     )
     if "b" in p:
         out = out + p["b"].astype(x.dtype)
@@ -93,7 +105,7 @@ def conv2d(
 
 
 def linear(x: jax.Array, p: dict) -> jax.Array:
-    out = jnp.matmul(x, p["w"].astype(x.dtype), precision=jax.lax.Precision.HIGHEST)
+    out = jnp.matmul(x, p["w"].astype(x.dtype), precision=mm_precision(x.dtype))
     if "b" in p:
         out = out + p["b"].astype(x.dtype)
     return out

@@ -32,7 +32,21 @@ def group_norm(
     """GroupNorm over NHWC (or N...C) input. gamma/beta shape (C,).
 
     Reduces over all spatial dims and the within-group channel dim, in fp32.
+    Dispatches to the fused Pallas kernel on TPU when the slab fits VMEM
+    (ops/pallas/groupnorm.py); this XLA path is the reference/fallback.
     """
+    from stablediffusioneo_tpu.ops.dispatch import kernels_enabled
+
+    if kernels_enabled("groupnorm") and x.ndim == 4:
+        from stablediffusioneo_tpu.ops.pallas.groupnorm import (
+            fused_group_norm,
+            group_norm_pallas_supported,
+        )
+
+        if group_norm_pallas_supported(x.shape, x.dtype, groups):
+            return fused_group_norm(
+                x, gamma, beta, groups=groups, eps=eps, swish=swish
+            )
     orig_dtype = x.dtype
     n = x.shape[0]
     c = x.shape[-1]

@@ -1,23 +1,25 @@
-"""Fused GroupNorm(+SiLU) Pallas TPU kernel.
+"""Fused GroupNorm(+SiLU) Pallas TPU kernels.
 
 Replaces the reference's TensorRT CUDA plugin (two-kernel NHWC fp16
 block-scan + normalize, plugin/groupNormPlugin/groupNormKernel.cu:50-266)
 with a TPU-shaped redesign (SURVEY §7 "Pallas GroupNorm"):
 
-  * one kernel, one grid step per batch element: the whole (H*W, C) slab
-    lives in VMEM, so x is read from HBM exactly once and written once —
-    2/3 of the CUDA plugin's traffic (which reads x twice);
+  * channels stay whole in every block (Mosaic lane rule: the last block
+    dim must be 128-divisible or full — SD's 320/640/1280 channels are not
+    128-divisible, so partial-channel chunks are illegal); spatial rows are
+    the chunking axis (sublane rule: multiple of 8);
   * statistics are fp32 and computed on the MXU: per-channel Σx/Σx² via a
-    ones-vector matmul reduction, then channel→group aggregation via a
-    static 0/1 group-membership matrix (C, G). This sidesteps the
-    lane-misaligned (C,)→(G, C/G) reshape that a naive port would hit
-    (C/G = 10/20/40 for SD's 320/640/1280 channels, none lane-aligned);
-  * group→channel broadcast is the transposed matmul, then one fused
-    normalize·γ+β·SiLU VPU pass.
+    ones-vector matmul, then channel->group aggregation via a static 0/1
+    group-membership matmul — sidestepping the lane-misaligned
+    (C,)->(G, C/G) reshape (C/G = 10/20/40 for SD, none aligned);
+  * small slabs (fit in VMEM): ONE kernel, x read from HBM once, written
+    once — 2/3 of the CUDA plugin's traffic;
+  * large slabs (e.g. VAE decoder at 512²): stats kernel over spatial
+    chunks producing per-chunk partial sums, tiny XLA group-reduction, then
+    a normalize+scale+SiLU kernel — exactly the CUDA plugin's two-pass
+    structure (2 reads + 1 write), but over ICI-friendly full-channel rows.
 
-Shapes that don't fit the VMEM budget (large VAE slabs) fall back to the
-XLA implementation (ops/norms.py) — chunked two-phase kernel is a later
-optimization. Dispatch happens in ops/norms.group_norm.
+Dispatch happens in ops/norms.group_norm.
 """
 
 from __future__ import annotations
@@ -37,51 +39,118 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-# VMEM working-set budget per grid step: in-bf16 + out-bf16 + fp32 temps.
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# Mosaic's scoped-vmem limit is 16 MB; the measured single-pass working set
+# is ~18 B/element (in bf16 + out bf16 double-buffered + fp32 temps), so
+# whole slabs up to ~850k elements run as ONE kernel. Larger slabs chunk
+# spatially with a smaller per-step budget (more headroom for pipelining).
+_SINGLE_PASS_MAX_ELEMS = (15 * 1024 * 1024) // 18
+_CHUNK_BUDGET_BYTES = 6 * 1024 * 1024
+_BYTES_PER_ELEM_EST = 16
+
+
+def _spatial_chunk(hw: int, c: int) -> int:
+    """Largest row chunk: == hw when single-pass fits, else a multiple of 8
+    that divides hw and fits the chunk budget (0 if none)."""
+    if hw * c <= _SINGLE_PASS_MAX_ELEMS:
+        return hw
+    max_rows = _CHUNK_BUDGET_BYTES // (c * _BYTES_PER_ELEM_EST)
+    chunk = 0
+    for cand in range(8, max_rows + 1, 8):
+        if hw % cand == 0:
+            chunk = cand
+    return chunk
 
 
 def group_norm_pallas_supported(shape, dtype, groups: int) -> bool:
-    """True if the single-pass kernel can run this (N,H,W,C) input."""
+    """Dispatch predicate: only the single-fused-kernel case (whole slab in
+    VMEM, ONE HBM read) beats XLA — measured on v5e, the two-pass chunked
+    path is slower than XLA's own fused two-read lowering (bench r1:
+    512px VAE decode 148ms pallas-two-pass vs 85ms XLA), so large slabs
+    take the XLA path. fused_group_norm itself still supports both."""
     if not _HAS_PLTPU or len(shape) != 4:
         return False
     n, h, w, c = shape
-    if c % groups or c % 8:
+    if c % groups:
         return False
-    elem = np.dtype(dtype).itemsize
-    # x block + out block + fp32 temp
-    working = h * w * c * (2 * elem + 4)
-    return working <= _VMEM_BUDGET_BYTES
+    return _spatial_chunk(h * w, c) == h * w
 
 
-def _gn_kernel(x_ref, g_ref, b_ref, m_ref, o_ref, *, eps: float, swish: bool,
-               inv_count: float):
-    xf = x_ref[0].astype(jnp.float32)  # (HW, C)
+def _membership(c: int, groups: int) -> np.ndarray:
+    m = np.zeros((c, groups), np.float32)
+    m[np.arange(c), np.arange(c) // (c // groups)] = 1.0
+    return m
+
+
+def _col_sums(xf):
+    """Σx and Σx² per channel via MXU: (HWc, C) -> two (1, C)."""
     ones = jnp.ones((1, xf.shape[0]), jnp.float32)
-    s = jnp.dot(ones, xf, preferred_element_type=jnp.float32)  # (1, C)
+    s = jnp.dot(ones, xf, preferred_element_type=jnp.float32)
     ss = jnp.dot(ones, xf * xf, preferred_element_type=jnp.float32)
-    m = m_ref[:]  # (C, G) 0/1 membership
-    gs = jnp.dot(s, m, preferred_element_type=jnp.float32)  # (1, G)
+    return s, ss
+
+
+def _group_stats(s, ss, m, inv_count, eps):
+    """Channel sums -> per-channel (mean, rstd) via group matmuls."""
+    gs = jnp.dot(s, m, preferred_element_type=jnp.float32)
     gss = jnp.dot(ss, m, preferred_element_type=jnp.float32)
     mean_g = gs * inv_count
     var_g = gss * inv_count - mean_g * mean_g
     rstd_g = jax.lax.rsqrt(var_g + eps)
-    # broadcast group stats back to channels: (1,G) @ (G,C) == dot with M^T
     mean_c = jax.lax.dot_general(
         mean_g, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (1, C)
+    )
     rstd_c = jax.lax.dot_general(
         rstd_g, m, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    return mean_c, rstd_c
+
+
+def _affine_act(xf, mean_c, rstd_c, g, b, swish):
     y = (xf - mean_c) * rstd_c
-    y = y * g_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    y = y * g.astype(jnp.float32) + b.astype(jnp.float32)
     if swish:
         y = y * jax.nn.sigmoid(y)
-    o_ref[0] = y.astype(o_ref.dtype)
+    return y
+
+
+# ------------------------------------------------------------ fused (small)
+
+
+def _gn_fused_kernel(x_ref, g_ref, b_ref, m_ref, o_ref, *, eps, swish, inv_count):
+    xf = x_ref[0].astype(jnp.float32)
+    s, ss = _col_sums(xf)
+    mean_c, rstd_c = _group_stats(s, ss, m_ref[:], inv_count, eps)
+    o_ref[0] = _affine_act(xf, mean_c, rstd_c, g_ref[:], b_ref[:], swish).astype(
+        o_ref.dtype
+    )
+
+
+# ------------------------------------------------------- two-pass (large)
+
+
+def _gn_stats_kernel(x_ref, part_ref):
+    xf = x_ref[0].astype(jnp.float32)
+    s, ss = _col_sums(xf)
+    part_ref[0, 0] = jnp.concatenate([s, ss], axis=0)  # (2, C)
+
+
+def _gn_apply_kernel(x_ref, stats_ref, g_ref, b_ref, o_ref, *, swish):
+    xf = x_ref[0].astype(jnp.float32)
+    mean_c = stats_ref[0, 0:1, :]
+    rstd_c = stats_ref[0, 1:2, :]
+    o_ref[0] = _affine_act(xf, mean_c, rstd_c, g_ref[:], b_ref[:], swish).astype(
+        o_ref.dtype
+    )
+
+
+def _spec(block, index_map):
+    if _HAS_PLTPU:
+        return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+    return pl.BlockSpec(block, index_map)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("groups", "eps", "swish")
+    jax.jit, static_argnames=("groups", "eps", "swish", "interpret")
 )
 def fused_group_norm(
     x: jax.Array,
@@ -92,39 +161,71 @@ def fused_group_norm(
     swish: bool = True,
     interpret: bool = False,
 ) -> jax.Array:
-    """x: (N, H, W, C) -> GroupNorm(+SiLU), single-pass Pallas kernel."""
+    """x: (N, H, W, C) -> GroupNorm(+SiLU)."""
     n, h, w, c = x.shape
     hw = h * w
     cg = c // groups
-    membership = np.zeros((c, groups), np.float32)
-    membership[np.arange(c), np.arange(c) // cg] = 1.0
+    hw_chunk = _spatial_chunk(hw, c)
+    assert hw_chunk > 0, f"unsupported shape {x.shape} (use group_norm fallback)"
+    k = hw // hw_chunk
+    inv_count = 1.0 / (hw * cg)
+    m = jnp.asarray(_membership(c, groups))
+    x3 = x.reshape(n, hw, c)
+    g2 = gamma.reshape(1, c)
+    b2 = beta.reshape(1, c)
 
-    kernel = functools.partial(
-        _gn_kernel, eps=eps, swish=swish, inv_count=1.0 / (hw * cg)
-    )
-    mem = pltpu.VMEM if _HAS_PLTPU else None
+    if k == 1:
+        kernel = functools.partial(
+            _gn_fused_kernel, eps=eps, swish=swish, inv_count=inv_count
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(n,),
+            in_specs=[
+                _spec((1, hw, c), lambda i: (i, 0, 0)),
+                _spec((1, c), lambda i: (0, 0)),
+                _spec((1, c), lambda i: (0, 0)),
+                _spec((c, groups), lambda i: (0, 0)),
+            ],
+            out_specs=_spec((1, hw, c), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+            interpret=interpret,
+        )(x3, g2, b2, m)
+        return out.reshape(n, h, w, c)
 
-    def spec(block, index_map=None):
-        if mem is None:
-            return pl.BlockSpec(block, index_map)
-        return pl.BlockSpec(block, index_map, memory_space=mem)
+    # pass 1: per-chunk channel sums
+    partials = pl.pallas_call(
+        _gn_stats_kernel,
+        grid=(n, k),
+        in_specs=[_spec((1, hw_chunk, c), lambda i, j: (i, j, 0))],
+        out_specs=_spec((1, 1, 2, c), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, k, 2, c), jnp.float32),
+        interpret=interpret,
+    )(x3)
+    # tiny XLA reduction: chunk partials -> per-channel mean/rstd
+    sums = jnp.sum(partials, axis=1)  # (N, 2, C)
+    s, ss = sums[:, 0], sums[:, 1]  # (N, C)
+    gs = s @ m  # (N, G)
+    gss = ss @ m
+    mean_g = gs * inv_count
+    var_g = gss * inv_count - mean_g * mean_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = mean_g @ m.T  # (N, C)
+    rstd_c = rstd_g @ m.T
+    stats = jnp.stack([mean_c, rstd_c], axis=1)  # (N, 2, C)
 
+    # pass 2: normalize + affine + SiLU
     out = pl.pallas_call(
-        kernel,
-        grid=(n,),
+        functools.partial(_gn_apply_kernel, swish=swish),
+        grid=(n, k),
         in_specs=[
-            spec((1, hw, c), lambda i: (i, 0, 0)),
-            spec((1, c), lambda i: (0, 0)),
-            spec((1, c), lambda i: (0, 0)),
-            spec((c, groups), lambda i: (0, 0)),
+            _spec((1, hw_chunk, c), lambda i, j: (i, j, 0)),
+            _spec((1, 2, c), lambda i, j: (i, 0, 0)),
+            _spec((1, c), lambda i, j: (0, 0)),
+            _spec((1, c), lambda i, j: (0, 0)),
         ],
-        out_specs=spec((1, hw, c), lambda i: (i, 0, 0)),
+        out_specs=_spec((1, hw_chunk, c), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
         interpret=interpret,
-    )(
-        x.reshape(n, hw, c),
-        gamma.reshape(1, c),
-        beta.reshape(1, c),
-        jnp.asarray(membership),
-    )
+    )(x3, stats, g2, b2)
     return out.reshape(n, h, w, c)

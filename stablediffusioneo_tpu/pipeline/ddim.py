@@ -161,6 +161,21 @@ def ddim_sample_scan(
     return x0
 
 
+def stochastic_encode(
+    x0: jax.Array,
+    alpha_cumprod_t: float,
+    key: jax.Array,
+    noise: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Forward-diffuse x0 to timestep t (DDIMSampler.stochastic_encode,
+    ddim_hacked.py:257-269): sqrt(abar_t) x0 + sqrt(1-abar_t) eps."""
+    if noise is None:
+        noise = jax.random.normal(key, x0.shape, jnp.float32).astype(x0.dtype)
+    a = jnp.asarray(alpha_cumprod_t, jnp.float32)
+    return (jnp.sqrt(a) * x0.astype(jnp.float32)
+            + jnp.sqrt(1.0 - a) * noise.astype(jnp.float32)).astype(x0.dtype)
+
+
 class DDIMSampler:
     """User-facing sampler wrapper (DDIMSampler, cldm/ddim_hacked.py:10-120).
 
@@ -219,4 +234,48 @@ class DDIMSampler:
             key,
             guess_mode=guess_mode,
             temperature=temperature,
+        )
+
+    def img2img(
+        self,
+        init_latent: jax.Array,
+        denoise_strength: float,
+        num_steps: int,
+        hint: jax.Array,
+        ctx_cond: jax.Array,
+        ctx_uncond: jax.Array,
+        key: jax.Array,
+        guidance_scale: float = 9.0,
+        eta: float = 0.0,
+        strength: float = 1.0,
+        guess_mode: bool = False,
+    ) -> jax.Array:
+        """img2img: stochastic_encode to step t_enc, then DDIM-decode the
+        remaining steps (DDIMSampler.encode/decode, ddim_hacked.py:233-317).
+
+        denoise_strength in (0, 1]: fraction of the schedule re-noised and
+        re-denoised (1.0 == full txt2img from pure noise on init shape).
+        """
+        sched = self.schedule.ddim(num_steps, eta=eta)
+        t_enc = max(1, min(num_steps, int(round(denoise_strength * num_steps))))
+        # arrays are in sampling (descending-t) order; take the LAST t_enc
+        # entries' starting point == index num_steps - t_enc
+        start = num_steps - t_enc
+        sub_sched = {k: v[start:] for k, v in sched.items()}
+        key, kn = jax.random.split(key)
+        x_t = stochastic_encode(init_latent, float(sub_sched["alphas"][0]), kn)
+        dtype = jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+        return ddim_sample_scan(
+            self.unet_params,
+            self.controlnet_params,
+            self.cfg.controlnet,
+            sub_sched,
+            x_t.astype(dtype),
+            hint.astype(dtype),
+            ctx_cond.astype(dtype),
+            ctx_uncond.astype(dtype),
+            jnp.asarray(guidance_scale, jnp.float32),
+            jnp.asarray(self.control_scales(strength, guess_mode)),
+            key,
+            guess_mode=guess_mode,
         )

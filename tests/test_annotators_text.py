@@ -1,0 +1,185 @@
+"""Annotator utils, HED parity, long-prompt windowing, img2img tests."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from stablediffusioneo_tpu.annotators import HWC3, resize_image, nms_edge
+from stablediffusioneo_tpu.annotators.canny import CannyDetector
+from stablediffusioneo_tpu.annotators.hed import convert_hed, hed_apply, HEDdetector
+from stablediffusioneo_tpu.config import tiny_pipeline
+from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
+from stablediffusioneo_tpu.models.text_encoding import (
+    encode_prompt_windowed,
+    tokenize_windowed,
+    clip_text_apply_skip,
+)
+
+
+class TestAnnotatorUtils:
+    def test_hwc3(self, rng):
+        gray = (rng.random((8, 8)) * 255).astype(np.uint8)
+        assert HWC3(gray).shape == (8, 8, 3)
+        rgba = (rng.random((8, 8, 4)) * 255).astype(np.uint8)
+        out = HWC3(rgba)
+        assert out.shape == (8, 8, 3)
+        # fully transparent pixel -> white
+        rgba2 = rgba.copy()
+        rgba2[0, 0] = [10, 20, 30, 0]
+        assert (HWC3(rgba2)[0, 0] == 255).all()
+
+    def test_resize_rounds_to_64(self, rng):
+        img = (rng.random((100, 222, 3)) * 255).astype(np.uint8)
+        out = resize_image(img, 256)
+        assert out.shape[0] % 64 == 0 and out.shape[1] % 64 == 0
+        assert min(out.shape[:2]) == 256
+
+    def test_canny_and_nms(self, rng):
+        img = np.zeros((64, 64, 3), np.uint8)
+        img[16:48, 16:48] = 255
+        edges = CannyDetector()(img, 100, 200)
+        assert edges.shape == (64, 64)
+        assert edges.max() == 255
+        thinned = nms_edge(edges, 127, 3.0)
+        assert thinned.shape == edges.shape
+        assert set(np.unique(thinned)) <= {0, 255}
+
+
+class _TorchDoubleConv(nn.Module):
+    def __init__(self, cin, cout, n):
+        super().__init__()
+        self.convs = nn.Sequential()
+        self.convs.append(nn.Conv2d(cin, cout, 3, padding=1))
+        for _ in range(1, n):
+            self.convs.append(nn.Conv2d(cout, cout, 3, padding=1))
+        self.projection = nn.Conv2d(cout, 1, 1)
+
+    def forward(self, x, down=False):
+        h = F.max_pool2d(x, 2, 2) if down else x
+        for c in self.convs:
+            h = F.relu(c(h))
+        return h, self.projection(h)
+
+
+class _TorchHED(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.norm = nn.Parameter(torch.zeros(1, 3, 1, 1))
+        self.block1 = _TorchDoubleConv(3, 8, 2)
+        self.block2 = _TorchDoubleConv(8, 16, 2)
+        self.block3 = _TorchDoubleConv(16, 32, 3)
+        self.block4 = _TorchDoubleConv(32, 64, 3)
+        self.block5 = _TorchDoubleConv(64, 64, 3)
+
+    def forward(self, x):
+        h = x - self.norm
+        h, p1 = self.block1(h)
+        h, p2 = self.block2(h, down=True)
+        h, p3 = self.block3(h, down=True)
+        h, p4 = self.block4(h, down=True)
+        h, p5 = self.block5(h, down=True)
+        return p1, p2, p3, p4, p5
+
+
+class TestHED:
+    def test_parity_vs_torch(self, rng, monkeypatch):
+        # shrink the block table so the torch mini-net and JAX tree align
+        import stablediffusioneo_tpu.annotators.hed as hed_mod
+
+        monkeypatch.setattr(
+            hed_mod, "_BLOCKS",
+            [(3, 8, 2), (8, 16, 2), (16, 32, 3), (32, 64, 3), (64, 64, 3)],
+        )
+        torch.manual_seed(0)
+        tm = _TorchHED().eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = convert_hed(sd)
+        x = rng.random((1, 32, 32, 3)).astype(np.float32) * 255
+        with torch.no_grad():
+            refs = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+        outs = hed_apply(params, jnp.asarray(x))
+        for o, r in zip(outs, refs):
+            np.testing.assert_allclose(
+                np.asarray(o)[..., 0], r.numpy()[:, 0], rtol=1e-4, atol=1e-4
+            )
+
+    def test_detector_surface(self, rng, monkeypatch):
+        import stablediffusioneo_tpu.annotators.hed as hed_mod
+
+        monkeypatch.setattr(
+            hed_mod, "_BLOCKS",
+            [(3, 8, 2), (8, 16, 2), (16, 32, 3), (32, 64, 3), (64, 64, 3)],
+        )
+        det = HEDdetector()
+        img = (rng.random((48, 40, 3)) * 255).astype(np.uint8)
+        edge = det(img)
+        assert edge.shape == (48, 40)
+        assert edge.dtype == np.uint8
+
+
+class TestWindowedPrompt:
+    def test_tokenize_windowed(self):
+        tok = toy_tokenizer(max_length=77)
+        long_prompt = "the bird and " * 60  # > 75 tokens
+        ids = tokenize_windowed(tok, [long_prompt, "short"])
+        assert ids.shape == (2, 3, 77)
+        assert (ids[:, :, 0] == tok.sot).all()
+        # short prompt windows 2,3 are SOT+EOT+pad
+        assert ids[1, 1, 1] == tok.eot
+
+    def test_encode_windowed_and_skip(self, rng):
+        cfg = tiny_pipeline().clip
+        from stablediffusioneo_tpu.models import init_clip_text
+
+        params = init_clip_text(jax.random.PRNGKey(0), cfg)
+        tok = toy_tokenizer(vocab_size=cfg.vocab_size, max_length=cfg.max_length)
+        out = encode_prompt_windowed(params, cfg, tok, ["a bird", "x"], windows=3)
+        assert out.shape == (2, 3 * cfg.max_length, cfg.hidden_size)
+        # clip_skip=1 equals the plain path
+        ids = jnp.asarray(tok(["a bird"]))
+        a = clip_text_apply_skip(params, cfg, ids, clip_skip=1)
+        from stablediffusioneo_tpu.models import clip_text_apply
+
+        b = clip_text_apply(params, cfg, ids)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+        # clip_skip=2 differs
+        c = clip_text_apply_skip(params, cfg, ids, clip_skip=2)
+        assert not np.allclose(np.asarray(b), np.asarray(c))
+
+
+class TestImg2Img:
+    def test_img2img_runs(self, rng):
+        from stablediffusioneo_tpu.config import tiny_pipeline
+        from stablediffusioneo_tpu.models import init_controlnet, init_unet
+        from stablediffusioneo_tpu.pipeline.ddim import DDIMSampler, stochastic_encode
+
+        CFG = tiny_pipeline()
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        sampler = DDIMSampler(
+            CFG, init_unet(ks[0], CFG.unet), init_controlnet(ks[1], CFG.controlnet)
+        )
+        z0 = jnp.asarray(rng.standard_normal((1, 8, 8, 4), dtype=np.float32))
+        hint = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+        ctx = jnp.asarray(rng.standard_normal((1, 5, CFG.unet.context_dim), dtype=np.float32))
+        out = sampler.img2img(
+            z0, denoise_strength=0.5, num_steps=4, hint=hint,
+            ctx_cond=ctx, ctx_uncond=ctx, key=jax.random.PRNGKey(1),
+        )
+        assert out.shape == z0.shape
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_stochastic_encode_limits(self, rng):
+        from stablediffusioneo_tpu.pipeline.ddim import stochastic_encode
+
+        z0 = jnp.asarray(rng.standard_normal((1, 4, 4, 4), dtype=np.float32))
+        # abar -> 1: x_t ~= x0
+        near = stochastic_encode(z0, 0.9999, jax.random.PRNGKey(0))
+        assert float(jnp.abs(near - z0).mean()) < 0.1
+        # abar -> 0: x_t ~= pure noise, unit variance
+        far = stochastic_encode(z0, 1e-6, jax.random.PRNGKey(0))
+        assert 0.5 < float(jnp.std(far)) < 2.0

@@ -1,0 +1,89 @@
+"""Pallas kernel parity tests (interpret mode on CPU; compiled on TPU via
+bench/verify runs). The analog of the reference's plugin-vs-pattern parity
+implied by surgeon_graph fusion + engine checks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stablediffusioneo_tpu.ops.norms import group_norm
+from stablediffusioneo_tpu.ops.pallas.groupnorm import (
+    fused_group_norm,
+    group_norm_pallas_supported,
+)
+
+
+class TestFusedGroupNorm:
+    @pytest.mark.parametrize(
+        "shape,groups",
+        [
+            ((2, 8, 8, 64), 8),
+            ((1, 16, 12, 320), 32),  # SD channel count: C/G=10, misaligned
+            ((1, 4, 4, 1280), 32),
+        ],
+    )
+    @pytest.mark.parametrize("swish", [False, True])
+    def test_vs_reference(self, rng, shape, groups, swish):
+        x = rng.standard_normal(shape, dtype=np.float32)
+        c = shape[-1]
+        g = rng.standard_normal(c, dtype=np.float32)
+        b = rng.standard_normal(c, dtype=np.float32)
+        ref = np.asarray(
+            group_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b), groups,
+                       eps=1e-5, swish=swish)
+        )
+        out = np.asarray(
+            fused_group_norm(
+                jnp.asarray(x), jnp.asarray(g), jnp.asarray(b),
+                groups=groups, eps=1e-5, swish=swish, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_bf16(self, rng):
+        x = rng.standard_normal((1, 8, 8, 64), dtype=np.float32)
+        ref = np.asarray(
+            group_norm(
+                jnp.asarray(x, jnp.bfloat16), jnp.ones(64), jnp.zeros(64), 8,
+                swish=True,
+            ).astype(jnp.float32)
+        )
+        out = np.asarray(
+            fused_group_norm(
+                jnp.asarray(x, jnp.bfloat16), jnp.ones(64), jnp.zeros(64),
+                groups=8, swish=True, interpret=True,
+            ).astype(jnp.float32)
+        )
+        np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
+
+    def test_support_predicate(self):
+        # dispatch only claims single-pass-fits-in-VMEM slabs (measured:
+        # the two-pass path loses to XLA's fused lowering on v5e)
+        assert group_norm_pallas_supported((1, 32, 32, 640), jnp.bfloat16, 32)
+        assert not group_norm_pallas_supported((1, 64, 64, 320), jnp.bfloat16, 32)
+        assert not group_norm_pallas_supported((1, 512, 512, 128), jnp.bfloat16, 32)
+        # channels not divisible by groups
+        assert not group_norm_pallas_supported((1, 8, 8, 10), jnp.float32, 4)
+
+    def test_two_pass_path(self, rng):
+        """Shape large enough to force the chunked stats+normalize kernels."""
+        x = rng.standard_normal((1, 64, 64, 320), dtype=np.float32)
+        g = rng.standard_normal(320, dtype=np.float32)
+        b = rng.standard_normal(320, dtype=np.float32)
+        ref = np.asarray(
+            group_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b), 32,
+                       eps=1e-5, swish=True)
+        )
+        out = np.asarray(
+            fused_group_norm(jnp.asarray(x), jnp.asarray(g), jnp.asarray(b),
+                             groups=32, eps=1e-5, swish=True, interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_dispatch_off_on_cpu(self, rng):
+        """On CPU backend the dispatch must take the XLA path (no pallas)."""
+        from stablediffusioneo_tpu.ops.dispatch import kernels_enabled
+
+        assert not kernels_enabled("groupnorm")

@@ -1,0 +1,224 @@
+"""OpenPose / MiDaS-DPT / MLSD annotator tests: conversion parity (torch
+replica goldens) + decode units + detector surfaces."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+
+# ------------------------------------------------------------------ openpose
+
+
+def _torch_body():
+    """Compact torch replica of the CMU body net with upstream state-dict
+    naming (model0.conv1_1...), random weights."""
+    from collections import OrderedDict
+
+    import stablediffusioneo_tpu.annotators.openpose as op
+
+    def seq(spec):
+        layers = OrderedDict()
+        for name, cin, cout, k, pad, relu in spec:
+            if name == "pool":
+                layers[f"pool_{len(layers)}"] = nn.MaxPool2d(2, 2)
+                continue
+            layers[name] = nn.Conv2d(cin, cout, k, padding=pad)
+            if relu:
+                layers[f"relu_{name}"] = nn.ReLU()
+        return nn.Sequential(layers)
+
+    class Body(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model0 = seq(op._BODY_TRUNK)
+            self.model1_1 = seq(op._stage1_spec("L1", 38))
+            self.model1_2 = seq(op._stage1_spec("L2", 19))
+            for s in range(2, 7):
+                setattr(self, f"model{s}_1", seq(op._stageN_spec(s, "L1", 185, 38)))
+                setattr(self, f"model{s}_2", seq(op._stageN_spec(s, "L2", 185, 19)))
+
+        def forward(self, x):
+            feats = self.model0(x)
+            paf = self.model1_1(feats)
+            heat = self.model1_2(feats)
+            for s in range(2, 7):
+                inp = torch.cat([paf, heat, feats], dim=1)
+                paf = getattr(self, f"model{s}_1")(inp)
+                heat = getattr(self, f"model{s}_2")(inp)
+            return paf, heat
+
+    return Body()
+
+
+class TestOpenpose:
+    def test_body_parity(self, rng):
+        from stablediffusioneo_tpu.annotators.openpose import body_apply, convert_body
+
+        torch.manual_seed(0)
+        tm = _torch_body().eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = convert_body(sd)
+        x = rng.standard_normal((1, 64, 48, 3), dtype=np.float32) * 0.1
+        with torch.no_grad():
+            ref_paf, ref_heat = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+        paf, heat = body_apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(paf), np.transpose(ref_paf.numpy(), (0, 2, 3, 1)),
+            rtol=1e-3, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(heat), np.transpose(ref_heat.numpy(), (0, 2, 3, 1)),
+            rtol=1e-3, atol=1e-4,
+        )
+
+    def test_decode_synthetic(self):
+        """Two synthetic peaks + a consistent PAF must assemble one person limb."""
+        from stablediffusioneo_tpu.annotators.openpose import (
+            LIMB_PAIRS, PAF_CHANNELS, assemble_people, find_peaks, score_limbs,
+        )
+
+        h = w = 64
+        heat = np.zeros((h, w, 19), np.float32)
+        paf = np.zeros((h, w, 38), np.float32)
+        # gaussian blobs (real heatmaps are blobs; the decoder smooths with
+        # sigma=3, which would crush a single-pixel delta below threshold)
+        yy, xx = np.mgrid[0:h, 0:w]
+        heat[:, :, 1] = np.exp(-((yy - 20) ** 2 + (xx - 20) ** 2) / 18.0)
+        heat[:, :, 2] = np.exp(-((yy - 20) ** 2 + (xx - 40) ** 2) / 18.0)
+        paf[18:23, 20:41, 12] = 1.0  # unit x-direction flow between them
+        peaks = find_peaks(heat, thresh=0.1)
+        assert len(peaks[1]) == 1 and len(peaks[2]) == 1
+        conns = score_limbs(paf, peaks, h)
+        assert conns[0].shape[0] == 1
+        candidate, subset = assemble_people(peaks, conns)
+        # one candidate pair, but subset pruned (<4 parts) -> check pre-prune
+        assert candidate.shape[0] == 2
+
+    def test_detector_surface(self, rng):
+        from stablediffusioneo_tpu.annotators.openpose import OpenposeDetector
+
+        det = OpenposeDetector()  # random weights: flow/shape test
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        canvas, meta = det(img)
+        assert canvas.shape == img.shape
+        assert "candidate" in meta and "subset" in meta
+
+
+# --------------------------------------------------------------------- midas
+
+
+class TestMidasDPT:
+    def _tiny_sd(self):
+        """Random torch-style state dict for a 2-block ViT-tiny DPT."""
+        import stablediffusioneo_tpu.annotators.midas as m
+
+        rng = np.random.default_rng(0)
+        C, IC = 64, (16, 32, 64, 64)
+        sd = {}
+
+        def conv(name, cin, cout, k):
+            sd[f"{name}.weight"] = rng.standard_normal((cout, cin, k, k), np.float32) * 0.05
+            sd[f"{name}.bias"] = rng.standard_normal(cout).astype(np.float32) * 0.05
+
+        def tconv(name, cin, cout, k):
+            sd[f"{name}.weight"] = rng.standard_normal((cin, cout, k, k), np.float32) * 0.05
+            sd[f"{name}.bias"] = rng.standard_normal(cout).astype(np.float32) * 0.05
+
+        def lin(name, cin, cout):
+            sd[f"{name}.weight"] = rng.standard_normal((cout, cin), np.float32) * 0.05
+            sd[f"{name}.bias"] = rng.standard_normal(cout).astype(np.float32) * 0.05
+
+        def norm(name, c):
+            sd[f"{name}.weight"] = np.ones(c, np.float32)
+            sd[f"{name}.bias"] = np.zeros(c, np.float32)
+
+        vm = "pretrained.model."
+        conv(f"{vm}patch_embed.proj", 3, C, 16)
+        sd[f"{vm}cls_token"] = rng.standard_normal((1, 1, C)).astype(np.float32) * 0.02
+        sd[f"{vm}pos_embed"] = rng.standard_normal((1, 1 + 4, C)).astype(np.float32) * 0.02
+        n_blocks = max(m.HOOKS) + 1
+        for i in range(n_blocks):
+            norm(f"{vm}blocks.{i}.norm1", C)
+            lin(f"{vm}blocks.{i}.attn.qkv", C, 3 * C)
+            lin(f"{vm}blocks.{i}.attn.proj", C, C)
+            norm(f"{vm}blocks.{i}.norm2", C)
+            lin(f"{vm}blocks.{i}.mlp.fc1", C, 2 * C)
+            lin(f"{vm}blocks.{i}.mlp.fc2", 2 * C, C)
+        for i in range(1, 5):
+            lin(f"pretrained.act_postprocess{i}.0.project.0", 2 * C, C)
+            conv(f"pretrained.act_postprocess{i}.3", C, IC[i - 1], 1)
+            if i in (1, 2):
+                tconv(f"pretrained.act_postprocess{i}.4", IC[i - 1], IC[i - 1],
+                      4 if i == 1 else 2)
+            if i == 4:
+                conv(f"pretrained.act_postprocess{i}.4", IC[3], IC[3], 3)
+            conv(f"scratch.layer{i}_rn", IC[i - 1], 32, 3)
+        for i in range(1, 5):
+            base = f"scratch.refinenet{i}"
+            for u in (1, 2):
+                conv(f"{base}.resConfUnit{u}.conv1", 32, 32, 3)
+                conv(f"{base}.resConfUnit{u}.conv2", 32, 32, 3)
+            conv(f"{base}.out_conv", 32, 32, 1)
+        conv("scratch.output_conv.0", 32, 16, 3)
+        conv("scratch.output_conv.2", 16, 8, 3)
+        conv("scratch.output_conv.4", 8, 1, 1)
+        return sd
+
+    def test_convert_and_apply(self):
+        from stablediffusioneo_tpu.annotators.midas import convert_dpt, dpt_apply
+
+        params = convert_dpt(self._tiny_sd())
+        x = jnp.zeros((1, 64, 64, 3))
+        depth = dpt_apply(params, x)
+        assert depth.shape == (1, 64, 64)
+        assert np.isfinite(np.asarray(depth)).all()
+
+    def test_detector_surface(self, rng):
+        from stablediffusioneo_tpu.annotators.midas import MidasDetector, convert_dpt
+
+        det = MidasDetector(params=convert_dpt(self._tiny_sd()))
+        img = (rng.random((70, 90, 3)) * 255).astype(np.uint8)
+        depth, normal = det(img)
+        assert depth.shape == (70, 90) and depth.dtype == np.uint8
+        assert normal.shape == (70, 90, 3) and normal.dtype == np.uint8
+
+
+# ---------------------------------------------------------------------- mlsd
+
+
+class TestMLSD:
+    def test_decode_synthetic(self):
+        from stablediffusioneo_tpu.annotators.mlsd import (
+            decode_center_and_displacement, pred_lines,
+        )
+
+        h = w = 64
+        tp = np.zeros((1, h, w, 5), np.float32)
+        tp[..., 0] = -10.0  # background logit
+        tp[0, 30, 30, 0] = 10.0  # one strong center
+        tp[0, 30, 30, 1:5] = [-15, 0, 15, 0]  # 30px horizontal segment
+        pts, scores, disp = decode_center_and_displacement(tp)
+        assert tuple(pts[0]) == (30, 30)
+        assert scores[0] > 0.99
+
+        def model_fn(x):
+            return tp
+
+        img = np.zeros((128, 128, 3), np.uint8)
+        lines = pred_lines(img, model_fn, (128, 128), 0.5, 20.0)
+        assert lines.shape == (1, 4)
+        np.testing.assert_allclose(lines[0], [2 * 15, 2 * 30, 2 * 45, 2 * 30])
+
+    def test_detector_surface(self, rng):
+        from stablediffusioneo_tpu.annotators.mlsd import MLSDdetector
+
+        det = MLSDdetector()
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        out = det(img, 0.1, 20.0)
+        assert out.shape == (64, 64)
+        assert out.dtype == np.uint8
