@@ -1,0 +1,251 @@
+"""YOLOv5 detector — functional JAX, NHWC, BN-folded.
+
+The reference's secondary workload runs a YOLOv5s TensorRT engine exported
+from the upstream torch model (practice_yolov5/export_onnx_yolov5.py,
+onnx2trt_static_yolov5.py, Engine_yolov5.py); this module provides the
+detector itself as a jittable JAX model so the yolo pipeline
+(yolo/pipeline.py pre/post) is end-to-end runnable on TPU.
+
+Architecture (v6.0 yolov5s scaling by default): CSPDarknet backbone
+(Conv-BN-SiLU stem, C3 blocks, SPPF) + PANet neck + per-level Detect heads
+with the v5 box decode:
+    xy = (2*sigmoid(txy) - 0.5 + grid) * stride
+    wh = (2*sigmoid(twh))^2 * anchor
+Output: (N, sum(3*h_i*w_i), 5+nc) — the exact tensor the reference's
+PostProcessor consumes (misc.py:149-243).
+
+Checkpoint loading: `convert_yolov5` maps an upstream `model.state_dict()`
+export (names model.0.conv.weight, model.2.cv1.*, ...) onto this tree and
+FOLDS BatchNorm into the convs (inference-only, one matmul per conv on TPU
+instead of conv+BN).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from stablediffusioneo_tpu.ops.layers import conv2d, conv_init, silu
+
+# yolov5s depth/width; anchors per level (v5 default, 640px)
+DEPTH, WIDTH = 0.33, 0.50
+ANCHORS = (
+    ((10, 13), (16, 30), (33, 23)),
+    ((30, 61), (62, 45), (59, 119)),
+    ((116, 90), (156, 198), (373, 326)),
+)
+STRIDES = (8, 16, 32)
+
+
+def _d(n: int) -> int:
+    return max(round(n * DEPTH), 1)
+
+
+def _w(c: int) -> int:
+    return int(math.ceil(c * WIDTH / 8) * 8)
+
+
+# layer table mirrors the upstream yolov5s.yaml module indices, so the
+# state-dict prefixes (model.{i}.) line up 1:1.
+def _conv_block(key, cin, cout, k):
+    return {"conv": conv_init(key, k, k, cin, cout)}
+
+
+def _bottleneck(key, c):
+    k1, k2 = jax.random.split(key)
+    return {
+        "cv1": _conv_block(k1, c, c, 1),
+        "cv2": _conv_block(k2, c, c, 3),
+    }
+
+
+def _c3(key, cin, cout, n, shortcut=True):
+    # `shortcut` is structural (static), not a param leaf — jit-safe
+    ks = jax.random.split(key, n + 3)
+    ch = cout // 2
+    return {
+        "cv1": _conv_block(ks[0], cin, ch, 1),
+        "cv2": _conv_block(ks[1], cin, ch, 1),
+        "cv3": _conv_block(ks[2], 2 * ch, cout, 1),
+        "m": [_bottleneck(ks[3 + i], ch) for i in range(n)],
+    }
+
+
+def init_yolov5(key, num_classes: int = 80) -> Dict:
+    ks = iter(jax.random.split(key, 64))
+    c1, c2, c3_, c4, c5 = _w(64), _w(128), _w(256), _w(512), _w(1024)
+    no = 3 * (num_classes + 5)
+    params: Dict = {
+        "0": _conv_block(next(ks), 3, c1, 6),            # stem /2
+        "1": _conv_block(next(ks), c1, c2, 3),           # /4
+        "2": _c3(next(ks), c2, c2, _d(3)),
+        "3": _conv_block(next(ks), c2, c3_, 3),          # /8
+        "4": _c3(next(ks), c3_, c3_, _d(6)),
+        "5": _conv_block(next(ks), c3_, c4, 3),          # /16
+        "6": _c3(next(ks), c4, c4, _d(9)),
+        "7": _conv_block(next(ks), c4, c5, 3),           # /32
+        "8": _c3(next(ks), c5, c5, _d(3)),
+        "9": {  # SPPF
+            "cv1": _conv_block(next(ks), c5, c5 // 2, 1),
+            "cv2": _conv_block(next(ks), c5 * 2, c5, 1),
+        },
+        "10": _conv_block(next(ks), c5, c4, 1),
+        "13": _c3(next(ks), c5, c4, _d(3), shortcut=False),
+        "14": _conv_block(next(ks), c4, c3_, 1),
+        "17": _c3(next(ks), c4, c3_, _d(3), shortcut=False),   # P3
+        "18": _conv_block(next(ks), c3_, c3_, 3),
+        "20": _c3(next(ks), c4, c4, _d(3), shortcut=False),    # P4
+        "21": _conv_block(next(ks), c4, c4, 3),
+        "23": _c3(next(ks), c5, c5, _d(3), shortcut=False),    # P5
+        "24": {  # Detect heads
+            "m0": conv_init(next(ks), 1, 1, c3_, no),
+            "m1": conv_init(next(ks), 1, 1, c4, no),
+            "m2": conv_init(next(ks), 1, 1, c5, no),
+        },
+    }
+    return params
+
+
+def _conv(p, x, k=None, stride=1):
+    kk = p["conv"]["w"].shape[0]
+    pad = (kk - 1) // 2  # yolov5 autopad (stem k=6 uses p=2)
+    return silu(conv2d(x, p["conv"], stride=stride, padding=pad))
+
+
+def _bneck(p, x, shortcut):
+    y = _conv(p["cv2"], _conv(p["cv1"], x))
+    return x + y if shortcut else y
+
+
+def _c3_apply(p, x, shortcut=True):
+    a = _conv(p["cv1"], x)
+    for m in p["m"]:
+        a = _bneck(m, a, shortcut)
+    b = _conv(p["cv2"], x)
+    return _conv(p["cv3"], jnp.concatenate([a, b], axis=-1))
+
+
+def _sppf(p, x, k=5):
+    x = _conv(p["cv1"], x)
+    pool = lambda z: jax.lax.reduce_window(
+        z, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1),
+        [(0, 0), (k // 2, k // 2), (k // 2, k // 2), (0, 0)],
+    )
+    y1 = pool(x)
+    y2 = pool(y1)
+    y3 = pool(y2)
+    return _conv(p["cv2"], jnp.concatenate([x, y1, y2, y3], axis=-1))
+
+
+def _upsample2(x):
+    n, h, w, c = x.shape
+    return jax.image.resize(x, (n, h * 2, w * 2, c), method="nearest")
+
+
+def yolov5_apply(params: Dict, x: jax.Array, num_classes: int = 80) -> jax.Array:
+    """x: (N, H, W, 3) in [0,1] -> (N, anchors, 5+nc) decoded predictions.
+
+    num_classes is static (jit with static_argnums/closure)."""
+    nc = num_classes
+    h0 = _conv(params["0"], x, stride=2)
+    h1 = _conv(params["1"], h0, stride=2)
+    h2 = _c3_apply(params["2"], h1)
+    h3 = _conv(params["3"], h2, stride=2)
+    p3_feat = _c3_apply(params["4"], h3)
+    h5 = _conv(params["5"], p3_feat, stride=2)
+    p4_feat = _c3_apply(params["6"], h5)
+    h7 = _conv(params["7"], p4_feat, stride=2)
+    h8 = _c3_apply(params["8"], h7)
+    p5_feat = _sppf(params["9"], h8)
+
+    t10 = _conv(params["10"], p5_feat)
+    h = jnp.concatenate([_upsample2(t10), p4_feat], axis=-1)
+    h13 = _c3_apply(params["13"], h, shortcut=False)
+    t14 = _conv(params["14"], h13)
+    h = jnp.concatenate([_upsample2(t14), p3_feat], axis=-1)
+    out3 = _c3_apply(params["17"], h, shortcut=False)                       # /8
+    h = jnp.concatenate([_conv(params["18"], out3, stride=2), t14], axis=-1)
+    out4 = _c3_apply(params["20"], h, shortcut=False)                       # /16
+    h = jnp.concatenate([_conv(params["21"], out4, stride=2), t10], axis=-1)
+    out5 = _c3_apply(params["23"], h, shortcut=False)                       # /32
+
+    preds = []
+    for li, (feat, head) in enumerate(
+        [(out3, "m0"), (out4, "m1"), (out5, "m2")]
+    ):
+        n, gh, gw, _ = feat.shape
+        raw = conv2d(feat, params["24"][head], padding=0)
+        raw = raw.reshape(n, gh, gw, 3, 5 + nc)
+        sig = jax.nn.sigmoid(raw.astype(jnp.float32))
+        gy = jnp.arange(gh, dtype=jnp.float32)[:, None]
+        gx = jnp.arange(gw, dtype=jnp.float32)[None, :]
+        grid = jnp.stack(
+            [jnp.broadcast_to(gx, (gh, gw)), jnp.broadcast_to(gy, (gh, gw))],
+            axis=-1,
+        )[None, :, :, None, :]  # (1, gh, gw, 1, 2)
+        anchors = jnp.asarray(ANCHORS[li], jnp.float32)[None, None, None]  # (1,1,1,3,2)
+        xy = (sig[..., 0:2] * 2.0 - 0.5 + grid) * float(STRIDES[li])
+        wh = jnp.square(sig[..., 2:4] * 2.0) * anchors
+        pred = jnp.concatenate([xy, wh, sig[..., 4:]], axis=-1)
+        preds.append(pred.reshape(n, gh * gw * 3, 5 + nc))
+    return jnp.concatenate(preds, axis=1)
+
+
+# ------------------------------------------------------------------ convert
+
+
+def _fold_bn(conv_w, bn_w, bn_b, bn_mean, bn_var, eps=1e-3):
+    """Fold BatchNorm into the preceding conv (OIHW in, HWIO out)."""
+    scale = bn_w / np.sqrt(bn_var + eps)
+    w = conv_w * scale[:, None, None, None]  # per-out-channel
+    b = bn_b - bn_mean * scale
+    return np.transpose(w, (2, 3, 1, 0)), b
+
+
+def convert_yolov5(sd: Dict[str, np.ndarray], num_classes: int = 80) -> Dict:
+    """Upstream yolov5 model.state_dict() (model.{i}. prefixes) -> tree,
+    with BN folded into convs."""
+
+    def cb(prefix):
+        w, b = _fold_bn(
+            sd[f"{prefix}.conv.weight"],
+            sd[f"{prefix}.bn.weight"], sd[f"{prefix}.bn.bias"],
+            sd[f"{prefix}.bn.running_mean"], sd[f"{prefix}.bn.running_var"],
+        )
+        return {"conv": {"w": jnp.asarray(w), "b": jnp.asarray(b)}}
+
+    def c3(prefix, n, shortcut):
+        return {
+            "cv1": cb(f"{prefix}.cv1"),
+            "cv2": cb(f"{prefix}.cv2"),
+            "cv3": cb(f"{prefix}.cv3"),
+            "m": [
+                {
+                    "cv1": cb(f"{prefix}.m.{i}.cv1"),
+                    "cv2": cb(f"{prefix}.m.{i}.cv2"),
+                }
+                for i in range(n)
+            ],
+        }
+
+    def det(prefix, i):
+        w = np.transpose(sd[f"{prefix}.m.{i}.weight"], (2, 3, 1, 0))
+        return {"w": jnp.asarray(w), "b": jnp.asarray(sd[f"{prefix}.m.{i}.bias"])}
+
+    m = "model."
+    return {
+        "0": cb(f"{m}0"), "1": cb(f"{m}1"), "2": c3(f"{m}2", _d(3), True),
+        "3": cb(f"{m}3"), "4": c3(f"{m}4", _d(6), True),
+        "5": cb(f"{m}5"), "6": c3(f"{m}6", _d(9), True),
+        "7": cb(f"{m}7"), "8": c3(f"{m}8", _d(3), True),
+        "9": {"cv1": cb(f"{m}9.cv1"), "cv2": cb(f"{m}9.cv2")},
+        "10": cb(f"{m}10"), "13": c3(f"{m}13", _d(3), False),
+        "14": cb(f"{m}14"), "17": c3(f"{m}17", _d(3), False),
+        "18": cb(f"{m}18"), "20": c3(f"{m}20", _d(3), False),
+        "21": cb(f"{m}21"), "23": c3(f"{m}23", _d(3), False),
+        "24": {"m0": det(f"{m}24", 0), "m1": det(f"{m}24", 1), "m2": det(f"{m}24", 2)},
+    }

@@ -87,3 +87,19 @@ class TestFusedGroupNorm:
         from stablediffusioneo_tpu.ops.dispatch import kernels_enabled
 
         assert not kernels_enabled("groupnorm")
+
+
+class TestQuantizedMatmul:
+    def test_quantize_dequant_matmul(self, rng):
+        from stablediffusioneo_tpu.ops.pallas.quant import (
+            quantize_weights, quantized_matmul,
+        )
+
+        x = jnp.asarray(rng.standard_normal((16, 64), dtype=np.float32))
+        w = jnp.asarray(rng.standard_normal((64, 256), dtype=np.float32) * 0.1)
+        w_q, scales = quantize_weights(w)
+        assert w_q.dtype == jnp.int8 and scales.shape == (1, 256)
+        ref = np.asarray(x @ w)
+        out = np.asarray(quantized_matmul(x, w_q, scales, block_n=128, interpret=True))
+        rel = np.abs(out - ref).max() / np.abs(ref).max()
+        assert rel < 0.02  # int8 per-channel quantization error budget

@@ -222,3 +222,27 @@ class TestMLSD:
         out = det(img, 0.1, 20.0)
         assert out.shape == (64, 64)
         assert out.dtype == np.uint8
+
+
+class TestUniformer:
+    def test_backbone_pyramid(self):
+        from stablediffusioneo_tpu.annotators.uniformer import (
+            DIMS, init_uniformer_s, uniformer_apply,
+        )
+
+        params = init_uniformer_s(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 64, 64, 3))
+        feats = uniformer_apply(params, x)
+        assert [f.shape for f in feats] == [
+            (1, 16, 16, DIMS[0]), (1, 8, 8, DIMS[1]),
+            (1, 4, 4, DIMS[2]), (1, 2, 2, DIMS[3]),
+        ]
+
+    def test_detector_surface(self, rng):
+        from stablediffusioneo_tpu.annotators.uniformer import UniformerDetector
+
+        det = UniformerDetector()
+        img = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+        seg = det(img)
+        assert seg.shape == (48, 64, 3)
+        assert seg.dtype == np.uint8
