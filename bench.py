@@ -26,9 +26,19 @@ def log(*a):
 
 
 def main():
+    """Default: the flagship 512x512 20-step metric. BENCH_MODE selects the
+    other BASELINE.md tracked configs:
+      batch4   — batch-4 throughput at 512x512 (images/sec/chip)
+      multires — 384/512/640 bucket sweep (the onnx2trt_dynamic analog)
+    """
+    mode = os.environ.get("BENCH_MODE", "default")
     resolution = int(os.environ.get("BENCH_RESOLUTION", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
+    batch = int(os.environ.get("BENCH_BATCH", "4" if mode == "batch4" else "1"))
+    resolutions = (
+        (384, 512, 640) if mode == "multires" else (resolution,)
+    )
 
     import numpy as np
     import jax
@@ -74,33 +84,54 @@ def main():
     pipe = Canny2ImagePipeline(params, tok, cfg)
     del params  # runtime holds the bf16 copy
 
-    # synthetic bird-ish input image
     rng = np.random.default_rng(2946901)
-    img = (rng.random((resolution, resolution, 3)) * 255).astype(np.uint8)
+    results = []
+    for res in resolutions:
+        # synthetic bird-ish input image
+        img = (rng.random((res, res, 3)) * 255).astype(np.uint8)
 
-    t0 = time.perf_counter()
-    # compile+warm every engine at the bench shape (1 full process call)
-    pipe.process(img, "a bird", num_samples=1, image_resolution=resolution,
-                 ddim_steps=steps, seed=2946901)
-    log(f"warmup (incl. compile): {time.perf_counter()-t0:.1f}s")
-    log(f"warmup timings: {pipe.last_timings}")
-
-    times = []
-    for i in range(iters):
         t0 = time.perf_counter()
-        out = pipe.process(img, "a bird", num_samples=1,
-                           image_resolution=resolution, ddim_steps=steps,
-                           seed=2946901)
-        times.append(time.perf_counter() - t0)
-        log(f"iter {i}: {times[-1]*1e3:.0f} ms  {pipe.last_timings}")
+        # compile+warm every engine at the bench shape (1 full process call)
+        pipe.process(img, "a bird", num_samples=batch, image_resolution=res,
+                     ddim_steps=steps, seed=2946901)
+        log(f"[{res}px b{batch}] warmup (incl. compile): {time.perf_counter()-t0:.1f}s")
 
-    p50 = float(np.median(times))
-    result = {
-        "metric": f"canny2image_{resolution}x{resolution}_{steps}step_bf16_b1_e2e_p50",
-        "value": round(p50, 4),
-        "unit": "s",
-        "vs_baseline": round(2.0 / p50, 3),
-    }
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            pipe.process(img, "a bird", num_samples=batch,
+                         image_resolution=res, ddim_steps=steps, seed=2946901)
+            times.append(time.perf_counter() - t0)
+            log(f"[{res}px b{batch}] iter {i}: {times[-1]*1e3:.0f} ms  {pipe.last_timings}")
+        results.append((res, float(np.median(times))))
+
+    if mode == "batch4":
+        res, p50 = results[0]
+        ips = batch / p50
+        result = {
+            "metric": f"canny2image_{res}x{res}_{steps}step_bf16_b{batch}_imgs_per_sec",
+            "value": round(ips, 4),
+            "unit": "img/s",
+            "vs_baseline": round(ips / 0.5, 3),  # target: 0.5 img/s/chip
+        }
+    elif mode == "multires":
+        vals = {f"{r}px_p50_s": round(p, 4) for r, p in results}
+        log(f"multires: {vals}")
+        res, p50 = results[1]  # 512 is the headline
+        result = {
+            "metric": f"canny2image_multires_{steps}step_bf16_512_e2e_p50",
+            "value": round(p50, 4),
+            "unit": "s",
+            "vs_baseline": round(2.0 / p50, 3),
+        }
+    else:
+        res, p50 = results[0]
+        result = {
+            "metric": f"canny2image_{res}x{res}_{steps}step_bf16_b1_e2e_p50",
+            "value": round(p50, 4),
+            "unit": "s",
+            "vs_baseline": round(2.0 / p50, 3),
+        }
     print(json.dumps(result), flush=True)
 
 

@@ -77,10 +77,12 @@ def attn_block_apply(p: dict, cfg: VAEConfig, x):
     """Single-head conv attention over the full spatial grid (model.py:179-203)."""
     n, h_, w_, c = x.shape
     h = group_norm(x, p["norm"]["g"], p["norm"]["b"], cfg.groups, cfg.norm_eps)
-    q = conv2d(h, p["q"], padding=0).reshape(n, h_ * w_, c)
-    k = conv2d(h, p["k"], padding=0).reshape(n, h_ * w_, c)
-    v = conv2d(h, p["v"], padding=0).reshape(n, h_ * w_, c)
-    out = attention(q, k, v)  # single head: (..., T, C) directly
+    q = conv2d(h, p["q"], padding=0).reshape(n, 1, h_ * w_, c)
+    k = conv2d(h, p["k"], padding=0).reshape(n, 1, h_ * w_, c)
+    v = conv2d(h, p["v"], padding=0).reshape(n, 1, h_ * w_, c)
+    # single head with an explicit head axis so the fused Pallas attention
+    # kernel can dispatch (the VAE mid-block at 512px is 4096 tokens x 512)
+    out = attention(q, k, v)
     out = out.reshape(n, h_, w_, c)
     out = conv2d(out, p["proj_out"], padding=0)
     return x + out

@@ -27,36 +27,18 @@ import jax.numpy as jnp
 from stablediffusioneo_tpu.ops.layers import mm_precision
 
 
-def _flash_attention_path(q, k, v, scale: float) -> jax.Array:
-    """Blockwise flash attention (Pallas TPU kernel) for large self-attention.
-
-    Head dims in SD are 40/80/160 (C/8) — none lane-aligned; they are
-    zero-padded to 128 lanes, which is free on the MXU (a d<128 pass
-    occupies the full 128-lane tile anyway) and exact (zero K columns add 0
-    to logits; zero V columns are sliced off)."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
-
-    d = q.shape[-1]
-    dp = max(128, -(-d // 128) * 128)
-    if dp != d:
-        pad = [(0, 0)] * (q.ndim - 1) + [(0, dp - d)]
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    out = flash_attention(q, k, v, sm_scale=scale)
-    return out[..., :d]
-
-
 def _use_flash(q, k, mask) -> bool:
     from stablediffusioneo_tpu.ops.dispatch import kernels_enabled
+    from stablediffusioneo_tpu.ops.pallas.attention import fused_attention_supported
 
     return (
         mask is None
         and q.ndim == 4
-        and q.shape[-2] == k.shape[-2]  # self-attention lengths
-        # measured on v5e: flash wins at 4096 latent tokens (512px), XLA
-        # attention is faster below (logits fit comfortably on-chip)
-        and q.shape[-2] >= 2048
-        and q.shape[-2] % 512 == 0
+        # measured on v5e: the kernel wins once logits would be HBM-sized;
+        # below 1024 query tokens XLA keeps everything fused on-chip anyway
+        and q.shape[-2] >= 1024
         and kernels_enabled("flash_attention")
+        and fused_attention_supported(q.shape, k.shape[-2], q.dtype)
     )
 
 
@@ -82,7 +64,9 @@ def attention(
     if scale is None:
         scale = d ** -0.5
     if _use_flash(q, k, mask):
-        return _flash_attention_path(q, k, v, float(scale))
+        from stablediffusioneo_tpu.ops.pallas.attention import fused_attention
+
+        return fused_attention(q, k, v, float(scale))
     logits = jnp.einsum(
         "...qd,...kd->...qk",
         q,

@@ -127,7 +127,11 @@ class Canny2ImagePipeline:
             eta=eta,
             guess_mode=guess_mode,
         )
-        samples.block_until_ready()
+        # hard device sync so the sample/decode timing split is honest
+        # (block_until_ready can return early on tunneled backends)
+        from stablediffusioneo_tpu.runtime.profiling import _hard_sync
+
+        _hard_sync(samples)
         t_sample = time.perf_counter()
 
         images = self.runtime.decode_latent(samples)  # uint8 (B,H,W,3)

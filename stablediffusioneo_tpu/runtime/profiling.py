@@ -32,18 +32,32 @@ def trace(log_dir: str = "/tmp/sdeo_trace"):
         jax.profiler.stop_trace()
 
 
+def _hard_sync(result) -> None:
+    """Device barrier that provably completes: fetch one scalar to host.
+
+    `jax.block_until_ready` alone can return before execution finishes on
+    tunneled/proxied backends (observed on the axon v5e tunnel — timing
+    loops read microseconds for multi-GFLOP programs); a device->host
+    scalar copy cannot."""
+    import numpy as np
+
+    leaves = [l for l in jax.tree.leaves(result) if hasattr(l, "dtype")]
+    if leaves:
+        np.asarray(jax.device_get(leaves[0].ravel()[0:1]))
+
+
 def timed(fn: Callable, *args, iters: int = 1, warmup: int = 1, **kwargs
           ) -> Tuple[float, Any]:
     """Median wall-clock seconds per call (device-synchronized) and result."""
     result = None
     for _ in range(warmup):
         result = fn(*args, **kwargs)
-    jax.block_until_ready(result)
+    _hard_sync(result)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         result = fn(*args, **kwargs)
-        jax.block_until_ready(result)
+        _hard_sync(result)
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2], result

@@ -103,3 +103,24 @@ class TestQuantizedMatmul:
         out = np.asarray(quantized_matmul(x, w_q, scales, block_n=128, interpret=True))
         rel = np.abs(out - ref).max() / np.abs(ref).max()
         assert rel < 0.02  # int8 per-channel quantization error budget
+
+
+class TestFusedAttention:
+    @pytest.mark.parametrize("shape,s", [((1, 2, 512, 40), 512), ((2, 2, 256, 80), 256)])
+    def test_vs_reference(self, rng, shape, s):
+        from stablediffusioneo_tpu.ops.attention import attention
+        from stablediffusioneo_tpu.ops.pallas.attention import fused_attention
+
+        b, h, tq, d = shape
+        q = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((b, h, s, d), dtype=np.float32))
+        ref = np.asarray(attention(q, k, v))
+        out = np.asarray(fused_attention(q, k, v, d ** -0.5, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_support_predicate(self):
+        from stablediffusioneo_tpu.ops.pallas.attention import fused_attention_supported
+
+        assert fused_attention_supported((2, 8, 4096, 40), 4096, jnp.bfloat16)
+        assert not fused_attention_supported((2, 8, 100, 40), 100, jnp.bfloat16)
