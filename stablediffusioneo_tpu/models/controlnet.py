@@ -95,14 +95,21 @@ def controlnet_apply(
     hint: jax.Array,
     timesteps: jax.Array,
     context: jax.Array,
+    guided_hint: Optional[jax.Array] = None,
 ) -> List[jax.Array]:
     """ControlNet.forward (cldm/cldm.py:284-305) -> 13 NHWC tensors.
 
     x: (N, H/8, W/8, 4); hint: (N, H, W, 3) in [0,1]; context: (N, T, 768).
+    guided_hint: optional precomputed hint_block output — it depends only on
+    the hint, so samplers hoist it out of the denoise loop (an optimization
+    the reference's per-step TRT engine cannot make).
     """
     ucfg = cfg.unet
     emb = _embed_timesteps(params, ucfg, timesteps, x.dtype)
-    guided_hint = hint_block_apply(params["input_hint_block"], hint.astype(x.dtype))
+    if guided_hint is None:
+        guided_hint = hint_block_apply(
+            params["input_hint_block"], hint.astype(x.dtype)
+        )
 
     outs = []
     h = x
@@ -138,6 +145,7 @@ def controlled_unet_apply(
     context: jax.Array,
     control_scales: Optional[Sequence[float]] = None,
     only_mid_control: bool = False,
+    guided_hint: Optional[jax.Array] = None,
 ) -> jax.Array:
     """ControlLDM.apply_model (cldm/cldm.py:328-341): ControlNet -> scaled
     13 taps -> UNet eps prediction.
@@ -146,9 +154,12 @@ def controlled_unet_apply(
     cldm.py:334-335): the UNet runs WITHOUT control (a distinct traced
     graph, as in the reference where it changes the ONNX graph).
     """
-    if hint is None:
+    if hint is None and guided_hint is None:
         return unet_apply(unet_params, cfg.unet, x, timesteps, context, control=None)
-    control = controlnet_apply(controlnet_params, cfg, x, hint, timesteps, context)
+    control = controlnet_apply(
+        controlnet_params, cfg, x, hint, timesteps, context,
+        guided_hint=guided_hint,
+    )
     if control_scales is not None:
         control = [c * jnp.asarray(s, c.dtype) for c, s in zip(control, control_scales)]
     return unet_apply(

@@ -36,7 +36,14 @@ from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
 
 
 class Canny2ImagePipeline:
-    """The de-facto public API of the reference (`hackathon`)."""
+    """The de-facto public API of the reference (`hackathon`).
+
+    `annotator` is pluggable: any callable mapping a resized uint8 HWC image
+    (plus the two threshold args, ignored by most annotators) to a hint map
+    — canny (default), HEDdetector, MidasDetector-depth, OpenposeDetector
+    canvas, etc. This generalizes the pipeline to all hint2image tasks the
+    upstream ControlNet family supports with per-task checkpoints.
+    """
 
     def __init__(
         self,
@@ -44,10 +51,11 @@ class Canny2ImagePipeline:
         tokenizer: CLIPTokenizer,
         cfg: Optional[PipelineConfig] = None,
         persistent_cache: bool = True,
+        annotator=None,
     ):
         self.cfg = cfg or sd15_pipeline()
         self.tokenizer = tokenizer
-        self.apply_canny = CannyDetector()
+        self.apply_canny = annotator or CannyDetector()
         self.runtime = CNSDRuntime(params, self.cfg, persistent_cache=persistent_cache)
         self.last_timings: Dict[str, float] = {}
 
@@ -58,6 +66,18 @@ class Canny2ImagePipeline:
         canny2image_TRT.py:20-50)."""
         self.runtime.warmup(warmup_resolution, warmup_steps)
         return self
+
+    def _annotate(self, img: np.ndarray, low: int, high: int) -> np.ndarray:
+        """Run the pluggable annotator; normalize its output to HWC3 uint8.
+        Canny consumes the thresholds, other detectors take just the image;
+        multi-output detectors (e.g. MiDaS depth+normal) use the first."""
+        try:
+            out = self.apply_canny(img, low, high)
+        except TypeError:
+            out = self.apply_canny(img)
+        if isinstance(out, tuple):
+            out = out[0]
+        return HWC3(np.asarray(out))
 
     # ---------------------------------------------------------------- process
 
@@ -86,8 +106,7 @@ class Canny2ImagePipeline:
         img = resize_image(HWC3(input_image), image_resolution)
         H, W = img.shape[:2]
 
-        detected_map = self.apply_canny(img, low_threshold, high_threshold)
-        detected_map = HWC3(detected_map)
+        detected_map = self._annotate(img, low_threshold, high_threshold)
 
         control = detected_map.astype(np.float32) / 255.0
         hint = np.repeat(control[None], num_samples, axis=0)  # (B,H,W,3)

@@ -49,7 +49,7 @@ def _cfg_eval(
     controlnet_params,
     cfg: ControlNetConfig,
     x,
-    hint,
+    guided_hint,
     t,
     ctx_cond,
     ctx_uncond,
@@ -62,24 +62,27 @@ def _cfg_eval(
     branches consume the hint, matching canny2image_TRT.py:72 where un_cond
     also carries c_concat). Guess mode: cond with control, uncond without
     (different graph, cldm/cldm.py:334-335).
+
+    guided_hint is the PRECOMPUTED hint-block embedding (constant across
+    steps — hoisted out of the scan by the caller).
     """
     b = x.shape[0]
     if guess_mode:
         e_cond = controlled_unet_apply(
-            unet_params, controlnet_params, cfg, x, hint, t, ctx_cond,
-            control_scales=control_scales,
+            unet_params, controlnet_params, cfg, x, None, t, ctx_cond,
+            control_scales=control_scales, guided_hint=guided_hint,
         )
         e_uncond = controlled_unet_apply(
             unet_params, controlnet_params, cfg, x, None, t, ctx_uncond
         )
         return e_cond, e_uncond
     x2 = jnp.concatenate([x, x], axis=0)
-    hint2 = jnp.concatenate([hint, hint], axis=0)
+    gh2 = jnp.concatenate([guided_hint, guided_hint], axis=0)
     t2 = jnp.concatenate([t, t], axis=0)
     ctx2 = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
     eps2 = controlled_unet_apply(
-        unet_params, controlnet_params, cfg, x2, hint2, t2, ctx2,
-        control_scales=control_scales,
+        unet_params, controlnet_params, cfg, x2, None, t2, ctx2,
+        control_scales=control_scales, guided_hint=gh2,
     )
     return eps2[:b], eps2[b:]
 
@@ -92,7 +95,7 @@ def ddim_scan_step(
     temperature: float,
     x,
     step_consts,
-    hint,
+    guided_hint,
     ctx_cond,
     ctx_uncond,
     scale,
@@ -100,12 +103,13 @@ def ddim_scan_step(
     key,
 ):
     """One DDIM step (p_sample_ddim equivalent). step_consts =
-    (t, a_t, a_prev, sigma_t, sqrt_one_minus_at, step_idx)."""
+    (t, a_t, a_prev, sigma_t, sqrt_one_minus_at, step_idx). guided_hint is
+    the precomputed hint embedding (see ddim_sample_scan)."""
     t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx = step_consts
     b = x.shape[0]
     tb = jnp.full((b,), t, jnp.float32)
     e_cond, e_uncond = _cfg_eval(
-        unet_params, controlnet_params, cfg, x, hint, tb,
+        unet_params, controlnet_params, cfg, x, guided_hint, tb,
         ctx_cond, ctx_uncond, control_scales, guess_mode,
     )
     e_t = e_uncond + scale.astype(x.dtype) * (e_cond - e_uncond)
@@ -140,6 +144,14 @@ def ddim_sample_scan(
 
     schedule: dict from DiffusionSchedule.ddim() (already in sampling order).
     """
+    from stablediffusioneo_tpu.models.controlnet import hint_block_apply
+
+    # the hint embedding depends only on the hint: compute ONCE, outside the
+    # scan (the reference's per-step engines recompute it every step)
+    guided_hint = hint_block_apply(
+        controlnet_params["input_hint_block"], hint.astype(x_T.dtype)
+    )
+
     n_steps = len(schedule["timesteps"])
     consts = (
         jnp.asarray(schedule["timesteps"], jnp.float32),
@@ -153,7 +165,8 @@ def ddim_sample_scan(
     def body(x, per_step):
         x_next, _ = ddim_scan_step(
             unet_params, controlnet_params, cfg, guess_mode, temperature,
-            x, per_step, hint, ctx_cond, ctx_uncond, scale, control_scales, key,
+            x, per_step, guided_hint, ctx_cond, ctx_uncond, scale,
+            control_scales, key,
         )
         return x_next, ()
 

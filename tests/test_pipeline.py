@@ -108,3 +108,25 @@ class TestCanny2Image:
         np.testing.assert_array_equal(a, b)
         c = pipe.process(img, "a bird", guess_mode=True, **kwargs)[1]
         assert not np.array_equal(a, c)
+
+
+class TestMultiAnnotator:
+    def test_hed_conditioning(self, tiny_params, rng, monkeypatch):
+        """Pluggable annotator (BASELINE tracked config 4): HED hint."""
+        import stablediffusioneo_tpu.annotators.hed as hed_mod
+        from stablediffusioneo_tpu.annotators.hed import HEDdetector
+        from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
+
+        monkeypatch.setattr(
+            hed_mod, "_BLOCKS",
+            [(3, 8, 2), (8, 16, 2), (16, 32, 3), (32, 64, 3), (64, 64, 3)],
+        )
+        pipe = Canny2ImagePipeline(
+            tiny_params, toy_tokenizer(max_length=CFG.clip.max_length), CFG,
+            persistent_cache=False, annotator=HEDdetector(),
+        )
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        out = pipe.process(img, "a bird", num_samples=1, image_resolution=64,
+                           ddim_steps=1, seed=1)
+        assert out[0].shape == (64, 64, 3)  # HED map HWC3-normalized
+        assert out[1].dtype == np.uint8
