@@ -99,10 +99,23 @@ def _spatial_transformer(sd, base, depth, dtype):
         )
     return {
         "norm": _norm(sd, f"{base}.norm", dtype),
-        "proj_in": _conv(sd, f"{base}.proj_in", dtype),
+        "proj_in": _proj_conv(sd, f"{base}.proj_in", dtype),
         "blocks": blocks,
-        "proj_out": _conv(sd, f"{base}.proj_out", dtype),
+        "proj_out": _proj_conv(sd, f"{base}.proj_out", dtype),
     }
+
+
+def _proj_conv(sd, name, dtype=None):
+    """SpatialTransformer proj_in/out: 1x1 conv (SD-1.x) or Linear (SD-2.x
+    use_linear_in_transformer) — a Linear IS a 1x1 conv, so 2D weights are
+    reshaped into the conv representation."""
+    w = sd[f"{name}.weight"]
+    if w.ndim == 2:
+        p = {"w": jnp.asarray(np.transpose(w)[None, None], dtype)}
+        if f"{name}.bias" in sd:
+            p["b"] = jnp.asarray(sd[f"{name}.bias"], dtype)
+        return p
+    return _conv(sd, name, dtype)
 
 
 def _unet_encoder_part(sd, cfg: UNetConfig, dtype) -> Dict:
@@ -333,3 +346,41 @@ def load_controlnet_pipeline(
         "vae": convert_vae(sd, cfg.vae, dtype=dtype),
         "clip": convert_clip(sd, cfg.clip, dtype=dtype),
     }
+
+
+def convert_openclip_text(
+    sd: Dict[str, np.ndarray],
+    cfg: CLIPTextConfig,
+    prefix: str = "cond_stage_model.model.",
+    dtype=None,
+) -> Dict:
+    """Map an OpenCLIP text tower (FrozenOpenCLIPEmbedder's inner model,
+    SD-2.x checkpoints: `cond_stage_model.model.*` with packed
+    attn.in_proj_{weight,bias}) onto the CLIP tree."""
+    sd = _strip(sd, prefix) if prefix else dict(sd)
+    params: Dict = {
+        "token_embedding": jnp.asarray(sd["token_embedding.weight"], dtype),
+        "position_embedding": jnp.asarray(sd["positional_embedding"], dtype),
+        "layers": [],
+        "final_ln": _norm(sd, "ln_final", dtype),
+    }
+    for i in range(cfg.num_layers):
+        base = f"transformer.resblocks.{i}"
+        in_w = np.transpose(sd[f"{base}.attn.in_proj_weight"])  # (d, 3d)
+        in_b = sd[f"{base}.attn.in_proj_bias"]
+        d = in_w.shape[0]
+        qw, kw, vw = in_w[:, :d], in_w[:, d:2*d], in_w[:, 2*d:]
+        qb, kb, vb = in_b[:d], in_b[d:2*d], in_b[2*d:]
+        params["layers"].append(
+            {
+                "ln1": _norm(sd, f"{base}.ln_1", dtype),
+                "q": {"w": jnp.asarray(qw, dtype), "b": jnp.asarray(qb, dtype)},
+                "k": {"w": jnp.asarray(kw, dtype), "b": jnp.asarray(kb, dtype)},
+                "v": {"w": jnp.asarray(vw, dtype), "b": jnp.asarray(vb, dtype)},
+                "out": _linear(sd, f"{base}.attn.out_proj", dtype),
+                "ln2": _norm(sd, f"{base}.ln_2", dtype),
+                "fc1": _linear(sd, f"{base}.mlp.c_fc", dtype),
+                "fc2": _linear(sd, f"{base}.mlp.c_proj", dtype),
+            }
+        )
+    return params

@@ -30,6 +30,9 @@ class UNetConfig:
     transformer_depth: int = 1
     context_dim: int = 768
     num_heads: int = 8
+    # SD-2.x style: fixed per-head channel count instead of fixed head count
+    # (openaimodel num_head_channels); None -> use num_heads
+    num_head_channels: Optional[int] = None
     dropout: float = 0.0
     use_scale_shift_norm: bool = False
     groups: int = 32
@@ -39,8 +42,10 @@ class UNetConfig:
     def time_embed_dim(self) -> int:
         return self.model_channels * 4
 
-    def head_dim(self, channels: int) -> int:
-        return channels // self.num_heads
+    def heads_for(self, channels: int) -> int:
+        if self.num_head_channels is not None:
+            return channels // self.num_head_channels
+        return self.num_heads
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,6 +102,8 @@ class CLIPTextConfig:
     layer_norm_eps: float = 1e-5
     # "last" = final LN output (SD1.5), "penultimate" = hidden layer -2 (SD2.x)
     layer: str = "last"
+    # "quick_gelu" (OpenAI CLIP / SD1.5) vs "gelu" (OpenCLIP ViT-H / SD2.x)
+    act: str = "quick_gelu"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +152,36 @@ def clip_vit_l14() -> CLIPTextConfig:
 
 def sd15_pipeline(dtype: str = "bfloat16", use_pallas: bool = True) -> PipelineConfig:
     return PipelineConfig(dtype=dtype, use_pallas=use_pallas)
+
+
+def sd21_unet() -> UNetConfig:
+    """SD-2.1 UNet: per-head 64 channels, OpenCLIP ViT-H context (1024)."""
+    return UNetConfig(num_head_channels=64, context_dim=1024)
+
+
+def openclip_vit_h_text() -> CLIPTextConfig:
+    """OpenCLIP ViT-H/14 text tower (FrozenOpenCLIPEmbedder, SD-2.x:
+    penultimate layer, plain gelu)."""
+    return CLIPTextConfig(
+        hidden_size=1024, intermediate_size=4096, num_layers=24,
+        num_heads=16, layer="penultimate", act="gelu",
+    )
+
+
+def sd21_pipeline(
+    dtype: str = "bfloat16", v_prediction: bool = True, use_pallas: bool = True
+) -> PipelineConfig:
+    unet = sd21_unet()
+    return PipelineConfig(
+        unet=unet,
+        controlnet=ControlNetConfig(unet=unet),
+        clip=openclip_vit_h_text(),
+        diffusion=DiffusionConfig(
+            parameterization="v" if v_prediction else "eps"
+        ),
+        dtype=dtype,
+        use_pallas=use_pallas,
+    )
 
 
 def tiny_pipeline() -> PipelineConfig:

@@ -36,6 +36,12 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def _act(cfg):
+    return quick_gelu if cfg.act == "quick_gelu" else (
+        lambda x: jax.nn.gelu(x, approximate=False)
+    )
+
+
 def init_clip_text(key, cfg: CLIPTextConfig) -> Dict:
     ks = iter(jax.random.split(key, 16 + 8 * cfg.num_layers))
     d = cfg.hidden_size
@@ -99,7 +105,7 @@ def clip_text_apply(
         h = layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.layer_norm_eps)
         x = x + _self_attn(p, cfg, h, mask)
         h = layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], cfg.layer_norm_eps)
-        x = x + linear(quick_gelu(linear(h, p["fc1"])), p["fc2"])
+        x = x + linear(_act(cfg)(linear(h, p["fc1"])), p["fc2"])
 
     if layer == "penultimate":
         h = hidden_states[-1]

@@ -51,10 +51,10 @@ def clip_text_apply_skip(
         h = layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.layer_norm_eps)
         x = x + _self_attn(p, cfg, h, mask)
         h = layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], cfg.layer_norm_eps)
-        from stablediffusioneo_tpu.models.clip import quick_gelu
+        from stablediffusioneo_tpu.models.clip import _act
         from stablediffusioneo_tpu.ops.layers import linear
 
-        x = x + linear(quick_gelu(linear(h, p["fc1"])), p["fc2"])
+        x = x + linear(_act(cfg)(linear(h, p["fc1"])), p["fc2"])
         hidden.append(x)
     target = hidden[-clip_skip]
     return layer_norm(

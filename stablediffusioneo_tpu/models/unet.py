@@ -246,17 +246,18 @@ def resblock_apply(p: dict, cfg: UNetConfig, x, emb):
 
 def transformer_block_apply(p: dict, cfg: UNetConfig, x, context):
     """BasicTransformerBlock (attention.py:355-385): self-attn, cross-attn, GEGLU FF."""
+    heads = cfg.heads_for(x.shape[-1])
     h = layer_norm(x, p["norm1"]["g"], p["norm1"]["b"], LN_EPS)
     x = x + multi_head_attention(
         h, None,
         p["attn1"]["wq"]["w"], p["attn1"]["wk"]["w"], p["attn1"]["wv"]["w"],
-        p["attn1"]["wo"]["w"], p["attn1"]["wo"].get("b"), cfg.num_heads,
+        p["attn1"]["wo"]["w"], p["attn1"]["wo"].get("b"), heads,
     )
     h = layer_norm(x, p["norm2"]["g"], p["norm2"]["b"], LN_EPS)
     x = x + multi_head_attention(
         h, context,
         p["attn2"]["wq"]["w"], p["attn2"]["wk"]["w"], p["attn2"]["wv"]["w"],
-        p["attn2"]["wo"]["w"], p["attn2"]["wo"].get("b"), cfg.num_heads,
+        p["attn2"]["wo"]["w"], p["attn2"]["wo"].get("b"), heads,
     )
     h = layer_norm(x, p["norm3"]["g"], p["norm3"]["b"], LN_EPS)
     x = x + linear(geglu(h, p["ff1"]), p["ff2"])

@@ -101,10 +101,15 @@ def ddim_scan_step(
     scale,
     control_scales,
     key,
+    parameterization: str = "eps",
 ):
     """One DDIM step (p_sample_ddim equivalent). step_consts =
     (t, a_t, a_prev, sigma_t, sqrt_one_minus_at, step_idx). guided_hint is
-    the precomputed hint embedding (see ddim_sample_scan)."""
+    the precomputed hint embedding (see ddim_sample_scan).
+
+    parameterization: "eps" (SD-1.5) or "v" (SD-2.x v-prediction;
+    p_sample_ddim's predict_eps/start_from_z_and_v branches,
+    ddim_hacked.py:194-218)."""
     t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx = step_consts
     b = x.shape[0]
     tb = jnp.full((b,), t, jnp.float32)
@@ -112,12 +117,18 @@ def ddim_scan_step(
         unet_params, controlnet_params, cfg, x, guided_hint, tb,
         ctx_cond, ctx_uncond, control_scales, guess_mode,
     )
-    e_t = e_uncond + scale.astype(x.dtype) * (e_cond - e_uncond)
+    model_out = e_uncond + scale.astype(x.dtype) * (e_cond - e_uncond)
     # fp32 island for the state update: tiny per-step errors compound over
     # the scan, so x is carried in fp32 even when the nets run bf16.
     xf = x.astype(jnp.float32)
-    ef = e_t.astype(jnp.float32)
-    pred_x0 = (xf - sqrt_1m_at * ef) / jnp.sqrt(a_t)
+    mf = model_out.astype(jnp.float32)
+    sqrt_at = jnp.sqrt(a_t)
+    if parameterization == "v":
+        ef = sqrt_at * mf + sqrt_1m_at * xf           # predict_eps_from_z_and_v
+        pred_x0 = sqrt_at * xf - sqrt_1m_at * mf      # predict_start_from_z_and_v
+    else:
+        ef = mf
+        pred_x0 = (xf - sqrt_1m_at * ef) / sqrt_at
     dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * ef
     noise_key = jax.random.fold_in(key, step_idx.astype(jnp.int32))
     noise = sigma_t * jax.random.normal(noise_key, xf.shape, jnp.float32) * temperature
@@ -139,6 +150,7 @@ def ddim_sample_scan(
     key: jax.Array,
     guess_mode: bool = False,
     temperature: float = 1.0,
+    parameterization: str = "eps",
 ) -> jax.Array:
     """Full DDIM sampling loop as one lax.scan. Returns x_0 latents.
 
@@ -166,7 +178,7 @@ def ddim_sample_scan(
         x_next, _ = ddim_scan_step(
             unet_params, controlnet_params, cfg, guess_mode, temperature,
             x, per_step, guided_hint, ctx_cond, ctx_uncond, scale,
-            control_scales, key,
+            control_scales, key, parameterization=parameterization,
         )
         return x_next, ()
 
@@ -247,6 +259,7 @@ class DDIMSampler:
             key,
             guess_mode=guess_mode,
             temperature=temperature,
+            parameterization=self.cfg.diffusion.parameterization,
         )
 
     def img2img(
@@ -291,4 +304,5 @@ class DDIMSampler:
             jnp.asarray(self.control_scales(strength, guess_mode)),
             key,
             guess_mode=guess_mode,
+            parameterization=self.cfg.diffusion.parameterization,
         )

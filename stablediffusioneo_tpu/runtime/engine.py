@@ -165,6 +165,7 @@ class CNSDRuntime:
                 unet_p, ctrl_p, cfg.controlnet, sched,
                 x_T, hint, ctx_c, ctx_u, scale, cscales, key,
                 guess_mode=guess_mode,
+                parameterization=cfg.diffusion.parameterization,
             )
 
         return run
