@@ -226,8 +226,24 @@ def init_unet(key, cfg: UNetConfig) -> Dict:
 # =============================================================== apply
 
 
+def _maybe_remat(fn):
+    """Per-block rematerialization (jax.checkpoint) for training: residuals
+    recompute in the backward pass instead of living in HBM — the TPU way
+    to trade FLOPs for memory (SDEO_REMAT=1 / dispatch.set_kernels(remat=...)).
+    The reference's analog is low_vram module paging (cldm/cldm.py:425-435)."""
+    from stablediffusioneo_tpu.ops.dispatch import remat_enabled
+
+    if remat_enabled():
+        return jax.checkpoint(fn, static_argnums=(1,))
+    return fn
+
+
 def resblock_apply(p: dict, cfg: UNetConfig, x, emb):
     """ResBlock (openaimodel.py:162-276): GN+SiLU+conv, +time-emb, GN+SiLU+conv, skip."""
+    return _maybe_remat(_resblock_apply)(p, cfg, x, emb)
+
+
+def _resblock_apply(p: dict, cfg: UNetConfig, x, emb):
     h = group_norm(x, p["norm1"]["g"], p["norm1"]["b"], cfg.groups, cfg.norm_eps, swish=True)
     h = conv2d(h, p["conv1"], padding=1)
     emb_out = linear(silu(emb), p["emb"])  # (N, cout) or (N, 2*cout)
@@ -266,6 +282,10 @@ def transformer_block_apply(p: dict, cfg: UNetConfig, x, context):
 
 def spatial_transformer_apply(p: dict, cfg: UNetConfig, x, context):
     """SpatialTransformer (attention.py:388-450), conv proj flavor (SD1.5)."""
+    return _maybe_remat(_spatial_transformer_apply)(p, cfg, x, context)
+
+
+def _spatial_transformer_apply(p: dict, cfg: UNetConfig, x, context):
     n, h_, w_, c = x.shape
     residual = x
     h = group_norm(x, p["norm"]["g"], p["norm"]["b"], cfg.groups, ATTN_NORM_EPS)

@@ -17,7 +17,14 @@ import jax
 _FLAGS: Dict[str, bool] = {
     "groupnorm": os.environ.get("SDEO_DISABLE_PALLAS", "0") != "1",
     "flash_attention": os.environ.get("SDEO_DISABLE_PALLAS", "0") != "1",
+    # rematerialize UNet blocks under grad (training memory <-> +compute);
+    # off for inference (no residuals are stored anyway)
+    "remat": os.environ.get("SDEO_REMAT", "0") == "1",
 }
+
+
+def remat_enabled() -> bool:
+    return _FLAGS["remat"]
 
 
 def set_kernels(**kwargs: bool) -> None:

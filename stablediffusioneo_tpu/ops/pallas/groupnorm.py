@@ -39,19 +39,27 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-# Mosaic's scoped-vmem limit is 16 MB; the measured single-pass working set
-# is ~18 B/element (in bf16 + out bf16 double-buffered + fp32 temps), so
-# whole slabs up to ~850k elements run as ONE kernel. Larger slabs chunk
-# spatially with a smaller per-step budget (more headroom for pipelining).
+# Mosaic's scoped-vmem limit is 16 MB. Three regimes:
+#   tiny slabs  (<= ~850k elems x 18 B): whole-slab fp32 math in one shot;
+#   resident    (<= ~1.6M elems): in/out slabs live in VMEM (8 B/elem with
+#               double buffering) but fp32 temporaries are kept CHUNK-sized
+#               by looping over row blocks inside the kernel — still exactly
+#               one HBM read + one write (covers SD's 4096x320 level-0 GN);
+#   larger      : two-pass spatially-chunked kernels (VAE-scale slabs).
 _SINGLE_PASS_MAX_ELEMS = (15 * 1024 * 1024) // 18
+_RESIDENT_MAX_ELEMS = (13 * 1024 * 1024) // 8
 _CHUNK_BUDGET_BYTES = 6 * 1024 * 1024
 _BYTES_PER_ELEM_EST = 16
+_RESIDENT_ROW_CHUNK = 512
 
 
 def _spatial_chunk(hw: int, c: int) -> int:
-    """Largest row chunk: == hw when single-pass fits, else a multiple of 8
-    that divides hw and fits the chunk budget (0 if none)."""
-    if hw * c <= _SINGLE_PASS_MAX_ELEMS:
+    """Largest row chunk: == hw when a VMEM-resident kernel fits, else a
+    multiple of 8 that divides hw and fits the chunk budget (0 if none)."""
+    if hw * c <= _RESIDENT_MAX_ELEMS and (
+        hw * c <= _SINGLE_PASS_MAX_ELEMS
+        or (hw % 8 == 0)
+    ):
         return hw
     max_rows = _CHUNK_BUDGET_BYTES // (c * _BYTES_PER_ELEM_EST)
     chunk = 0
@@ -125,6 +133,40 @@ def _gn_fused_kernel(x_ref, g_ref, b_ref, m_ref, o_ref, *, eps, swish, inv_count
     )
 
 
+def _gn_resident_kernel(
+    x_ref, g_ref, b_ref, m_ref, o_ref, *, eps, swish, inv_count, row_chunk
+):
+    """Whole slab resident in VMEM; fp32 temporaries chunk-sized: one
+    accumulation loop over row blocks, then one normalize loop. Exactly one
+    HBM read + one write of x."""
+    hw, c = x_ref.shape[1], x_ref.shape[2]
+    n_chunks = hw // row_chunk
+    ones = jnp.ones((1, row_chunk), jnp.float32)
+
+    def acc_body(i, carry):
+        s, ss = carry
+        xf = x_ref[0, pl.ds(i * row_chunk, row_chunk), :].astype(jnp.float32)
+        s = s + jnp.dot(ones, xf, preferred_element_type=jnp.float32)
+        ss = ss + jnp.dot(ones, xf * xf, preferred_element_type=jnp.float32)
+        return (s, ss)
+
+    s, ss = jax.lax.fori_loop(
+        0, n_chunks, acc_body,
+        (jnp.zeros((1, c), jnp.float32), jnp.zeros((1, c), jnp.float32)),
+    )
+    mean_c, rstd_c = _group_stats(s, ss, m_ref[:], inv_count, eps)
+    g = g_ref[:]
+    b = b_ref[:]
+
+    def norm_body(i, _):
+        xf = x_ref[0, pl.ds(i * row_chunk, row_chunk), :].astype(jnp.float32)
+        y = _affine_act(xf, mean_c, rstd_c, g, b, swish)
+        o_ref[0, pl.ds(i * row_chunk, row_chunk), :] = y.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, norm_body, 0)
+
+
 # ------------------------------------------------------- two-pass (large)
 
 
@@ -175,9 +217,18 @@ def fused_group_norm(
     b2 = beta.reshape(1, c)
 
     if k == 1:
-        kernel = functools.partial(
-            _gn_fused_kernel, eps=eps, swish=swish, inv_count=inv_count
-        )
+        if hw * c <= _SINGLE_PASS_MAX_ELEMS:
+            kernel = functools.partial(
+                _gn_fused_kernel, eps=eps, swish=swish, inv_count=inv_count
+            )
+        else:
+            row_chunk = _RESIDENT_ROW_CHUNK
+            while hw % row_chunk:
+                row_chunk //= 2
+            kernel = functools.partial(
+                _gn_resident_kernel, eps=eps, swish=swish,
+                inv_count=inv_count, row_chunk=row_chunk,
+            )
         out = pl.pallas_call(
             kernel,
             grid=(n,),

@@ -81,12 +81,23 @@ class Engine:
         self.compile_seconds: Optional[float] = None
 
     def load(self, *abstract_args, **abstract_kwargs) -> "Engine":
-        """AOT compile for the given example/abstract arguments."""
+        """AOT compile for the given example/abstract arguments.
+
+        Degrades gracefully on AOT failure (falls back to on-demand jit) —
+        the analog of the reference's missing-plan torch fallback
+        (cldm_trt/ddim_hacked.py:21-23)."""
         t0 = time.perf_counter()
-        lowered = self._jitted.lower(*abstract_args, **abstract_kwargs)
-        self._compiled = lowered.compile()
-        self.compile_seconds = time.perf_counter() - t0
-        log.info("engine %s compiled in %.1fs", self.name, self.compile_seconds)
+        try:
+            lowered = self._jitted.lower(*abstract_args, **abstract_kwargs)
+            self._compiled = lowered.compile()
+            self.compile_seconds = time.perf_counter() - t0
+            log.info("engine %s compiled in %.1fs", self.name, self.compile_seconds)
+        except Exception as e:  # noqa: BLE001 — degrade, don't die
+            self._compiled = None
+            log.warning(
+                "engine %s AOT compile failed (%s: %s); falling back to "
+                "on-demand jit", self.name, type(e).__name__, e,
+            )
         return self
 
     def __call__(self, *args, **kwargs):

@@ -265,3 +265,32 @@ class TestSchedule:
         # 1-ulp fp32 exp() difference (numpy vs torch libm) amplified by
         # t*freq at t=999 -> ~6e-5; genuinely at fp32 limits.
         np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+class TestUtils:
+    def test_seed_and_count(self):
+        from stablediffusioneo_tpu.utils import count_params, seed_everything
+
+        key = seed_everything(42)
+        assert key.shape == (2,)
+        assert count_params({"a": np.zeros((3, 4)), "b": np.zeros(5)}) == 17
+
+    def test_txt_as_img(self):
+        from stablediffusioneo_tpu.utils import log_txt_as_img
+
+        out = log_txt_as_img((128, 64), ["a bird", "another longer caption that wraps"])
+        assert out.shape == (2, 64, 128, 3)
+        assert out.min() < 255  # something was drawn
+
+    def test_nan_guards(self):
+        import jax.numpy as jnp
+
+        from stablediffusioneo_tpu.utils import assert_finite, nan_report
+
+        good = {"x": jnp.ones((2, 2))}
+        assert nan_report(good) == []
+        assert_finite(good)
+        bad = {"x": jnp.asarray([1.0, np.nan])}
+        assert nan_report(bad)
+        with pytest.raises(AssertionError):
+            assert_finite(bad, "bad")

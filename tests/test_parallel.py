@@ -1,0 +1,112 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU mesh: dp-sharded
+inference equals unsharded; tp-sharded params produce the same outputs;
+train step runs sharded (the dryrun path, in-suite)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from stablediffusioneo_tpu.config import tiny_pipeline
+from stablediffusioneo_tpu.models import init_controlnet, init_unet
+from stablediffusioneo_tpu.parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    shard_params,
+)
+
+CFG = tiny_pipeline()
+
+
+@pytest.fixture(scope="module")
+def mesh_and_params():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(dp=4, tp=2)
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    up = init_unet(ks[0], CFG.unet)
+    cp = init_controlnet(ks[1], CFG.controlnet)
+    return mesh, up, cp
+
+
+class TestShardedInference:
+    def test_dp_tp_sampler_matches_unsharded(self, rng, mesh_and_params):
+        from stablediffusioneo_tpu.pipeline.ddim import ddim_sample_scan
+        from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+
+        mesh, up, cp = mesh_and_params
+        sched = DiffusionSchedule().ddim(2)
+        b = 4
+        x_T = rng.standard_normal((b, 8, 8, 4), dtype=np.float32)
+        hint = rng.random((b, 64, 64, 3), dtype=np.float32)
+        ctx = rng.standard_normal((b, 5, CFG.unet.context_dim), dtype=np.float32)
+        args = dict(
+            scale=jnp.asarray(9.0), key=jax.random.PRNGKey(0),
+            control_scales=jnp.ones(5, jnp.float32),
+        )
+
+        ref = np.asarray(
+            ddim_sample_scan(
+                up, cp, CFG.controlnet, sched, jnp.asarray(x_T),
+                jnp.asarray(hint), jnp.asarray(ctx), jnp.asarray(ctx), **args,
+            )
+        )
+
+        up_s = shard_params(up, mesh)
+        cp_s = shard_params(cp, mesh)
+        with mesh:
+            out = ddim_sample_scan(
+                up_s, cp_s, CFG.controlnet, sched,
+                jax.device_put(x_T, data_sharding(mesh, 4)),
+                jax.device_put(hint, data_sharding(mesh, 4)),
+                jax.device_put(ctx, data_sharding(mesh, 3)),
+                jax.device_put(ctx, data_sharding(mesh, 3)),
+                **args,
+            )
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+    def test_tp_param_shardings_applied(self, mesh_and_params):
+        mesh, up, _ = mesh_and_params
+        up_s = shard_params(up, mesh)
+        # an attention projection must be tp-sharded...
+        blk = next(b for b in up_s["input_blocks"] if "attn" in b)
+        wq = blk["attn"]["blocks"][0]["attn1"]["wq"]["w"]
+        assert wq.sharding.spec == P(None, "tp")
+        # ...and conv kernels replicated
+        conv = up_s["input_blocks"][0]["conv"]["w"]
+        assert conv.sharding.spec in (P(), P(None, None, None, None))
+
+
+class TestRemat:
+    def test_train_step_with_remat(self, rng, mesh_and_params):
+        """Gradients identical with rematerialization on."""
+        from stablediffusioneo_tpu.ops.dispatch import set_kernels
+        from stablediffusioneo_tpu.training.trainer import (
+            diffusion_loss, make_schedule_buffers,
+        )
+
+        _, up, cp = mesh_and_params
+        sqrt_a, sqrt_1ma = make_schedule_buffers(CFG)
+        batch = {
+            "x0": jnp.asarray(rng.standard_normal((2, 8, 8, 4), dtype=np.float32)),
+            "hint": jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32)),
+            "ctx": jnp.asarray(rng.standard_normal((2, 5, CFG.unet.context_dim), dtype=np.float32)),
+        }
+        t = jnp.asarray([100, 700], jnp.int32)
+        noise = jnp.asarray(rng.standard_normal((2, 8, 8, 4), dtype=np.float32))
+
+        def loss_fn(cparams):
+            return diffusion_loss(
+                cparams, up, CFG, sqrt_a, sqrt_1ma,
+                batch["x0"], batch["hint"], batch["ctx"], t, noise,
+            )
+
+        g_ref = jax.grad(loss_fn)(cp)
+        set_kernels(remat=True)
+        try:
+            g_remat = jax.grad(loss_fn)(cp)
+        finally:
+            set_kernels(remat=False)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_remat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)

@@ -107,3 +107,96 @@ class TestScoring:
         res = h.run([img], [img])
         assert res["mean_pd"] == 0.0
         assert res["mean_score"] > 0
+
+
+class TestInceptionV3:
+    def _random_sd(self):
+        rng = np.random.default_rng(0)
+        sd = {}
+
+        def conv(name, cout, cin, kh, kw=None):
+            kw = kw if kw is not None else kh
+            sd[f"{name}.conv.weight"] = (
+                rng.standard_normal((cout, cin, kh, kw)).astype(np.float32) * 0.05
+            )
+            sd[f"{name}.bn.weight"] = np.ones(cout, np.float32)
+            sd[f"{name}.bn.bias"] = np.zeros(cout, np.float32)
+            sd[f"{name}.bn.running_mean"] = np.zeros(cout, np.float32)
+            sd[f"{name}.bn.running_var"] = np.ones(cout, np.float32)
+
+        conv("Conv2d_1a_3x3", 32, 3, 3)
+        conv("Conv2d_2a_3x3", 32, 32, 3)
+        conv("Conv2d_2b_3x3", 64, 32, 3)
+        conv("Conv2d_3b_1x1", 80, 64, 1)
+        conv("Conv2d_4a_3x3", 192, 80, 3)
+        cin = 192
+        for name, pool_f in [("Mixed_5b", 32), ("Mixed_5c", 64), ("Mixed_5d", 64)]:
+            conv(f"{name}.branch1x1", 64, cin, 1)
+            conv(f"{name}.branch5x5_1", 48, cin, 1)
+            conv(f"{name}.branch5x5_2", 64, 48, 5)
+            conv(f"{name}.branch3x3dbl_1", 64, cin, 1)
+            conv(f"{name}.branch3x3dbl_2", 96, 64, 3)
+            conv(f"{name}.branch3x3dbl_3", 96, 96, 3)
+            conv(f"{name}.branch_pool", pool_f, cin, 1)
+            cin = 64 + 64 + 96 + pool_f
+        conv("Mixed_6a.branch3x3", 384, cin, 3)
+        conv("Mixed_6a.branch3x3dbl_1", 64, cin, 1)
+        conv("Mixed_6a.branch3x3dbl_2", 96, 64, 3)
+        conv("Mixed_6a.branch3x3dbl_3", 96, 96, 3)
+        cin = 384 + 96 + cin  # 768
+        for name, c7 in [("Mixed_6b", 128), ("Mixed_6c", 160),
+                         ("Mixed_6d", 160), ("Mixed_6e", 192)]:
+            conv(f"{name}.branch1x1", 192, cin, 1)
+            conv(f"{name}.branch7x7_1", c7, cin, 1)
+            conv(f"{name}.branch7x7_2", c7, c7, 1, 7)
+            conv(f"{name}.branch7x7_3", 192, c7, 7, 1)
+            conv(f"{name}.branch7x7dbl_1", c7, cin, 1)
+            conv(f"{name}.branch7x7dbl_2", c7, c7, 7, 1)
+            conv(f"{name}.branch7x7dbl_3", c7, c7, 1, 7)
+            conv(f"{name}.branch7x7dbl_4", c7, c7, 7, 1)
+            conv(f"{name}.branch7x7dbl_5", 192, c7, 1, 7)
+            conv(f"{name}.branch_pool", 192, cin, 1)
+        conv("Mixed_7a.branch3x3_1", 192, cin, 1)
+        conv("Mixed_7a.branch3x3_2", 320, 192, 3)
+        conv("Mixed_7a.branch7x7x3_1", 192, cin, 1)
+        conv("Mixed_7a.branch7x7x3_2", 192, 192, 1, 7)
+        conv("Mixed_7a.branch7x7x3_3", 192, 192, 7, 1)
+        conv("Mixed_7a.branch7x7x3_4", 192, 192, 3)
+        cin = 320 + 192 + cin  # 1280
+        for name in ("Mixed_7b", "Mixed_7c"):
+            conv(f"{name}.branch1x1", 320, cin, 1)
+            conv(f"{name}.branch3x3_1", 384, cin, 1)
+            conv(f"{name}.branch3x3_2a", 384, 384, 1, 3)
+            conv(f"{name}.branch3x3_2b", 384, 384, 3, 1)
+            conv(f"{name}.branch3x3dbl_1", 448, cin, 1)
+            conv(f"{name}.branch3x3dbl_2", 384, 448, 3)
+            conv(f"{name}.branch3x3dbl_3a", 384, 384, 1, 3)
+            conv(f"{name}.branch3x3dbl_3b", 384, 384, 3, 1)
+            conv(f"{name}.branch_pool", 192, cin, 1)
+            cin = 320 + 768 + 768 + 192  # 2048
+        return sd
+
+    def test_features_shape(self, rng):
+        import jax.numpy as jnp
+
+        from stablediffusioneo_tpu.scoring.inception import (
+            convert_inception, inception_features,
+        )
+
+        params = convert_inception(self._random_sd())
+        x = jnp.asarray(rng.standard_normal((1, 128, 128, 3), dtype=np.float32))
+        feats = inception_features(params, x)
+        assert feats.shape == (1, 2048)
+        assert np.isfinite(np.asarray(feats)).all()
+
+    def test_extractor_in_harness(self, rng):
+        from stablediffusioneo_tpu.scoring import perceptual_distance
+        from stablediffusioneo_tpu.scoring.inception import (
+            InceptionFeatureExtractor, convert_inception,
+        )
+
+        ext = InceptionFeatureExtractor(params=convert_inception(self._random_sd()))
+        a = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        assert perceptual_distance(a, a, ext) == 0.0
+        b = 255 - a
+        assert perceptual_distance(a, b, ext) > 0
