@@ -15,7 +15,11 @@ from typing import Dict
 import jax
 
 _FLAGS: Dict[str, bool] = {
-    "groupnorm": os.environ.get("SDEO_DISABLE_PALLAS", "0") != "1",
+    # OFF by default: the fused GN kernel wins in isolated micro-benches
+    # (0.60 vs 0.66 ms chained) but LOSES ~5% e2e — the custom call blocks
+    # XLA's fusion of the norm into surrounding elementwise ops. Enable via
+    # set_kernels(groupnorm=True) / SDEO_FORCE_GN_PALLAS=1 for experiments.
+    "groupnorm": os.environ.get("SDEO_FORCE_GN_PALLAS", "0") == "1",
     "flash_attention": os.environ.get("SDEO_DISABLE_PALLAS", "0") != "1",
     # rematerialize UNet blocks under grad (training memory <-> +compute);
     # off for inference (no residuals are stored anyway)

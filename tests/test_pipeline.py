@@ -130,3 +130,33 @@ class TestMultiAnnotator:
                            ddim_steps=1, seed=1)
         assert out[0].shape == (64, 64, 3)  # HED map HWC3-normalized
         assert out[1].dtype == np.uint8
+
+
+class TestHackathonShim:
+    def test_reference_surface(self, tiny_params, rng):
+        from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
+        from stablediffusioneo_tpu.pipeline.hackathon import hackathon
+
+        hk = hackathon(tiny_params, toy_tokenizer(max_length=CFG.clip.max_length), CFG)
+        hk.initialize()
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        # the reference's exact 14-positional-arg call (compute_score.py:48-61)
+        out = hk.process(img, "a bird", "best quality, extremely detailed",
+                         "longbody, lowres", 1, 64, 1, False, 1.0, 9.0,
+                         2946901, 0.0, 100, 200)
+        assert len(out) == 1
+        assert out[0].dtype == np.uint8 and out[0].shape == (64, 64, 3)
+
+
+class TestPipelineSnapshot:
+    def test_save_load_roundtrip(self, tiny_params, tmp_path):
+        import jax
+
+        from stablediffusioneo_tpu.checkpoint.store import load_pipeline, save_pipeline
+
+        path = str(tmp_path / "snap")
+        save_pipeline(path, tiny_params)
+        like = jax.tree.map(np.asarray, tiny_params)
+        restored = load_pipeline(path, like)
+        for a, b in zip(jax.tree.leaves(tiny_params), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
