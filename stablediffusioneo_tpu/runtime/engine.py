@@ -242,7 +242,8 @@ class CNSDRuntime:
             img = jnp.clip(img.astype(jnp.float32) * 127.5 + 127.5, 0, 255)
             return img.astype(jnp.uint8)
 
-        eng = Engine(run, name=f"decoder_b{batch}_{h}x{w}", donate_argnums=(1,))
+        # no donation: the latent is tiny and users may decode it twice
+        eng = Engine(run, name=f"decoder_b{batch}_{h}x{w}")
         f = self.cfg.vae.downsample_factor
         z = jax.ShapeDtypeStruct((batch, h // f, w // f, 4), self.dtype)
         params_abs = jax.tree.map(
