@@ -98,6 +98,7 @@ class Canny2ImagePipeline:
         low_threshold: int = 100,
         high_threshold: int = 200,
         x_T: Optional[np.ndarray] = None,
+        sampler: str = "ddim",
     ) -> List[np.ndarray]:
         """Returns [detected_map] + generated uint8 HWC images
         (canny2image gradio convention)."""
@@ -145,6 +146,7 @@ class Canny2ImagePipeline:
             strength=strength,
             eta=eta,
             guess_mode=guess_mode,
+            sampler=sampler,
         )
         # hard device sync so the sample/decode timing split is honest
         # (block_until_ready can return early on tunneled backends)

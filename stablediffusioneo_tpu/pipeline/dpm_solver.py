@@ -1,0 +1,107 @@
+"""DPM-Solver++(2M) sampler — a second, faster-converging sampler.
+
+Beyond-reference feature (the reference ships DDIM only): DPM-Solver++
+multistep (Lu et al. 2022) reaches DDIM-50-step quality in ~15-20 steps.
+Implemented in the same TPU shape as pipeline/ddim.py: the whole loop is
+one `lax.scan` with CFG batched, per-step constants stacked as scan inputs,
+and the ControlNet hint embedding hoisted out of the loop.
+
+VP-SDE notation: alpha_t = sqrt(abar_t), sigma_t = sqrt(1-abar_t),
+lambda_t = log(alpha_t / sigma_t). Second-order multistep update (data
+prediction / "++" variant):
+
+    h   = lambda_{i+1} - lambda_i
+    r   = h_prev / h
+    D   = (1 + 1/(2r)) * x0_i - (1/(2r)) * x0_{i-1}     (first step: D = x0_i)
+    x_{i+1} = (sigma_{i+1}/sigma_i) * x_i - alpha_{i+1} * expm1(-h) * D
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stablediffusioneo_tpu.config import ControlNetConfig
+from stablediffusioneo_tpu.models.controlnet import hint_block_apply
+from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+from stablediffusioneo_tpu.pipeline.ddim import _cfg_eval
+
+
+def dpmpp_schedule(
+    schedule: DiffusionSchedule, num_steps: int
+) -> Dict[str, np.ndarray]:
+    """Per-step (t, alpha, sigma, lambda) in SAMPLING order, plus the final
+    target (t -> 0 endpoint uses the last diffusion step's abar)."""
+    abar = schedule.alphas_cumprod
+    # timesteps descending from T-1 to ~0, inclusive endpoints
+    ts = np.linspace(schedule.num_timesteps - 1, 0, num_steps + 1).round().astype(int)
+    a = np.sqrt(abar[ts]).astype(np.float32)         # alpha_t, len steps+1
+    s = np.sqrt(1.0 - abar[ts]).astype(np.float32)   # sigma_t
+    lam = np.log(np.maximum(a, 1e-12) / np.maximum(s, 1e-12)).astype(np.float32)
+    return {
+        "t": ts[:-1].astype(np.float32),      # model eval times
+        "alpha_cur": a[:-1], "sigma_cur": s[:-1], "lambda_cur": lam[:-1],
+        "alpha_next": a[1:], "sigma_next": s[1:], "lambda_next": lam[1:],
+        "step_idx": np.arange(num_steps, dtype=np.int32),
+    }
+
+
+def dpmpp_sample_scan(
+    unet_params,
+    controlnet_params,
+    cfg: ControlNetConfig,
+    sched: Dict[str, np.ndarray],
+    x_T: jax.Array,
+    hint: jax.Array,
+    ctx_cond: jax.Array,
+    ctx_uncond: jax.Array,
+    scale: jax.Array,
+    control_scales: jax.Array,
+    guess_mode: bool = False,
+    parameterization: str = "eps",
+) -> jax.Array:
+    """DPM-Solver++(2M) loop. Deterministic (the ++ sampler is ODE-based)."""
+    guided_hint = hint_block_apply(
+        controlnet_params["input_hint_block"], hint.astype(x_T.dtype)
+    )
+    consts = jax.tree.map(jnp.asarray, sched)
+
+    def x0_from_model(x, t, alpha, sigma):
+        b = x.shape[0]
+        tb = jnp.full((b,), t, jnp.float32)
+        e_c, e_u = _cfg_eval(
+            unet_params, controlnet_params, cfg, x, guided_hint, tb,
+            ctx_cond, ctx_uncond, control_scales, guess_mode,
+        )
+        m = (e_u + scale.astype(x.dtype) * (e_c - e_u)).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        if parameterization == "v":
+            return alpha * xf - sigma * m
+        return (xf - sigma * m) / alpha
+
+    def body(carry, per_step):
+        x, prev_x0, prev_lam, have_prev = carry
+        a_c, s_c, l_c = per_step["alpha_cur"], per_step["sigma_cur"], per_step["lambda_cur"]
+        a_n, s_n, l_n = per_step["alpha_next"], per_step["sigma_next"], per_step["lambda_next"]
+        x0 = x0_from_model(x, per_step["t"], a_c, s_c)
+        h = l_n - l_c
+        h_prev = l_c - prev_lam
+        r = h_prev / jnp.maximum(h, 1e-12)
+        coeff = 1.0 / (2.0 * jnp.maximum(r, 1e-12))
+        d_multi = (1.0 + coeff) * x0 - coeff * prev_x0
+        d = jnp.where(have_prev > 0, d_multi, x0)
+        xf = x.astype(jnp.float32)
+        x_next = (s_n / s_c) * xf - a_n * jnp.expm1(-h) * d
+        return (x_next.astype(x.dtype), x0, l_c, jnp.ones((), jnp.int32)), ()
+
+    init = (
+        x_T,
+        jnp.zeros_like(x_T, jnp.float32),
+        jnp.zeros((), jnp.float32),
+        jnp.zeros((), jnp.int32),
+    )
+    (x, _, _, _), _ = jax.lax.scan(body, init, consts)
+    return x

@@ -168,8 +168,21 @@ class CNSDRuntime:
 
     # ------------------------------------------------------------- engines
 
-    def _sampler_fn(self, num_steps: int, guess_mode: bool):
+    def _sampler_fn(self, num_steps: int, guess_mode: bool, sampler: str):
         cfg = self.cfg
+
+        if sampler == "dpmpp":
+            from stablediffusioneo_tpu.pipeline.dpm_solver import dpmpp_sample_scan
+
+            def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale, cscales, key):
+                return dpmpp_sample_scan(
+                    unet_p, ctrl_p, cfg.controlnet, sched,
+                    x_T, hint, ctx_c, ctx_u, scale, cscales,
+                    guess_mode=guess_mode,
+                    parameterization=cfg.diffusion.parameterization,
+                )
+
+            return run
 
         def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale, cscales, key):
             return ddim_sample_scan(
@@ -181,19 +194,27 @@ class CNSDRuntime:
 
         return run
 
+    def _make_schedule(self, num_steps: int, sampler: str, eta: float = 0.0):
+        if sampler == "dpmpp":
+            from stablediffusioneo_tpu.pipeline.dpm_solver import dpmpp_schedule
+
+            return dpmpp_schedule(self.schedule, num_steps)
+        return self.schedule.ddim(num_steps, eta=eta)
+
     def sampler_engine(
-        self, num_steps: int, batch: int, h: int, w: int, guess_mode: bool = False
+        self, num_steps: int, batch: int, h: int, w: int,
+        guess_mode: bool = False, sampler: str = "ddim",
     ) -> Engine:
         """Compiled denoise loop for (steps, batch, HxW). H,W are image-space
-        (latent is H/8 x W/8)."""
-        key_t = ("sampler", num_steps, batch, h, w, guess_mode)
+        (latent is H/8 x W/8). sampler: "ddim" | "dpmpp"."""
+        key_t = ("sampler", sampler, num_steps, batch, h, w, guess_mode)
         if key_t in self._engines:
             return self._engines[key_t]
-        fn = self._sampler_fn(num_steps, guess_mode)
-        eng = Engine(fn, name=f"sampler_{num_steps}x{batch}x{h}x{w}"
+        fn = self._sampler_fn(num_steps, guess_mode, sampler)
+        eng = Engine(fn, name=f"{sampler}_{num_steps}x{batch}x{h}x{w}"
                      + ("_guess" if guess_mode else ""),
                      donate_argnums=(3,))  # donate x_T
-        sched = self.schedule.ddim(num_steps)
+        sched = self._make_schedule(num_steps, sampler)
         sched_abs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in sched.items()}
         f = self.cfg.vae.downsample_factor
         lat = jax.ShapeDtypeStruct((batch, h // f, w // f, 4), self.dtype)
@@ -293,11 +314,12 @@ class CNSDRuntime:
         strength: float = 1.0,
         eta: float = 0.0,
         guess_mode: bool = False,
+        sampler: str = "ddim",
     ) -> jax.Array:
         b, lh, lw, _ = x_T.shape
         f = self.cfg.vae.downsample_factor
-        eng = self.sampler_engine(num_steps, b, lh * f, lw * f, guess_mode)
-        sched = self.schedule.ddim(num_steps, eta=eta)
+        eng = self.sampler_engine(num_steps, b, lh * f, lw * f, guess_mode, sampler)
+        sched = self._make_schedule(num_steps, sampler, eta=eta)
         sched = {k: jnp.asarray(v) for k, v in sched.items()}
         if guess_mode:
             from stablediffusioneo_tpu.models.controlnet import guess_mode_scales
