@@ -28,7 +28,8 @@ from stablediffusioneo_tpu.training.trainer import (
 
 
 def save_checkpoint(path: str, state: TrainState) -> None:
-    """Orbax checkpoint of the ControlNet train state (the TPU-native analog
+    """Orbax checkpoint of the full ControlNet train state — params AND
+    optimizer moments, so training resumes exactly (the TPU-native analog
     of the torch .pth save in export_onnx_all.py:173-181 and mmcv's
     runner/checkpoint.py)."""
     import orbax.checkpoint as ocp
@@ -36,7 +37,11 @@ def save_checkpoint(path: str, state: TrainState) -> None:
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(
         os.path.abspath(path),
-        {"params": state.params, "step": np.asarray(state.step)},
+        {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+        },
         force=True,
     )
     ckptr.wait_until_finished()
@@ -48,11 +53,15 @@ def restore_checkpoint(path: str, like_state: TrainState) -> TrainState:
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(
         os.path.abspath(path),
-        {"params": like_state.params, "step": np.asarray(like_state.step)},
+        {
+            "params": like_state.params,
+            "opt_state": like_state.opt_state,
+            "step": np.asarray(like_state.step),
+        },
     )
     return TrainState(
         params=restored["params"],
-        opt_state=like_state.opt_state,
+        opt_state=restored["opt_state"],
         step=jax.numpy.asarray(restored["step"]),
     )
 

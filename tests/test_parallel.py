@@ -110,3 +110,43 @@ class TestRemat:
             set_kernels(remat=False)
         for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_remat)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+class TestCheckpointResume:
+    def test_save_restore_roundtrip(self, tmp_path, rng):
+        """Full train-state checkpoint/resume (params + optimizer moments)."""
+        from stablediffusioneo_tpu.training.loop import (
+            restore_checkpoint, save_checkpoint,
+        )
+        from stablediffusioneo_tpu.training.trainer import (
+            TrainState, create_train_state, make_schedule_buffers, train_step,
+        )
+
+        ks = jax.random.split(jax.random.PRNGKey(3), 2)
+        up = init_unet(ks[0], CFG.unet)
+        cp = init_controlnet(ks[1], CFG.controlnet)
+        state, tx = create_train_state(cp, learning_rate=1e-3)
+        sqrt_a, sqrt_1ma = make_schedule_buffers(CFG)
+        batch = {
+            "x0": jnp.asarray(rng.standard_normal((2, 8, 8, 4), dtype=np.float32)),
+            "hint": jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32)),
+            "ctx": jnp.asarray(rng.standard_normal((2, 5, CFG.unet.context_dim), dtype=np.float32)),
+        }
+        # one step so optimizer moments are non-trivial
+        state, _ = train_step(state, tx, up, CFG, sqrt_a, sqrt_1ma, batch,
+                              jax.random.PRNGKey(0))
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, state)
+        fresh, _ = create_train_state(cp, learning_rate=1e-3)
+        restored = restore_checkpoint(path, fresh)
+        assert int(restored.step) == 1
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # resumed state steps identically to the original
+        s1, l1 = train_step(state, tx, up, CFG, sqrt_a, sqrt_1ma, batch,
+                            jax.random.PRNGKey(0))
+        s2, l2 = train_step(restored, tx, up, CFG, sqrt_a, sqrt_1ma, batch,
+                            jax.random.PRNGKey(0))
+        np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
