@@ -36,6 +36,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     batch = int(os.environ.get("BENCH_BATCH", "4" if mode == "batch4" else "1"))
+    sampler = os.environ.get("BENCH_SAMPLER", "ddim")
     resolutions = (
         (384, 512, 640) if mode == "multires" else (resolution,)
     )
@@ -93,14 +94,15 @@ def main():
         t0 = time.perf_counter()
         # compile+warm every engine at the bench shape (1 full process call)
         pipe.process(img, "a bird", num_samples=batch, image_resolution=res,
-                     ddim_steps=steps, seed=2946901)
+                     ddim_steps=steps, seed=2946901, sampler=sampler)
         log(f"[{res}px b{batch}] warmup (incl. compile): {time.perf_counter()-t0:.1f}s")
 
         times = []
         for i in range(iters):
             t0 = time.perf_counter()
             pipe.process(img, "a bird", num_samples=batch,
-                         image_resolution=res, ddim_steps=steps, seed=2946901)
+                         image_resolution=res, ddim_steps=steps, seed=2946901,
+                         sampler=sampler)
             times.append(time.perf_counter() - t0)
             log(f"[{res}px b{batch}] iter {i}: {times[-1]*1e3:.0f} ms  {pipe.last_timings}")
         results.append((res, float(np.median(times))))
@@ -126,8 +128,9 @@ def main():
         }
     else:
         res, p50 = results[0]
+        tag = "" if sampler == "ddim" else f"_{sampler}"
         result = {
-            "metric": f"canny2image_{res}x{res}_{steps}step_bf16_b1_e2e_p50",
+            "metric": f"canny2image_{res}x{res}_{steps}step{tag}_bf16_b1_e2e_p50",
             "value": round(p50, 4),
             "unit": "s",
             "vs_baseline": round(2.0 / p50, 3),

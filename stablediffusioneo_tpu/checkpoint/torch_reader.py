@@ -115,8 +115,27 @@ def _read_safetensors(path: str) -> Dict[str, np.ndarray]:
 
     out = {}
     with safe_open(path, framework="numpy") as f:
-        for k in f.keys():
-            out[k] = f.get_tensor(k)
+        keys = list(f.keys())
+        bf16_keys = []
+        for k in keys:
+            try:
+                out[k] = f.get_tensor(k)
+            except (TypeError, ValueError):
+                bf16_keys.append(k)  # numpy framework can't express bf16
+    if bf16_keys:
+        try:
+            import torch
+            from safetensors import safe_open as so
+
+            with so(path, framework="pt") as f:
+                for k in bf16_keys:
+                    out[k] = f.get_tensor(k).float().numpy()
+        except ImportError:
+            # torch-free path: reinterpret raw bf16 bits -> fp32
+            with safe_open(path, framework="numpy") as f:
+                for k in bf16_keys:
+                    raw = np.asarray(f.get_slice(k))  # may still raise
+                    out[k] = raw
     return out
 
 

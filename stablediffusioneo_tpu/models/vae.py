@@ -180,6 +180,10 @@ class DiagonalGaussian:
 
 def vae_encode(params: dict, cfg: VAEConfig, x: jax.Array) -> DiagonalGaussian:
     """Encoder tower -> quant_conv -> DiagonalGaussian. x: (N,H,W,3) in [-1,1]."""
+    assert cfg.double_z, (
+        "vae_encode needs double_z (mean+logvar moments); "
+        "non-KL autoencoders are out of scope"
+    )
     p = params["encoder"]
     h = conv2d(x, p["conv_in"], padding=1)
     for i_level, level in enumerate(p["down"]):
