@@ -64,6 +64,13 @@ def _spec_for_path(path: Tuple[str, ...], ndim: int) -> P:
     parent = names[-2] if len(names) >= 2 else ""
     gparent = names[-3] if len(names) >= 3 else ""
 
+    # TP rules target LINEAR projections only; conv kernels (4D, e.g. the
+    # VAE's conv-attention q/k/v) stay replicated.
+    if leaf == "w" and ndim != 2:
+        return P()
+    if leaf == "b" and ndim != 1:
+        return P()
+
     # attention projections (UNet transformer blocks + CLIP layers)
     if leaf == "w":
         if parent in ("wq", "wk", "wv") or parent in ("q", "k", "v"):

@@ -141,24 +141,33 @@ class CNSDRuntime:
         cfg: PipelineConfig,
         persistent_cache: bool = True,
         cache_dir: Optional[str] = None,
+        mesh=None,
     ):
+        """mesh: optional jax.sharding.Mesh (from parallel.make_mesh) for
+        multi-chip serving — params get tp shardings, batches shard over dp
+        (GSPMD inserts the ICI collectives). None = single-chip."""
         if persistent_cache:
             enable_persistent_cache(cache_dir)
         self.cfg = cfg
+        self.mesh = mesh
         self.dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
         # Params are stored in the compute dtype: weights stream from HBM
         # every denoise step, and the bf16 pipeline is HBM-bound — fp32
         # storage would double that traffic. Norm statistics still happen in
         # fp32 (ops/norms.py casts internally), so bf16 gamma/beta only
         # costs ~0.4% rounding, well inside the reference's fp16 envelope.
-        self.params = jax.device_put(
-            jax.tree.map(
-                lambda x: x.astype(self.dtype)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32
-                else x,
-                params,
-            )
+        cast = jax.tree.map(
+            lambda x: x.astype(self.dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            params,
         )
+        if mesh is not None:
+            from stablediffusioneo_tpu.parallel.mesh import shard_params
+
+            self.params = shard_params(cast, mesh)
+        else:
+            self.params = jax.device_put(cast)
         d = cfg.diffusion
         self.schedule = DiffusionSchedule(
             d.timesteps, d.linear_start, d.linear_end, d.schedule
@@ -228,7 +237,9 @@ class CNSDRuntime:
         params_abs = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (self.params["unet"], self.params["controlnet"])
         )
-        eng.load(params_abs[0], params_abs[1], sched_abs, lat, hint, ctx, ctx, scale, cscales, key)
+        if self.mesh is None:
+            eng.load(params_abs[0], params_abs[1], sched_abs, lat, hint, ctx, ctx, scale, cscales, key)
+        # mesh mode: defer to on-demand jit so GSPMD specializes on shardings
         self._engines[key_t] = eng
         return eng
 
@@ -247,7 +258,9 @@ class CNSDRuntime:
         params_abs = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params["clip"]
         )
-        eng.load(params_abs, ids)
+        if self.mesh is None:
+            eng.load(params_abs, ids)
+        # mesh mode: defer to on-demand jit so GSPMD specializes on shardings
         self._engines[key_t] = eng
         return eng
 
@@ -270,7 +283,9 @@ class CNSDRuntime:
         params_abs = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params["vae"]
         )
-        eng.load(params_abs, z)
+        if self.mesh is None:
+            eng.load(params_abs, z)
+        # mesh mode: defer to on-demand jit so GSPMD specializes on shardings
         self._engines[key_t] = eng
         return eng
 
@@ -293,14 +308,28 @@ class CNSDRuntime:
         params_abs = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params["vae"]
         )
-        eng.load(params_abs, img, key)
+        if self.mesh is None:
+            eng.load(params_abs, img, key)
+        # mesh mode: defer to on-demand jit so GSPMD specializes on shardings
         self._engines[key_t] = eng
         return eng
 
     # ----------------------------------------------------------- user API
 
+    def _put_batch(self, x, ndim=None):
+        """device_put with dp batch sharding when a mesh is configured."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from stablediffusioneo_tpu.parallel.mesh import data_sharding
+
+        nd = ndim if ndim is not None else np.ndim(x)
+        return jax.device_put(np.asarray(x) if not hasattr(x, "sharding") else x,
+                              data_sharding(self.mesh, nd))
+
     def encode_prompt(self, ids: np.ndarray) -> jax.Array:
-        return self.clip_engine(ids.shape[0])(self.params["clip"], jnp.asarray(ids))
+        return self.clip_engine(ids.shape[0])(
+            self.params["clip"], self._put_batch(jnp.asarray(ids))
+        )
 
     def sample(
         self,
@@ -329,8 +358,10 @@ class CNSDRuntime:
             cscales = jnp.full((self.n_taps,), strength, jnp.float32)
         return eng(
             self.params["unet"], self.params["controlnet"], sched,
-            x_T.astype(self.dtype), hint.astype(self.dtype),
-            ctx_cond.astype(self.dtype), ctx_uncond.astype(self.dtype),
+            self._put_batch(x_T.astype(self.dtype)),
+            self._put_batch(hint.astype(self.dtype)),
+            self._put_batch(ctx_cond.astype(self.dtype)),
+            self._put_batch(ctx_uncond.astype(self.dtype)),
             jnp.asarray(guidance_scale, jnp.float32), cscales, key,
         )
 
@@ -338,12 +369,30 @@ class CNSDRuntime:
         b, lh, lw, _ = z.shape
         f = self.cfg.vae.downsample_factor
         eng = self.decoder_engine(b, lh * f, lw * f)
-        return np.asarray(eng(self.params["vae"], z.astype(self.dtype)))
+        return np.asarray(eng(self.params["vae"], self._put_batch(z.astype(self.dtype))))
 
     def encode_image(self, img: jax.Array, key: jax.Array) -> jax.Array:
         b, h, w, _ = img.shape
         eng = self.encoder_engine(b, h, w)
         return eng(self.params["vae"], img.astype(self.dtype), key)
+
+    def report(self) -> str:
+        """Engine census: one line per compiled engine with FLOPs/memory
+        (the get_engine_infor introspection, aggregated — the trtexec
+        --dumpProfile analog at engine granularity)."""
+        lines = []
+        for key_t, eng in sorted(self._engines.items(), key=str):
+            info = eng.get_engine_infor()
+            if info.get("compiled"):
+                fl = info.get("flops") or 0
+                mem = info.get("memory", {}).get("temp_bytes") or 0
+                lines.append(
+                    f"{eng.name}: compile {info['compile_seconds']:.1f}s, "
+                    f"{fl/1e9:.1f} GFLOP, temp {mem/1e6:.0f} MB"
+                )
+            else:
+                lines.append(f"{eng.name}: on-demand jit")
+        return "\n".join(lines)
 
     def warmup(self, resolution: int = 256, num_steps: int = 1, batch: int = 1):
         """Boot-time self-test, mirroring hackathon.warm_up

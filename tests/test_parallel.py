@@ -150,3 +150,29 @@ class TestCheckpointResume:
         s2, l2 = train_step(restored, tx, up, CFG, sqrt_a, sqrt_1ma, batch,
                             jax.random.PRNGKey(0))
         np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+class TestMeshRuntime:
+    def test_runtime_on_mesh(self, rng, mesh_and_params):
+        """CNSDRuntime(mesh=...) end to end on the virtual mesh."""
+        from stablediffusioneo_tpu.models import init_clip_text, init_vae
+        from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
+
+        mesh, up, cp = mesh_and_params
+        ks = jax.random.split(jax.random.PRNGKey(9), 2)
+        params = {
+            "unet": up, "controlnet": cp,
+            "vae": init_vae(ks[0], CFG.vae),
+            "clip": init_clip_text(ks[1], CFG.clip),
+        }
+        rt = CNSDRuntime(params, CFG, persistent_cache=False, mesh=mesh)
+        ids = np.zeros((4, CFG.clip.max_length), np.int32)
+        ctx = rt.encode_prompt(ids)
+        x_T = jnp.asarray(rng.standard_normal((4, 8, 8, 4), dtype=np.float32))
+        hint = jnp.asarray(rng.random((4, 64, 64, 3), dtype=np.float32))
+        z = rt.sample(1, x_T, hint, ctx, ctx, jax.random.PRNGKey(0))
+        imgs = rt.decode_latent(z)
+        assert imgs.shape == (4, 64, 64, 3) and imgs.dtype == np.uint8
+        # params actually sharded over tp
+        blk = next(b for b in rt.params["unet"]["input_blocks"] if "attn" in b)
+        assert "tp" in str(blk["attn"]["blocks"][0]["attn1"]["wq"]["w"].sharding.spec)
