@@ -37,6 +37,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     batch = int(os.environ.get("BENCH_BATCH", "4" if mode == "batch4" else "1"))
     sampler = os.environ.get("BENCH_SAMPLER", "ddim")
+    enc_cache = int(os.environ.get("BENCH_ENC_CACHE", "1"))
     resolutions = (
         (384, 512, 640) if mode == "multires" else (resolution,)
     )
@@ -94,7 +95,8 @@ def main():
         t0 = time.perf_counter()
         # compile+warm every engine at the bench shape (1 full process call)
         pipe.process(img, "a bird", num_samples=batch, image_resolution=res,
-                     ddim_steps=steps, seed=2946901, sampler=sampler)
+                     ddim_steps=steps, seed=2946901, sampler=sampler,
+                     encoder_cache_interval=enc_cache)
         log(f"[{res}px b{batch}] warmup (incl. compile): {time.perf_counter()-t0:.1f}s")
 
         times = []
@@ -102,7 +104,7 @@ def main():
             t0 = time.perf_counter()
             pipe.process(img, "a bird", num_samples=batch,
                          image_resolution=res, ddim_steps=steps, seed=2946901,
-                         sampler=sampler)
+                         sampler=sampler, encoder_cache_interval=enc_cache)
             times.append(time.perf_counter() - t0)
             log(f"[{res}px b{batch}] iter {i}: {times[-1]*1e3:.0f} ms  {pipe.last_timings}")
         results.append((res, float(np.median(times))))
@@ -129,6 +131,8 @@ def main():
     else:
         res, p50 = results[0]
         tag = "" if sampler == "ddim" else f"_{sampler}"
+        if enc_cache > 1:
+            tag += f"_enccache{enc_cache}"
         result = {
             "metric": f"canny2image_{res}x{res}_{steps}step{tag}_bf16_b1_e2e_p50",
             "value": round(p50, 4),

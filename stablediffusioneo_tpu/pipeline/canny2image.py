@@ -99,6 +99,7 @@ class Canny2ImagePipeline:
         high_threshold: int = 200,
         x_T: Optional[np.ndarray] = None,
         sampler: str = "ddim",
+        encoder_cache_interval: int = 1,
     ) -> List[np.ndarray]:
         """Returns [detected_map] + generated uint8 HWC images
         (canny2image gradio convention)."""
@@ -147,6 +148,7 @@ class Canny2ImagePipeline:
             eta=eta,
             guess_mode=guess_mode,
             sampler=sampler,
+            encoder_cache_interval=encoder_cache_interval,
         )
         # hard device sync so the sample/decode timing split is honest
         # (block_until_ready can return early on tunneled backends)

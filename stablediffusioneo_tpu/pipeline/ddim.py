@@ -151,10 +151,18 @@ def ddim_sample_scan(
     guess_mode: bool = False,
     temperature: float = 1.0,
     parameterization: str = "eps",
+    encoder_cache_interval: int = 1,
 ) -> jax.Array:
     """Full DDIM sampling loop as one lax.scan. Returns x_0 latents.
 
     schedule: dict from DiffusionSchedule.ddim() (already in sampling order).
+
+    encoder_cache_interval > 1 enables encoder-feature caching ("Faster
+    Diffusion", Li et al. 2023, arXiv:2312.09608): the UNet encoder +
+    ControlNet run only on key steps; in between, the cached (control-
+    merged) skip features are reused and only the decoder runs with the
+    fresh timestep embedding. Training-free acceleration with a small
+    fidelity cost — off by default, not supported in guess mode.
     """
     from stablediffusioneo_tpu.models.controlnet import hint_block_apply
 
@@ -174,6 +182,13 @@ def ddim_sample_scan(
         jnp.arange(n_steps, dtype=jnp.int32),
     )
 
+    if encoder_cache_interval > 1 and not guess_mode:
+        return _ddim_scan_enc_cached(
+            unet_params, controlnet_params, cfg, consts, n_steps, x_T,
+            guided_hint, ctx_cond, ctx_uncond, scale, control_scales, key,
+            temperature, parameterization, encoder_cache_interval,
+        )
+
     def body(x, per_step):
         x_next, _ = ddim_scan_step(
             unet_params, controlnet_params, cfg, guess_mode, temperature,
@@ -183,6 +198,93 @@ def ddim_sample_scan(
         return x_next, ()
 
     x0, _ = jax.lax.scan(body, x_T, consts)
+    return x0
+
+
+def _ddim_update(x, model_out, per_step, key, temperature, parameterization):
+    """The p_sample_ddim state update, shared by all scan variants."""
+    t, a_t, a_prev, sigma_t, sqrt_1m_at, step_idx = per_step
+    xf = x.astype(jnp.float32)
+    mf = model_out.astype(jnp.float32)
+    sqrt_at = jnp.sqrt(a_t)
+    if parameterization == "v":
+        ef = sqrt_at * mf + sqrt_1m_at * xf
+        pred_x0 = sqrt_at * xf - sqrt_1m_at * mf
+    else:
+        ef = mf
+        pred_x0 = (xf - sqrt_1m_at * ef) / sqrt_at
+    dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * ef
+    noise_key = jax.random.fold_in(key, step_idx.astype(jnp.int32))
+    noise = sigma_t * jax.random.normal(noise_key, xf.shape, jnp.float32) * temperature
+    return (jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise).astype(x.dtype)
+
+
+def _ddim_scan_enc_cached(
+    unet_params, controlnet_params, cfg, consts, n_steps, x_T,
+    guided_hint, ctx_cond, ctx_uncond, scale, control_scales, key,
+    temperature, parameterization, interval,
+):
+    """Encoder-cached DDIM loop (arXiv:2312.09608): key steps run
+    ControlNet + full UNet and refresh the cached control-merged features;
+    non-key steps run ONLY the UNet decoder on the cache with the fresh
+    timestep embedding. The last two steps always run full."""
+    from stablediffusioneo_tpu.models.controlnet import controlnet_apply
+    from stablediffusioneo_tpu.models.unet import (
+        _embed_timesteps, unet_decode, unet_encode, unet_middle, unet_out,
+    )
+
+    ucfg = cfg.unet
+    b = x_T.shape[0]
+    x2_T = jnp.concatenate([x_T, x_T], axis=0)
+    gh2 = jnp.concatenate([guided_hint, guided_hint], axis=0)
+    ctx2 = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
+
+    run_full = np.zeros(n_steps, bool)
+    run_full[::interval] = True
+    run_full[-2:] = True
+    consts = consts + (jnp.asarray(run_full),)
+
+    def full_parts(x2, t2):
+        emb = _embed_timesteps(unet_params, ucfg, t2, x2.dtype)
+        ctrl = controlnet_apply(
+            controlnet_params, cfg, x2, None, t2, ctx2, guided_hint=gh2
+        )
+        ctrl = [c * control_scales[i].astype(c.dtype) for i, c in enumerate(ctrl)]
+        h, hs = unet_encode(unet_params, ucfg, x2, emb, ctx2)
+        h = unet_middle(unet_params, ucfg, h, emb, ctx2) + ctrl[-1].astype(x2.dtype)
+        merged = [s + c.astype(s.dtype) for s, c in zip(hs, ctrl[:-1])]
+        return h, merged
+
+    def decode_eps(h, merged, t2):
+        emb = _embed_timesteps(unet_params, ucfg, t2, h.dtype)
+        out = unet_decode(unet_params, ucfg, h, merged, emb, ctx2)
+        return unet_out(unet_params, ucfg, out)
+
+    # initialize the cache with a throwaway full pass at t0 shapes
+    t0 = jnp.full((2 * b,), consts[0][0], jnp.float32)
+    cache0 = full_parts(x2_T, t0)
+
+    def body(carry, per_step_all):
+        x, cache = carry
+        per_step, is_full = per_step_all[:-1], per_step_all[-1]
+        t2 = jnp.full((2 * b,), per_step[0], jnp.float32)
+        x2 = jnp.concatenate([x, x], axis=0)
+
+        def do_full(_):
+            return full_parts(x2, t2)
+
+        def do_cached(c):
+            return c
+
+        cache = jax.lax.cond(is_full, do_full, do_cached, cache)
+        eps2 = decode_eps(cache[0], cache[1], t2)
+        e_cond, e_uncond = eps2[:b], eps2[b:]
+        model_out = e_uncond + scale.astype(x.dtype) * (e_cond - e_uncond)
+        x_next = _ddim_update(x, model_out, per_step, key, temperature,
+                              parameterization)
+        return (x_next, cache), ()
+
+    (x0, _), _ = jax.lax.scan(body, (x_T, cache0), consts)
     return x0
 
 

@@ -177,7 +177,8 @@ class CNSDRuntime:
 
     # ------------------------------------------------------------- engines
 
-    def _sampler_fn(self, num_steps: int, guess_mode: bool, sampler: str):
+    def _sampler_fn(self, num_steps: int, guess_mode: bool, sampler: str,
+                    encoder_cache_interval: int = 1):
         cfg = self.cfg
 
         if sampler == "dpmpp":
@@ -199,6 +200,7 @@ class CNSDRuntime:
                 x_T, hint, ctx_c, ctx_u, scale, cscales, key,
                 guess_mode=guess_mode,
                 parameterization=cfg.diffusion.parameterization,
+                encoder_cache_interval=encoder_cache_interval,
             )
 
         return run
@@ -213,13 +215,16 @@ class CNSDRuntime:
     def sampler_engine(
         self, num_steps: int, batch: int, h: int, w: int,
         guess_mode: bool = False, sampler: str = "ddim",
+        encoder_cache_interval: int = 1,
     ) -> Engine:
         """Compiled denoise loop for (steps, batch, HxW). H,W are image-space
         (latent is H/8 x W/8). sampler: "ddim" | "dpmpp"."""
-        key_t = ("sampler", sampler, num_steps, batch, h, w, guess_mode)
+        key_t = ("sampler", sampler, num_steps, batch, h, w, guess_mode,
+                 encoder_cache_interval)
         if key_t in self._engines:
             return self._engines[key_t]
-        fn = self._sampler_fn(num_steps, guess_mode, sampler)
+        fn = self._sampler_fn(num_steps, guess_mode, sampler,
+                              encoder_cache_interval)
         eng = Engine(fn, name=f"{sampler}_{num_steps}x{batch}x{h}x{w}"
                      + ("_guess" if guess_mode else ""),
                      donate_argnums=(3,))  # donate x_T
@@ -344,10 +349,12 @@ class CNSDRuntime:
         eta: float = 0.0,
         guess_mode: bool = False,
         sampler: str = "ddim",
+        encoder_cache_interval: int = 1,
     ) -> jax.Array:
         b, lh, lw, _ = x_T.shape
         f = self.cfg.vae.downsample_factor
-        eng = self.sampler_engine(num_steps, b, lh * f, lw * f, guess_mode, sampler)
+        eng = self.sampler_engine(num_steps, b, lh * f, lw * f, guess_mode,
+                                  sampler, encoder_cache_interval)
         sched = self._make_schedule(num_steps, sampler, eta=eta)
         sched = {k: jnp.asarray(v) for k, v in sched.items()}
         if guess_mode:

@@ -85,3 +85,42 @@ class TestDPMpp:
         b = pipe.process(img, "a bird", sampler="dpmpp", **kwargs)[1]
         np.testing.assert_array_equal(a, b)  # ODE sampler: deterministic
         assert a.dtype == np.uint8
+
+
+class TestEncoderCache:
+    def _setup(self, rng):
+        ks = jax.random.split(jax.random.PRNGKey(0), 2)
+        up = init_unet(ks[0], CFG.unet)
+        cp = init_controlnet(ks[1], CFG.controlnet)
+        x_T = jnp.asarray(rng.standard_normal((1, 8, 8, 4), dtype=np.float32))
+        hint = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+        ctx = jnp.asarray(rng.standard_normal((1, 5, CFG.unet.context_dim), dtype=np.float32))
+        return up, cp, x_T, hint, ctx
+
+    def test_all_full_steps_match_baseline(self, rng):
+        """With every step a key step, the cached variant must reproduce
+        the plain scan exactly (validates the encode/middle/decode split)."""
+        from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+        from stablediffusioneo_tpu.pipeline.ddim import ddim_sample_scan
+
+        up, cp, x_T, hint, ctx = self._setup(rng)
+        sched = DiffusionSchedule().ddim(2)
+        args = (up, cp, CFG.controlnet, sched, x_T, hint, ctx, ctx,
+                jnp.asarray(9.0), jnp.ones(5, jnp.float32), jax.random.PRNGKey(0))
+        base = np.asarray(ddim_sample_scan(*args))
+        # 2 steps + interval 2: run_full = [True, True] (last-2 rule)
+        cached = np.asarray(ddim_sample_scan(*args, encoder_cache_interval=2))
+        np.testing.assert_allclose(cached, base, rtol=1e-5, atol=1e-5)
+
+    def test_cached_steps_run(self, rng):
+        from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+        from stablediffusioneo_tpu.pipeline.ddim import ddim_sample_scan
+
+        up, cp, x_T, hint, ctx = self._setup(rng)
+        sched = DiffusionSchedule().ddim(6)
+        args = (up, cp, CFG.controlnet, sched, x_T, hint, ctx, ctx,
+                jnp.asarray(9.0), jnp.ones(5, jnp.float32), jax.random.PRNGKey(0))
+        base = np.asarray(ddim_sample_scan(*args))
+        fast = np.asarray(ddim_sample_scan(*args, encoder_cache_interval=3))
+        assert np.isfinite(fast).all()
+        assert fast.shape == base.shape
