@@ -262,15 +262,30 @@ class MidasDetector:
     """Drop-in MidasDetector (annotator/midas/__init__.py:13-42):
     uint8 HWC in -> (depth uint8, normal uint8)."""
 
-    def __init__(self, params: Optional[Dict] = None, ckpt_path: Optional[str] = None):
+    def __init__(
+        self,
+        params: Optional[Dict] = None,
+        ckpt_path: Optional[str] = None,
+        model_type: str = "dpt_large",
+    ):
+        """model_type: "dpt_large" (ViT-L/16) or "dpt_hybrid" (ResNetV2+ViT-B,
+        the reference's default — annotators/midas_hybrid.py)."""
+        apply_fn = dpt_apply
+        convert_fn = convert_dpt
+        if model_type == "dpt_hybrid":
+            from stablediffusioneo_tpu.annotators.midas_hybrid import (
+                convert_dpt_hybrid, dpt_hybrid_apply,
+            )
+
+            apply_fn, convert_fn = dpt_hybrid_apply, convert_dpt_hybrid
         if params is None and ckpt_path is not None:
             from stablediffusioneo_tpu.checkpoint.torch_reader import (
                 load_torch_state_dict,
             )
 
-            params = convert_dpt(load_torch_state_dict(ckpt_path))
+            params = convert_fn(load_torch_state_dict(ckpt_path))
         self.params = params
-        self._apply = jax.jit(dpt_apply)
+        self._apply = jax.jit(apply_fn)
 
     def __call__(self, input_image: np.ndarray, a: float = np.pi * 2.0,
                  bg_th: float = 0.1) -> Tuple[np.ndarray, np.ndarray]:

@@ -246,3 +246,78 @@ class TestUniformer:
         seg = det(img)
         assert seg.shape == (48, 64, 3)
         assert seg.dtype == np.uint8
+
+
+class TestDPTHybrid:
+    def test_convert_and_apply(self):
+        """Structural: generated timm-named state dict -> depth map."""
+        import stablediffusioneo_tpu.annotators.midas_hybrid as mh
+
+        rng = np.random.default_rng(0)
+        sd = {}
+
+        def conv(name, cout, cin, k, bias=False):
+            sd[f"{name}.weight"] = rng.standard_normal((cout, cin, k, k)).astype(np.float32) * 0.03
+            if bias:
+                sd[f"{name}.bias"] = np.zeros(cout, np.float32)
+
+        def lin(name, cout, cin):
+            sd[f"{name}.weight"] = rng.standard_normal((cout, cin)).astype(np.float32) * 0.03
+            sd[f"{name}.bias"] = np.zeros(cout, np.float32)
+
+        def norm(name, c):
+            sd[f"{name}.weight"] = np.ones(c, np.float32)
+            sd[f"{name}.bias"] = np.zeros(c, np.float32)
+
+        vm = "pretrained.model."
+        bb = f"{vm}patch_embed.backbone."
+        conv(f"{bb}stem.conv", 64, 3, 7)
+        norm(f"{bb}stem.norm", 64)
+        cin = 64
+        for si, (nb, cout, mid) in enumerate(
+            zip(mh.STAGE_BLOCKS, mh.STAGE_OUT, mh.STAGE_MID)
+        ):
+            for bi in range(nb):
+                base = f"{bb}stages.{si}.blocks.{bi}"
+                bin_ = cin if bi == 0 else cout
+                norm(f"{base}.norm1", bin_)
+                conv(f"{base}.conv1", mid, bin_, 1)
+                norm(f"{base}.norm2", mid)
+                conv(f"{base}.conv2", mid, mid, 3)
+                norm(f"{base}.norm3", mid)
+                conv(f"{base}.conv3", cout, mid, 1)
+                if bi == 0:
+                    conv(f"{base}.downsample.conv", cout, bin_, 1)
+            cin = cout
+        C = 768
+        conv(f"{vm}patch_embed.proj", C, 1024, 1, bias=True)
+        sd[f"{vm}cls_token"] = np.zeros((1, 1, C), np.float32)
+        sd[f"{vm}pos_embed"] = rng.standard_normal((1, 1 + 4, C)).astype(np.float32) * 0.01
+        for i in range(12):
+            norm(f"{vm}blocks.{i}.norm1", C)
+            lin(f"{vm}blocks.{i}.attn.qkv", 3 * C, C)
+            lin(f"{vm}blocks.{i}.attn.proj", C, C)
+            norm(f"{vm}blocks.{i}.norm2", C)
+            lin(f"{vm}blocks.{i}.mlp.fc1", 4 * C, C)
+            lin(f"{vm}blocks.{i}.mlp.fc2", C, 4 * C)
+        for i, ch in ((3, 768), (4, 768)):
+            lin(f"pretrained.act_postprocess{i}.0.project.0", C, 2 * C)
+            conv(f"pretrained.act_postprocess{i}.3", ch, C, 1, bias=True)
+        conv("pretrained.act_postprocess4.4", 768, 768, 3, bias=True)
+        for i, ch in ((1, 256), (2, 512), (3, 768), (4, 768)):
+            conv(f"scratch.layer{i}_rn", 32, ch, 3)
+        for i in range(1, 5):
+            base = f"scratch.refinenet{i}"
+            for u in (1, 2):
+                conv(f"{base}.resConfUnit{u}.conv1", 32, 32, 3, bias=True)
+                conv(f"{base}.resConfUnit{u}.conv2", 32, 32, 3, bias=True)
+            conv(f"{base}.out_conv", 32, 32, 1, bias=True)
+        conv("scratch.output_conv.0", 16, 32, 3, bias=True)
+        conv("scratch.output_conv.2", 8, 16, 3, bias=True)
+        conv("scratch.output_conv.4", 1, 8, 1, bias=True)
+
+        params = mh.convert_dpt_hybrid(sd)
+        x = jnp.zeros((1, 64, 64, 3))
+        depth = mh.dpt_hybrid_apply(params, x)
+        assert depth.shape == (1, 64, 64)
+        assert np.isfinite(np.asarray(depth)).all()
