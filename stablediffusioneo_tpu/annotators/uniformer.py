@@ -173,6 +173,23 @@ def _resize_to(x, h, w):
     return jax.image.resize(x, (n, h, w, c), method="bilinear")
 
 
+def _adaptive_avg_pool(x, bins: int):
+    """Exact torch AdaptiveAvgPool2d semantics: cell (i, j) averages rows
+    [floor(i*h/b), ceil((i+1)*h/b)). Static shapes -> plain Python loops."""
+    import math
+
+    n, h, w, c = x.shape
+    rows = []
+    for i in range(bins):
+        r0, r1 = (i * h) // bins, math.ceil((i + 1) * h / bins)
+        cols = []
+        for j in range(bins):
+            c0, c1 = (j * w) // bins, math.ceil((j + 1) * w / bins)
+            cols.append(jnp.mean(x[:, r0:r1, c0:c1, :], axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)  # (N, bins, bins, C)
+
+
 def upernet_apply(params: Dict, feats: List[jax.Array]) -> jax.Array:
     """4 stage features -> (N, H/4, W/4, num_classes) logits."""
     f4 = feats[3]
@@ -180,7 +197,7 @@ def upernet_apply(params: Dict, feats: List[jax.Array]) -> jax.Array:
     # pyramid pooling over the last stage
     pooled = [f4]
     for bins, p in zip((1, 2, 3, 6), params["ppm"]):
-        g = jax.image.resize(f4, (n, bins, bins, f4.shape[-1]), method="linear")
+        g = _adaptive_avg_pool(f4, bins)
         g = jax.nn.relu(conv2d(g, p, padding=0))
         pooled.append(_resize_to(g, h4, w4))
     top = jax.nn.relu(
@@ -247,3 +264,115 @@ class UniformerDetector:
         seg = logits[0].argmax(-1).astype(np.int32)
         seg = cv2.resize(seg, (w, h), interpolation=cv2.INTER_NEAREST)
         return self.palette[seg]
+
+
+# ----------------------------------------------------------------- convert
+
+
+def _fold_bn_conv(sd, name, dtype=None, eps=1e-5):
+    """mmseg ConvModule (conv + BN + relu) -> single conv, BN folded."""
+    w = sd[f"{name}.conv.weight"]
+    g = sd[f"{name}.bn.weight"]
+    b = sd[f"{name}.bn.bias"]
+    mean = sd[f"{name}.bn.running_mean"]
+    var = sd[f"{name}.bn.running_var"]
+    scale = g / np.sqrt(var + eps)
+    wf = np.transpose(w * scale[:, None, None, None], (2, 3, 1, 0))
+    return {"w": jnp.asarray(wf, dtype), "b": jnp.asarray(b - mean * scale, dtype)}
+
+
+def convert_uniformer_upernet(sd, dtype=None):
+    """Map the upstream `upernet_global_small.pth` state dict (mmseg naming:
+    backbone.* UniFormer-S, decode_head.* UperNet) onto this module's tree.
+
+    BatchNorms fold into the neighboring affine/conv (inference-only); the
+    backbone's CBlock BNs become the pre-mixer/pre-MLP scale-shift pairs.
+    Validated structurally with generated state dicts; numeric parity needs
+    the upstream checkpoint (zero-egress environment).
+    """
+
+    def cw(name):
+        p = {"w": jnp.asarray(np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0)), dtype)}
+        if f"{name}.bias" in sd:
+            p["b"] = jnp.asarray(sd[f"{name}.bias"], dtype)
+        return p
+
+    def dw(name):  # depthwise conv: torch (C,1,k,k) -> HWIO (k,k,1,C)
+        w = np.transpose(sd[f"{name}.weight"], (2, 3, 1, 0))
+        return {"w": jnp.asarray(w, dtype), "b": jnp.asarray(sd[f"{name}.bias"], dtype)}
+
+    def lw(name):
+        return {
+            "w": jnp.asarray(np.transpose(sd[f"{name}.weight"]), dtype),
+            "b": jnp.asarray(sd[f"{name}.bias"], dtype),
+        }
+
+    def ln(name):
+        return {
+            "g": jnp.asarray(sd[f"{name}.weight"], dtype),
+            "b": jnp.asarray(sd[f"{name}.bias"], dtype),
+        }
+
+    def bn(name, eps=1e-5):
+        g = sd[f"{name}.weight"]
+        b = sd[f"{name}.bias"]
+        mean = sd[f"{name}.running_mean"]
+        var = sd[f"{name}.running_var"]
+        scale = g / np.sqrt(var + eps)
+        return {"g": jnp.asarray(scale, dtype), "b": jnp.asarray(b - mean * scale, dtype)}
+
+    bb = "backbone."
+    backbone: Dict = {"stages": []}
+    for si in range(4):
+        n_blocks = DEPTHS[si]
+        stage = {
+            "patch_embed": cw(f"{bb}patch_embed{si + 1}.proj"),
+            "patch_norm": ln(f"{bb}patch_embed{si + 1}.norm"),
+            "blocks": [],
+        }
+        for bi in range(n_blocks):
+            base = f"{bb}blocks{si + 1}.{bi}"
+            if si < 2:  # CBlock: conv mixer, BN norms
+                stage["blocks"].append({
+                    "pos": dw(f"{base}.pos_embed"),
+                    "norm1": bn(f"{base}.norm1"),
+                    "mix_in": cw(f"{base}.conv1"),
+                    "mix_dw": dw(f"{base}.attn"),
+                    "mix_out": cw(f"{base}.conv2"),
+                    "norm2": bn(f"{base}.norm2"),
+                    "mlp1": cw(f"{base}.mlp.fc1"),
+                    "mlp2": cw(f"{base}.mlp.fc2"),
+                })
+            else:  # SABlock: LN + MHSA + MLP (linear weights)
+                stage["blocks"].append({
+                    "pos": dw(f"{base}.pos_embed"),
+                    "norm1": ln(f"{base}.norm1"),
+                    "qkv": lw(f"{base}.attn.qkv"),
+                    "proj": lw(f"{base}.attn.proj"),
+                    "norm2": ln(f"{base}.norm2"),
+                    "fc1": lw(f"{base}.mlp.fc1"),
+                    "fc2": lw(f"{base}.mlp.fc2"),
+                })
+        backbone["stages"].append(stage)
+
+    dh = "decode_head."
+    head = {
+        "ppm": [
+            _fold_bn_conv(sd, f"{dh}psp_modules.{i}.1", dtype) for i in range(4)
+        ],
+        "bottleneck": _fold_bn_conv(sd, f"{dh}bottleneck", dtype),
+        "laterals": [
+            _fold_bn_conv(sd, f"{dh}lateral_convs.{i}", dtype) for i in range(3)
+        ],
+        "fpn_convs": [
+            _fold_bn_conv(sd, f"{dh}fpn_convs.{i}", dtype) for i in range(3)
+        ],
+        "fusion": _fold_bn_conv(sd, f"{dh}fpn_bottleneck", dtype),
+        "classifier": {
+            "w": jnp.asarray(
+                np.transpose(sd[f"{dh}conv_seg.weight"], (2, 3, 1, 0)), dtype
+            ),
+            "b": jnp.asarray(sd[f"{dh}conv_seg.bias"], dtype),
+        },
+    }
+    return {"backbone": backbone, "decode_head": head}

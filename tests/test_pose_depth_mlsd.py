@@ -321,3 +321,74 @@ class TestDPTHybrid:
         depth = mh.dpt_hybrid_apply(params, x)
         assert depth.shape == (1, 64, 64)
         assert np.isfinite(np.asarray(depth)).all()
+
+    def test_convert_uniformer_upernet(self):
+        """Structural: generated mmseg-named state dict -> seg logits."""
+        import stablediffusioneo_tpu.annotators.uniformer as uf
+
+        rng = np.random.default_rng(1)
+        sd = {}
+
+        def conv(name, cout, cin, k, groups=1, bias=True):
+            sd[f"{name}.weight"] = rng.standard_normal(
+                (cout, cin // groups, k, k)).astype(np.float32) * 0.03
+            if bias:
+                sd[f"{name}.bias"] = np.zeros(cout, np.float32)
+
+        def lin(name, cout, cin):
+            sd[f"{name}.weight"] = rng.standard_normal((cout, cin)).astype(np.float32) * 0.03
+            sd[f"{name}.bias"] = np.zeros(cout, np.float32)
+
+        def norm(name, c):
+            sd[f"{name}.weight"] = np.ones(c, np.float32)
+            sd[f"{name}.bias"] = np.zeros(c, np.float32)
+
+        def bnorm(name, c):
+            norm(name, c)
+            sd[f"{name}.running_mean"] = np.zeros(c, np.float32)
+            sd[f"{name}.running_var"] = np.ones(c, np.float32)
+
+        def convmodule(name, cout, cin, k):
+            conv(f"{name}.conv", cout, cin, k, bias=False)
+            bnorm(f"{name}.bn", cout)
+
+        bb = "backbone."
+        cin = 3
+        for si, (depth, dim) in enumerate(zip(uf.DEPTHS, uf.DIMS)):
+            k = 4 if si == 0 else 2
+            conv(f"{bb}patch_embed{si + 1}.proj", dim, cin, k)
+            norm(f"{bb}patch_embed{si + 1}.norm", dim)
+            for bi in range(depth):
+                base = f"{bb}blocks{si + 1}.{bi}"
+                conv(f"{base}.pos_embed", dim, dim, 3, groups=dim)
+                if si < 2:
+                    bnorm(f"{base}.norm1", dim)
+                    conv(f"{base}.conv1", dim, dim, 1)
+                    conv(f"{base}.attn", dim, dim, 5, groups=dim)
+                    conv(f"{base}.conv2", dim, dim, 1)
+                    bnorm(f"{base}.norm2", dim)
+                    conv(f"{base}.mlp.fc1", 4 * dim, dim, 1)
+                    conv(f"{base}.mlp.fc2", dim, 4 * dim, 1)
+                else:
+                    norm(f"{base}.norm1", dim)
+                    lin(f"{base}.attn.qkv", 3 * dim, dim)
+                    lin(f"{base}.attn.proj", dim, dim)
+                    norm(f"{base}.norm2", dim)
+                    lin(f"{base}.mlp.fc1", 4 * dim, dim)
+                    lin(f"{base}.mlp.fc2", dim, 4 * dim)
+            cin = dim
+        dh = "decode_head."
+        for i in range(4):
+            convmodule(f"{dh}psp_modules.{i}.1", uf.UPER_CH, uf.DIMS[-1], 1)
+        convmodule(f"{dh}bottleneck", uf.UPER_CH, uf.DIMS[-1] + 4 * uf.UPER_CH, 3)
+        for i in range(3):
+            convmodule(f"{dh}lateral_convs.{i}", uf.UPER_CH, uf.DIMS[i], 1)
+            convmodule(f"{dh}fpn_convs.{i}", uf.UPER_CH, uf.UPER_CH, 3)
+        convmodule(f"{dh}fpn_bottleneck", uf.UPER_CH, 4 * uf.UPER_CH, 3)
+        conv(f"{dh}conv_seg", uf.NUM_CLASSES, uf.UPER_CH, 1)
+
+        params = uf.convert_uniformer_upernet(sd)
+        feats = uf.uniformer_apply(params["backbone"], jnp.zeros((1, 64, 64, 3)))
+        logits = uf.upernet_apply(params["decode_head"], feats)
+        assert logits.shape == (1, 16, 16, uf.NUM_CLASSES)
+        assert np.isfinite(np.asarray(logits)).all()
