@@ -113,10 +113,26 @@ def tiny_mlsd_apply(params: Dict, x: jax.Array) -> jax.Array:
 
 
 class MLSDdetector:
-    """Drop-in MLSDdetector (annotator/mlsd/__init__.py:21-44)."""
+    """Drop-in MLSDdetector (annotator/mlsd/__init__.py:21-44).
 
-    def __init__(self, model_fn: Optional[Callable] = None):
-        if model_fn is None:
+    With ckpt_path (upstream `mlsd_large_512_fp32.pth`), runs the full
+    MobileV2-MLSD-Large net (annotators/mlsd_net.py); otherwise the tiny
+    contract net (flow tests)."""
+
+    def __init__(self, model_fn: Optional[Callable] = None,
+                 ckpt_path: Optional[str] = None):
+        if model_fn is None and ckpt_path is not None:
+            from stablediffusioneo_tpu.annotators.mlsd_net import (
+                convert_mlsd_large, mlsd_large_apply,
+            )
+            from stablediffusioneo_tpu.checkpoint.torch_reader import (
+                load_torch_state_dict,
+            )
+
+            params = convert_mlsd_large(load_torch_state_dict(ckpt_path))
+            jitted = jax.jit(mlsd_large_apply)
+            model_fn = lambda x: jitted(params, jnp.asarray(x))
+        elif model_fn is None:
             params = init_tiny_mlsd(jax.random.PRNGKey(0))
             jitted = jax.jit(tiny_mlsd_apply)
             model_fn = lambda x: jitted(params, jnp.asarray(x))

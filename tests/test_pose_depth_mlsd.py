@@ -392,3 +392,118 @@ class TestDPTHybrid:
         logits = uf.upernet_apply(params["decode_head"], feats)
         assert logits.shape == (1, 16, 16, uf.NUM_CLASSES)
         assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestMLSDNet:
+    def test_convert_and_apply(self):
+        """Structural: generated upstream-named state dict -> 16-ch tpMap."""
+        import stablediffusioneo_tpu.annotators.mlsd_net as mn
+
+        rng = np.random.default_rng(2)
+        sd = {}
+
+        def conv(name, cout, cin, k, bias=False):
+            sd[f"{name}.weight"] = rng.standard_normal((cout, cin, k, k)).astype(np.float32) * 0.03
+            if bias:
+                sd[f"{name}.bias"] = np.zeros(cout, np.float32)
+
+        def bn(name, c):
+            sd[f"{name}.weight"] = np.ones(c, np.float32)
+            sd[f"{name}.bias"] = np.zeros(c, np.float32)
+            sd[f"{name}.running_mean"] = np.zeros(c, np.float32)
+            sd[f"{name}.running_var"] = np.ones(c, np.float32)
+
+        fb = "backbone.features"
+        conv(f"{fb}.0.0", 32, 4, 3); bn(f"{fb}.0.1", 32)
+        cin, idx = 32, 1
+        for t, c, n, s in mn._MBV2_CFG:
+            for i in range(n):
+                base = f"{fb}.{idx}.conv"
+                hidden = cin * t
+                off = 0
+                if t != 1:
+                    conv(f"{base}.0.0", hidden, cin, 1); bn(f"{base}.0.1", hidden)
+                    off = 1
+                conv(f"{base}.{off}.0", hidden, 1, 3); bn(f"{base}.{off}.1", hidden)
+                conv(f"{base}.{off + 1}", c, hidden, 1); bn(f"{base}.{off + 2}", c)
+                cin = c
+                idx += 1
+        # decoder blocks: A(deep conv1, shallow conv2) and B(fuse)
+        for blk, (c_sh, c_dp) in zip((15, 17, 19, 21), ((64, 96), (32, 64), (24, 64), (16, 64))):
+            conv(f"block{blk}.conv1.0", 64, c_dp, 1); bn(f"block{blk}.conv1.1", 64)
+            conv(f"block{blk}.conv2.0", 64, c_sh, 1); bn(f"block{blk}.conv2.1", 64)
+        for blk in (16, 18, 20, 22):
+            conv(f"block{blk}.conv1.0", 64, 128, 3); bn(f"block{blk}.conv1.1", 64)
+            conv(f"block{blk}.conv2.0", 64, 64, 3); bn(f"block{blk}.conv2.1", 64)
+        conv("block23.conv1.0", 64, 64, 3); bn("block23.conv1.1", 64)
+        conv("block23.conv2.0", 64, 64, 3); bn("block23.conv2.1", 64)
+        conv("block23.conv3", 16, 64, 1, bias=True)
+
+        params = mn.convert_mlsd_large(sd)
+        x = jnp.zeros((1, 64, 64, 4))
+        tp = mn.mlsd_large_apply(params, x)
+        assert tp.shape == (1, 32, 32, 16)
+        assert np.isfinite(np.asarray(tp)).all()
+
+    def test_detector_with_full_net(self, rng, tmp_path):
+        """pred_lines consumes the full net's tpMap via the detector path."""
+        import stablediffusioneo_tpu.annotators.mlsd_net as mn
+        from stablediffusioneo_tpu.annotators.mlsd import pred_lines
+
+        # random-weight full net honoring the contract
+        # (reuse the generated sd from the structural test)
+        t = TestMLSDNet()
+        # rebuild params inline
+        import io, contextlib
+        # simpler: call convert via the same generation
+        # — generate again:
+        self_test = TestMLSDNet()
+        # generate sd by calling the structural body up to convert:
+        # (duplicated generation kept inline for clarity)
+        # Run pred_lines with the jitted net
+        import jax as _jax
+        params = None
+        # regenerate
+        def gen():
+            rng2 = np.random.default_rng(2)
+            sd = {}
+            def conv(name, cout, cin, k, bias=False):
+                sd[f"{name}.weight"] = rng2.standard_normal((cout, cin, k, k)).astype(np.float32) * 0.03
+                if bias:
+                    sd[f"{name}.bias"] = np.zeros(cout, np.float32)
+            def bn(name, c):
+                sd[f"{name}.weight"] = np.ones(c, np.float32)
+                sd[f"{name}.bias"] = np.zeros(c, np.float32)
+                sd[f"{name}.running_mean"] = np.zeros(c, np.float32)
+                sd[f"{name}.running_var"] = np.ones(c, np.float32)
+            fb = "backbone.features"
+            conv(f"{fb}.0.0", 32, 4, 3); bn(f"{fb}.0.1", 32)
+            cin, idx = 32, 1
+            for t_, c, n, s in mn._MBV2_CFG:
+                for i in range(n):
+                    base = f"{fb}.{idx}.conv"
+                    hidden = cin * t_
+                    off = 0
+                    if t_ != 1:
+                        conv(f"{base}.0.0", hidden, cin, 1); bn(f"{base}.0.1", hidden)
+                        off = 1
+                    conv(f"{base}.{off}.0", hidden, 1, 3); bn(f"{base}.{off}.1", hidden)
+                    conv(f"{base}.{off + 1}", c, hidden, 1); bn(f"{base}.{off + 2}", c)
+                    cin = c
+                    idx += 1
+            for blk, (c_sh, c_dp) in zip((15, 17, 19, 21), ((64, 96), (32, 64), (24, 64), (16, 64))):
+                conv(f"block{blk}.conv1.0", 64, c_dp, 1); bn(f"block{blk}.conv1.1", 64)
+                conv(f"block{blk}.conv2.0", 64, c_sh, 1); bn(f"block{blk}.conv2.1", 64)
+            for blk in (16, 18, 20, 22):
+                conv(f"block{blk}.conv1.0", 64, 128, 3); bn(f"block{blk}.conv1.1", 64)
+                conv(f"block{blk}.conv2.0", 64, 64, 3); bn(f"block{blk}.conv2.1", 64)
+            conv("block23.conv1.0", 64, 64, 3); bn("block23.conv1.1", 64)
+            conv("block23.conv2.0", 64, 64, 3); bn("block23.conv2.1", 64)
+            conv("block23.conv3", 16, 64, 1, bias=True)
+            return sd
+        params = mn.convert_mlsd_large(gen())
+        jitted = _jax.jit(mn.mlsd_large_apply)
+        model_fn = lambda x: jitted(params, jnp.asarray(x))
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        lines = pred_lines(img, model_fn, (64, 64), score_thr=-1.0, dist_thr=0.0)
+        assert lines.ndim == 2 and lines.shape[1] == 4
