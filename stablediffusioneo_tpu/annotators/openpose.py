@@ -319,6 +319,81 @@ def assemble_people(
     return candidate, subset[keep]
 
 
+# -------------------------------------------------------------- hand decode
+
+# hand skeleton edges (public CMU 21-keypoint convention)
+HAND_EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 4), (0, 5), (5, 6), (6, 7), (7, 8),
+    (0, 9), (9, 10), (10, 11), (11, 12), (0, 13), (13, 14), (14, 15),
+    (15, 16), (0, 17), (17, 18), (18, 19), (19, 20),
+]
+
+
+def hand_detect(
+    candidate: np.ndarray, subset: np.ndarray, img_h: int, img_w: int
+) -> List[Tuple[int, int, int, bool]]:
+    """Derive square hand boxes from body keypoints (the openpose
+    handDetector.cpp recipe, mirrored by annotator/openpose/util.py
+    handDetect:94-156): box center = wrist + 0.33*(wrist - elbow), box
+    width = 1.5 * max(|wrist-elbow|, 0.9*|elbow-shoulder|), clipped to the
+    image; boxes under 20 px are dropped. Returns (x, y, w, is_left) with
+    (x, y) the top-left corner.
+
+    Keypoint trios: right arm = parts (2, 3, 4), left arm = (5, 6, 7)."""
+    ratio_wrist_elbow = 0.33
+    boxes = []
+    for person in subset.astype(int):
+        arms = []
+        if not np.any(person[[5, 6, 7]] == -1):  # left: shoulder/elbow/wrist
+            arms.append((person[5], person[6], person[7], True))
+        if not np.any(person[[2, 3, 4]] == -1):  # right
+            arms.append((person[2], person[3], person[4], False))
+        for sh, el, wr, is_left in arms:
+            x1, y1 = candidate[sh][:2]
+            x2, y2 = candidate[el][:2]
+            x3, y3 = candidate[wr][:2]
+            x = x3 + ratio_wrist_elbow * (x3 - x2)
+            y = y3 + ratio_wrist_elbow * (y3 - y2)
+            d_we = math.hypot(x3 - x2, y3 - y2)
+            d_es = math.hypot(x2 - x1, y2 - y1)
+            width = 1.5 * max(d_we, 0.9 * d_es)
+            x -= width / 2
+            y -= width / 2
+            x, y = max(x, 0.0), max(y, 0.0)
+            width = min(
+                width,
+                img_w - x if x + width > img_w else width,
+                img_h - y if y + width > img_h else width,
+            )
+            if width >= 20:
+                boxes.append((int(x), int(y), int(width), is_left))
+    return boxes
+
+
+def decode_hand_peaks(heatmap: np.ndarray, thresh: float = 0.05) -> np.ndarray:
+    """(h, w, 22) averaged hand heatmaps -> (21, 2) int [x, y] peaks in crop
+    coordinates; [0, 0] for parts below threshold. Mirrors hand.py:58-73:
+    smooth, keep the connected component with the largest total activation,
+    take its argmax."""
+    from scipy.ndimage import gaussian_filter, label as cc_label
+
+    peaks = np.zeros((21, 2), np.int64)
+    eight = np.ones((3, 3), np.int32)  # 8-connectivity (skimage ndim default)
+    for part in range(21):
+        m = heatmap[:, :, part].copy()
+        smoothed = gaussian_filter(m, sigma=3)
+        binary = smoothed > thresh
+        if not binary.any():
+            continue
+        labels, n = cc_label(binary, structure=eight)
+        sums = [m[labels == i].sum() for i in range(1, n + 1)]
+        best = int(np.argmax(sums)) + 1
+        m[labels != best] = 0
+        y, x = np.unravel_index(np.argmax(m), m.shape)
+        peaks[part] = (x, y)
+    return peaks
+
+
 # ------------------------------------------------------------------ drawing
 
 _BODY_COLORS = [
@@ -358,6 +433,28 @@ def draw_bodypose(canvas: np.ndarray, candidate: np.ndarray, subset: np.ndarray
     return canvas
 
 
+def draw_handpose(canvas: np.ndarray, all_hand_peaks: Sequence[np.ndarray]
+                  ) -> np.ndarray:
+    """Hand skeleton rendering (util.py draw_handpose:74-90): each of the 20
+    edges gets an HSV hue by edge index; every keypoint (including the [0,0]
+    sentinels — a reference quirk kept for parity) gets a red dot."""
+    import colorsys
+
+    for peaks in all_hand_peaks:
+        peaks = np.asarray(peaks)
+        for ie, (a, b) in enumerate(HAND_EDGES):
+            # skip if either endpoint is the [0, 0] "not found" sentinel
+            if np.all(peaks[a] == 0) or np.all(peaks[b] == 0):
+                continue
+            rgb = colorsys.hsv_to_rgb(ie / len(HAND_EDGES), 1.0, 1.0)
+            color = tuple(int(c * 255) for c in rgb)
+            cv2.line(canvas, (int(peaks[a][0]), int(peaks[a][1])),
+                     (int(peaks[b][0]), int(peaks[b][1])), color, thickness=2)
+        for x, y in peaks:
+            cv2.circle(canvas, (int(x), int(y)), 4, (0, 0, 255), thickness=-1)
+    return canvas
+
+
 # ----------------------------------------------------------------- detector
 
 
@@ -368,22 +465,35 @@ class OpenposeDetector:
     BOX_SIZE = 368
     STRIDE = 8
 
+    # hand-net multi-scale search (hand.py:27): crop is square, so scaled
+    # inputs are EXACTLY scale*368 px — four fixed compiled shapes, ever.
+    HAND_SCALES = (0.5, 1.0, 1.5, 2.0)
+
     def __init__(
         self,
         body_params: Optional[Dict] = None,
         body_ckpt: Optional[str] = None,
+        hand_params: Optional[Dict] = None,
+        hand_ckpt: Optional[str] = None,
     ):
+        from stablediffusioneo_tpu.checkpoint.torch_reader import (
+            load_torch_state_dict,
+        )
+
         if body_params is None:
             if body_ckpt is not None:
-                from stablediffusioneo_tpu.checkpoint.torch_reader import (
-                    load_torch_state_dict,
-                )
-
                 body_params = convert_body(load_torch_state_dict(body_ckpt))
             else:
                 body_params = init_body(jax.random.PRNGKey(0))
         self.body_params = body_params
+        if hand_params is None:
+            if hand_ckpt is not None:
+                hand_params = convert_hand(load_torch_state_dict(hand_ckpt))
+            else:
+                hand_params = init_hand(jax.random.PRNGKey(1))
+        self.hand_params = hand_params
         self._apply = jax.jit(body_apply)
+        self._hand_apply = jax.jit(hand_apply)
 
     def _infer_maps(self, img: np.ndarray, scales=(0.5,)) -> Tuple[np.ndarray, np.ndarray]:
         h, w = img.shape[:2]
@@ -412,11 +522,46 @@ class OpenposeDetector:
             paf_avg += up(paf_full) / len(scales)
         return paf_avg, heat_avg
 
-    def __call__(self, img: np.ndarray, hand: bool = False):
+    def _infer_hand_peaks(self, crop: np.ndarray, scales=None) -> np.ndarray:
+        """Run the hand net multi-scale on one square crop and decode 21
+        peaks (hand.py:25-74). Each scale resizes the crop to exactly
+        scale*368 px (square), a multiple of the stride — no padding, and a
+        fixed compile footprint of len(scales) shapes."""
+        scales = self.HAND_SCALES if scales is None else scales
+        w = crop.shape[0]
+        heat_avg = np.zeros((w, w, 22), np.float32)
+        for scale in scales:
+            size = int(round(scale * self.BOX_SIZE))
+            size -= size % self.STRIDE  # keep multiples of the net stride
+            scaled = cv2.resize(crop, (size, size), interpolation=cv2.INTER_CUBIC)
+            x = scaled[None].astype(np.float32) / 256.0 - 0.5
+            heat = np.asarray(self._hand_apply(self.hand_params, jnp.asarray(x)),
+                              np.float32)[0]
+            heat = cv2.resize(heat, (size, size), interpolation=cv2.INTER_CUBIC)
+            heat_avg += cv2.resize(heat, (w, w), interpolation=cv2.INTER_CUBIC
+                                   ) / len(scales)
+        return decode_hand_peaks(heat_avg)
+
+    def __call__(self, img: np.ndarray, hand: bool = False,
+                 hand_scales=None):
+        # the CMU nets are BGR-trained; the reference flips at entry
+        # (annotator/openpose/__init__.py:35) and draws on the flipped frame
+        img = img[:, :, ::-1].copy()
         paf, heat = self._infer_maps(img)
         peaks = find_peaks(heat)
         connections = score_limbs(paf, peaks, img.shape[0])
         candidate, subset = assemble_people(peaks, connections)
         canvas = np.zeros_like(img)
         canvas = draw_bodypose(canvas, candidate, subset)
+        if hand:
+            boxes = hand_detect(candidate, subset, img.shape[0], img.shape[1])
+            all_hand_peaks = []
+            for x, y, w, _is_left in boxes:
+                pk = self._infer_hand_peaks(img[y:y + w, x:x + w, :],
+                                            scales=hand_scales)
+                # offset into image coords; [0,0] sentinels stay put
+                pk[:, 0] = np.where(pk[:, 0] == 0, 0, pk[:, 0] + x)
+                pk[:, 1] = np.where(pk[:, 1] == 0, 0, pk[:, 1] + y)
+                all_hand_peaks.append(pk)
+            canvas = draw_handpose(canvas, all_hand_peaks)
         return canvas, dict(candidate=candidate.tolist(), subset=subset.tolist())

@@ -131,11 +131,43 @@ def _read_safetensors(path: str) -> Dict[str, np.ndarray]:
                 for k in bf16_keys:
                     out[k] = f.get_tensor(k).float().numpy()
         except ImportError:
-            # torch-free path: reinterpret raw bf16 bits -> fp32
-            with safe_open(path, framework="numpy") as f:
-                for k in bf16_keys:
-                    raw = np.asarray(f.get_slice(k))  # may still raise
-                    out[k] = raw
+            # torch-free path: read raw bf16 bytes straight from the file
+            # (header gives byte offsets) and upshift uint16<<16 -> fp32,
+            # same trick _read_torch_zip uses for BFloat16Storage.
+            for k, arr in _read_safetensors_raw_bf16(path, bf16_keys).items():
+                out[k] = arr
+    return out
+
+
+def _read_safetensors_raw_bf16(path: str, keys) -> Dict[str, np.ndarray]:
+    """Decode bf16 tensors from a safetensors file without torch.
+
+    Format: 8-byte LE u64 header length, JSON header mapping name ->
+    {dtype, shape, data_offsets:[start,end]} (offsets relative to the end
+    of the header), then the flat data buffer.
+    """
+    import json
+
+    want = set(keys)
+    out: Dict[str, np.ndarray] = {}
+    with open(path, "rb") as fh:
+        (hlen,) = struct.unpack("<Q", fh.read(8))
+        header = json.loads(fh.read(hlen))
+        base = 8 + hlen
+        for name, meta in header.items():
+            if name == "__metadata__" or name not in want:
+                continue
+            if meta["dtype"] not in ("BF16", "bfloat16"):
+                raise TypeError(
+                    f"{path}:{name}: expected bf16, got {meta['dtype']}")
+            start, end = meta["data_offsets"]
+            fh.seek(base + start)
+            raw = np.frombuffer(fh.read(end - start), dtype=np.uint16)
+            f32 = (raw.astype(np.uint32) << 16).view(np.float32)
+            out[name] = f32.reshape(meta["shape"])
+    missing = want - set(out)
+    if missing:
+        raise KeyError(f"{path}: bf16 keys not found in header: {sorted(missing)}")
     return out
 
 

@@ -91,10 +91,19 @@ def unet_param_sharding_rules(mesh: Mesh, params) -> Dict:
     """NamedSharding tree for a UNet/CLIP-style param tree (TP on attention
     and MLP, everything else replicated)."""
 
+    tp = mesh.shape.get("tp", 1)
+
     def to_sharding(path, leaf):
         spec = _spec_for_path(path, getattr(leaf, "ndim", 0))
-        # GEGLU ff1 splits its output in half along the sharded axis; keep it
-        # replicated unless the half-size divides the tp extent cleanly.
+        # GEGLU ff1 concatenates [value; gate] along its output dim; shard it
+        # only when each half divides the tp extent cleanly, so no device
+        # shard straddles the value/gate boundary (a straddling shard is
+        # still correct under GSPMD but forces a reshard at the split).
+        names = [getattr(p, "key", None) for p in path]
+        if "ff1" in names:  # GEGLU lives only in UNet blocks; CLIP fc1 is plain GELU
+            out_dim = leaf.shape[-1] if getattr(leaf, "ndim", 0) else 0
+            if out_dim % (2 * tp) != 0:
+                spec = P()
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)

@@ -260,9 +260,14 @@ def _ddim_scan_enc_cached(
         out = unet_decode(unet_params, ucfg, h, merged, emb, ctx2)
         return unet_out(unet_params, ucfg, out)
 
-    # initialize the cache with a throwaway full pass at t0 shapes
+    # initialize the carry cache with zeros of the right shapes/dtypes
+    # (step 0 is itself a full step, so the init value is never read;
+    # eval_shape avoids paying a real UNet+ControlNet forward for it)
     t0 = jnp.full((2 * b,), consts[0][0], jnp.float32)
-    cache0 = full_parts(x2_T, t0)
+    cache0 = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype),
+        jax.eval_shape(full_parts, x2_T, t0),
+    )
 
     def body(carry, per_step_all):
         x, cache = carry

@@ -363,6 +363,11 @@ class CNSDRuntime:
             cscales = jnp.asarray(guess_mode_scales(strength, self.n_taps), jnp.float32)
         else:
             cscales = jnp.full((self.n_taps,), strength, jnp.float32)
+        # x_T is donated (donate_argnums=(3,)); .astype is a no-op alias when
+        # the dtype already matches, which would invalidate a caller-held x_T
+        # reused across sample() calls — force a fresh buffer in that case.
+        if isinstance(x_T, jax.Array) and x_T.dtype == self.dtype:
+            x_T = jnp.copy(x_T)
         return eng(
             self.params["unet"], self.params["controlnet"], sched,
             self._put_batch(x_T.astype(self.dtype)),

@@ -109,7 +109,154 @@ class TestOpenpose:
         assert "candidate" in meta and "subset" in meta
 
 
-# --------------------------------------------------------------------- midas
+def _torch_hand():
+    """Compact torch replica of the CMU hand net with upstream state-dict
+    naming (model1_0.conv1_1..., model{s}.Mconv...), random weights."""
+    from collections import OrderedDict
+
+    import stablediffusioneo_tpu.annotators.openpose as op
+
+    def seq(spec):
+        layers = OrderedDict()
+        for name, cin, cout, k, pad, relu in spec:
+            if name == "pool":
+                layers[f"pool_{len(layers)}"] = nn.MaxPool2d(2, 2)
+                continue
+            layers[name] = nn.Conv2d(cin, cout, k, padding=pad)
+            if relu:
+                layers[f"relu_{name}"] = nn.ReLU()
+        return nn.Sequential(layers)
+
+    class Hand(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.model1_0 = seq(op._HAND_TRUNK)
+            self.model1_1 = seq(op._hand_stage1())
+            for s in range(2, 7):
+                setattr(self, f"model{s}", seq(op._hand_stageN(s)))
+
+        def forward(self, x):
+            feats = self.model1_0(x)
+            heat = self.model1_1(feats)
+            for s in range(2, 7):
+                inp = torch.cat([heat, feats], dim=1)
+                heat = getattr(self, f"model{s}")(inp)
+            return heat
+
+    return Hand()
+
+
+class TestOpenposeHand:
+    def test_hand_net_parity(self, rng):
+        """JAX hand net + converter vs an independent torch mirror with
+        upstream key naming (reference: annotator/openpose/model.py:131-219)."""
+        from stablediffusioneo_tpu.annotators.openpose import (
+            convert_hand, hand_apply,
+        )
+
+        torch.manual_seed(0)
+        tm = _torch_hand().eval()
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = convert_hand(sd)
+        x = rng.standard_normal((1, 64, 64, 3), dtype=np.float32) * 0.1
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        out = hand_apply(params, jnp.asarray(x))
+        assert out.shape == (1, 8, 8, 22)  # stride-8 trunk, 22 heatmaps
+        np.testing.assert_allclose(
+            np.asarray(out), np.transpose(ref, (0, 2, 3, 1)),
+            rtol=1e-3, atol=1e-4,
+        )
+
+    def test_hand_detect_boxes(self):
+        """handDetect semantics (util.py:94-156) on a hand-constructed
+        skeleton: box center = wrist + 0.33*(wrist-elbow), width =
+        1.5*max(d_we, 0.9*d_es); small boxes dropped; arms with missing
+        parts skipped."""
+        from stablediffusioneo_tpu.annotators.openpose import hand_detect
+
+        # person 0: full left arm (parts 5, 6, 7 at candidate rows 0, 1, 2)
+        #           right arm missing the wrist (part 4 = -1)
+        candidate = np.array([
+            [100.0, 100.0, 0.9, 0],   # left shoulder
+            [140.0, 100.0, 0.9, 1],   # left elbow
+            [180.0, 100.0, 0.9, 2],   # left wrist
+            [60.0, 100.0, 0.9, 3],    # right shoulder
+            [20.0, 100.0, 0.9, 4],    # right elbow
+        ])
+        subset = -1 * np.ones((1, 20))
+        subset[0, 5], subset[0, 6], subset[0, 7] = 0, 1, 2
+        subset[0, 2], subset[0, 3] = 3, 4  # right arm: no wrist
+        boxes = hand_detect(candidate, subset, 400, 400)
+        assert len(boxes) == 1
+        x, y, w, is_left = boxes[0]
+        assert is_left
+        # d_we = 40, d_es = 40 -> width = 60; center = wrist + 0.33*40 = 193.2
+        assert w == 60
+        assert x == int(193.2 - 30) and y == int(100 - 30)
+
+        # tiny skeleton -> box under 20 px is dropped
+        boxes = hand_detect(candidate / 20.0, subset, 400, 400)
+        assert boxes == []
+
+    def test_decode_hand_peaks_components(self):
+        """Largest-total-activation component wins (hand.py:58-73), even
+        when a smaller component has the higher single-pixel max."""
+        from stablediffusioneo_tpu.annotators.openpose import decode_hand_peaks
+
+        h = w = 64
+        heat = np.zeros((h, w, 22), np.float32)
+        yy, xx = np.mgrid[0:h, 0:w]
+        # big blob (larger sum) peaked at (40, 44), small sharp blob at (10, 12)
+        heat[:, :, 0] = 0.8 * np.exp(-((yy - 44) ** 2 + (xx - 40) ** 2) / 60.0)
+        heat[:, :, 0] += 0.95 * np.exp(-((yy - 12) ** 2 + (xx - 10) ** 2) / 2.0)
+        peaks = decode_hand_peaks(heat, thresh=0.05)
+        assert tuple(peaks[0]) == (40, 44)
+        # all other parts below threshold -> [0, 0]
+        assert np.all(peaks[1:] == 0)
+
+    def test_draw_handpose_changes_canvas(self):
+        from stablediffusioneo_tpu.annotators.openpose import draw_handpose
+
+        canvas = np.zeros((64, 64, 3), np.uint8)
+        peaks = np.zeros((21, 2), np.int64)
+        peaks[0] = (10, 10)
+        peaks[1] = (20, 20)  # edge (0,1) drawable
+        out = draw_handpose(canvas.copy(), [peaks])
+        assert out.sum() > 0
+        # sentinel-only peaks: only the red corner dots get drawn
+        out2 = draw_handpose(canvas.copy(), [np.zeros((21, 2), np.int64)])
+        assert out2[:5, :5].sum() > 0 and out2[10:, 10:].sum() == 0
+
+    def test_detector_hand_e2e(self, rng, monkeypatch):
+        """hand=True must route through hand boxes -> hand net -> drawing and
+        change the canvas (the reference flow, __init__.py:34-49). Body maps
+        are stubbed so random weights still produce a person with one arm."""
+        import stablediffusioneo_tpu.annotators.openpose as op
+
+        det = op.OpenposeDetector()  # random hand weights: flow test
+        img = (rng.random((128, 128, 3)) * 255).astype(np.uint8)
+
+        candidate = np.array([
+            [30.0, 30.0, 0.9, 0],
+            [60.0, 30.0, 0.9, 1],
+            [90.0, 30.0, 0.9, 2],
+        ])
+        subset = -1 * np.ones((1, 20))
+        subset[0, 5], subset[0, 6], subset[0, 7] = 0, 1, 2
+        subset[0, 18], subset[0, 19] = 2.7, 3
+
+        monkeypatch.setattr(op, "find_peaks", lambda *_a, **_k: [[]] * 18)
+        monkeypatch.setattr(op, "score_limbs",
+                            lambda *_a, **_k: [np.zeros((0, 5))] * 19)
+        monkeypatch.setattr(op, "assemble_people",
+                            lambda *_a, **_k: (candidate, subset))
+
+        base, _ = det(img, hand=False)
+        out, meta = det(img, hand=True, hand_scales=(0.25,))
+        assert out.shape == img.shape
+        assert not np.array_equal(base, out)  # hand drawing changed pixels
+        assert meta["subset"] == subset.tolist()
 
 
 class TestMidasDPT:

@@ -203,6 +203,7 @@ class TorchUNet(nn.Module):
     def __init__(self, cfg):
         super().__init__()
         (cin, cout_model, mc, mult, nrb, attn_ds, depth, ctx, heads, groups) = _cfg_tuple(cfg)
+        hf = cfg.heads_for  # num_head_channels-aware (SD-2.x per-block heads)
         emb_dim = mc * 4
         self.model_channels = mc
         self.time_embed = nn.Sequential(
@@ -219,7 +220,7 @@ class TorchUNet(nn.Module):
                 layers = [ResBlock(ch, emb_dim, m * mc, groups)]
                 ch = m * mc
                 if ds in attn_ds:
-                    layers.append(SpatialTransformer(ch, heads, depth, ctx, groups))
+                    layers.append(SpatialTransformer(ch, hf(ch), depth, ctx, groups))
                 self.input_blocks.append(TimestepEmbedSequential(*layers))
                 chs.append(ch)
             if level != len(mult) - 1:
@@ -228,7 +229,7 @@ class TorchUNet(nn.Module):
                 ds *= 2
         self.middle_block = TimestepEmbedSequential(
             ResBlock(ch, emb_dim, ch, groups),
-            SpatialTransformer(ch, heads, depth, ctx, groups),
+            SpatialTransformer(ch, hf(ch), depth, ctx, groups),
             ResBlock(ch, emb_dim, ch, groups),
         )
         self.output_blocks = nn.ModuleList()
@@ -238,7 +239,7 @@ class TorchUNet(nn.Module):
                 layers = [ResBlock(ch + ich, emb_dim, m * mc, groups)]
                 ch = m * mc
                 if ds in attn_ds:
-                    layers.append(SpatialTransformer(ch, heads, depth, ctx, groups))
+                    layers.append(SpatialTransformer(ch, hf(ch), depth, ctx, groups))
                 if level != 0 and i == nrb:
                     layers.append(Upsample(ch))
                     ds //= 2
@@ -273,6 +274,7 @@ class TorchControlNet(nn.Module):
         super().__init__()
         ucfg = cfg.unet
         (cin, _, mc, mult, nrb, attn_ds, depth, ctx, heads, groups) = _cfg_tuple(ucfg)
+        hf = ucfg.heads_for
         emb_dim = mc * 4
         self.model_channels = mc
         self.time_embed = nn.Sequential(
@@ -300,7 +302,7 @@ class TorchControlNet(nn.Module):
                 layers = [ResBlock(ch, emb_dim, m * mc, groups)]
                 ch = m * mc
                 if ds in attn_ds:
-                    layers.append(SpatialTransformer(ch, heads, depth, ctx, groups))
+                    layers.append(SpatialTransformer(ch, hf(ch), depth, ctx, groups))
                 self.input_blocks.append(TimestepEmbedSequential(*layers))
                 self.zero_convs.append(TimestepEmbedSequential(nn.Conv2d(ch, ch, 1)))
             if level != len(mult) - 1:
@@ -309,7 +311,7 @@ class TorchControlNet(nn.Module):
                 ds *= 2
         self.middle_block = TimestepEmbedSequential(
             ResBlock(ch, emb_dim, ch, groups),
-            SpatialTransformer(ch, heads, depth, ctx, groups),
+            SpatialTransformer(ch, hf(ch), depth, ctx, groups),
             ResBlock(ch, emb_dim, ch, groups),
         )
         self.middle_block_out = TimestepEmbedSequential(nn.Conv2d(ch, ch, 1))
