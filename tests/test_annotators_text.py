@@ -20,6 +20,8 @@ from stablediffusioneo_tpu.models.text_encoding import (
     clip_text_apply_skip,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 
 class TestAnnotatorUtils:
     def test_hwc3(self, rng):

@@ -18,6 +18,9 @@ from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
 from stablediffusioneo_tpu.pipeline.ddim import DDIMSampler
 
 from torch_ref import TorchControlNet, TorchUNet, state_dict_numpy
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 CFG = tiny_pipeline()
 

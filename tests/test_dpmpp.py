@@ -12,6 +12,8 @@ from stablediffusioneo_tpu.models import init_controlnet, init_unet
 from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
 from stablediffusioneo_tpu.pipeline.dpm_solver import dpmpp_sample_scan, dpmpp_schedule
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 CFG = tiny_pipeline()
 
 

@@ -23,6 +23,9 @@ from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
 from stablediffusioneo_tpu.pipeline.canny2image import Canny2ImagePipeline
 
 from torch_ref import TorchControlNet, TorchUNet, TorchVAE, state_dict_numpy
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 CFG = tiny_pipeline()
 

@@ -14,6 +14,8 @@ from stablediffusioneo_tpu.ops.pallas.groupnorm import (
     group_norm_pallas_supported,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 
 class TestFusedGroupNorm:
     @pytest.mark.parametrize(

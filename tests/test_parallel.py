@@ -17,6 +17,8 @@ from stablediffusioneo_tpu.parallel.mesh import (
     shard_params,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 CFG = tiny_pipeline()
 
 

@@ -17,6 +17,8 @@ from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
 from stablediffusioneo_tpu.pipeline.canny2image import Canny2ImagePipeline
 from stablediffusioneo_tpu.runtime.engine import CNSDRuntime, snap_to_bucket
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 CFG = tiny_pipeline()
 
 

@@ -10,6 +10,8 @@ import torch.nn.functional as F
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 
 # ------------------------------------------------------------------ openpose
 

@@ -13,6 +13,9 @@ from stablediffusioneo_tpu.config import (
 )
 from stablediffusioneo_tpu.checkpoint.convert import convert_openclip_text
 from stablediffusioneo_tpu.models import clip_text_apply, init_unet, unet_apply
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
 
 
 class TestVParam:

@@ -18,6 +18,8 @@ from stablediffusioneo_tpu.yolo.model import (
 )
 from stablediffusioneo_tpu.yolo import PostProcessor, PreProcessor
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
+
 
 class TestYoloModel:
     @pytest.fixture(scope="class")
