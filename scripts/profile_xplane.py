@@ -1,0 +1,152 @@
+"""Capture an XLA profiler trace of the flagship 512x512 loop on the real
+TPU and print a per-op cost table (the evidence base for kernel work).
+
+Usage:  python scripts/profile_xplane.py [outdir]
+Writes the raw trace under outdir (default /tmp/sdeo_xplane) and prints:
+  - top HLO ops by self time for the sampler step and the VAE decode
+  - category rollup (convolution / dot / elementwise / copy ...)
+
+Parsing uses tensorboard_plugin_profile's hlo_stats converter on the
+.xplane.pb produced by jax.profiler (no TensorBoard UI needed).
+"""
+
+import glob
+import gzip
+import io
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(outdir: str):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from stablediffusioneo_tpu.config import sd15_pipeline
+    from stablediffusioneo_tpu.models import (
+        init_clip_text, init_controlnet, init_unet, init_vae,
+    )
+    from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
+    from stablediffusioneo_tpu.pipeline.canny2image import Canny2ImagePipeline
+    from stablediffusioneo_tpu.runtime.profiling import _hard_sync
+
+    cfg = sd15_pipeline(dtype="bfloat16")
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 4)
+    shapes = {
+        "unet": jax.eval_shape(lambda k: init_unet(k, cfg.unet), ks[0]),
+        "controlnet": jax.eval_shape(lambda k: init_controlnet(k, cfg.controlnet), ks[1]),
+        "vae": jax.eval_shape(lambda k: init_vae(k, cfg.vae), ks[2]),
+        "clip": jax.eval_shape(lambda k: init_clip_text(k, cfg.clip), ks[3]),
+    }
+    params = jax.jit(lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+    tok = toy_tokenizer(vocab_size=cfg.clip.vocab_size, max_length=cfg.clip.max_length)
+    pipe = Canny2ImagePipeline(params, tok, cfg)
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((512, 512, 3)) * 255).astype(np.uint8)
+
+    def run():
+        return pipe.process(img, "a bird", num_samples=1, image_resolution=512,
+                            ddim_steps=20, seed=1)
+
+    print("warmup (compile)...", flush=True)
+    run()
+    print("tracing one full process() ...", flush=True)
+    jax.profiler.start_trace(outdir)
+    out = run()
+    _hard_sync(jnp.asarray(out[1]))
+    jax.profiler.stop_trace()
+    print("trace written to", outdir, flush=True)
+
+
+def _category(name: str) -> str:
+    """HLO op name -> coarse category (xprof-style)."""
+    base = name.split(".")[0].split("-")[0].lstrip("%")
+    for pat, cat in (
+        ("fusion", "fusion"), ("convolution", "convolution"),
+        ("dot", "dot"), ("copy", "copy"), ("all", "collective"),
+        ("dynamic", "dynamic-slice/update"), ("reduce", "reduce"),
+        ("custom", "custom-call"), ("transpose", "transpose"),
+        ("scatter", "scatter"), ("gather", "gather"),
+        ("bitcast", "bitcast"), ("broadcast", "broadcast"),
+    ):
+        if base.startswith(pat):
+            return cat
+    return base or "other"
+
+
+def parse(outdir: str, top: int = 35):
+    """Aggregate the TPU device plane: per-module rollup + per-op table.
+    Reads the raw .xplane.pb via TF's xplane proto (no tensorboard UI)."""
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xplanes = glob.glob(os.path.join(outdir, "**", "*.xplane.pb"), recursive=True)
+    if not xplanes:
+        print("no xplane found under", outdir)
+        return
+    xp = max(xplanes, key=os.path.getmtime)
+    print("parsing", xp, flush=True)
+    space = xplane_pb2.XSpace()
+    with open(xp, "rb") as fh:
+        space.ParseFromString(fh.read())
+    plane = next((p for p in space.planes if "TPU" in p.name and p.lines), None)
+    if plane is None:
+        print("no TPU plane; planes:", [p.name for p in space.planes])
+        return
+    meta = plane.event_metadata
+
+    # module spans (XLA Modules line) let us attribute ops to programs
+    modules = []  # (start_ps, end_ps, name)
+    for line in plane.lines:
+        if line.name == "XLA Modules":
+            for ev in line.events:
+                nm = meta[ev.metadata_id].name
+                modules.append((ev.offset_ps, ev.offset_ps + ev.duration_ps, nm))
+    modules.sort()
+
+    def module_of(ts):
+        for s, e, nm in modules:
+            if s <= ts < e:
+                return nm.split(".")[0]
+        return "?"
+
+    per_mod: dict = {}
+    for line in plane.lines:
+        if line.name != "XLA Ops":
+            continue
+        for ev in line.events:
+            nm = meta[ev.metadata_id].name
+            mod = module_of(ev.offset_ps)
+            d = per_mod.setdefault(mod, {})
+            rec = d.setdefault(nm, [0.0, 0])
+            rec[0] += ev.duration_ps / 1e6  # ps -> us
+            rec[1] += 1
+
+    for mod, ops in sorted(per_mod.items(),
+                           key=lambda kv: -sum(v[0] for v in kv[1].values())):
+        total = sum(v[0] for v in ops.values())
+        print(f"\n#### module {mod}: {total/1e3:.2f} ms device time, "
+              f"{sum(v[1] for v in ops.values())} op executions")
+        by_cat: dict = {}
+        for nm, (t, n) in ops.items():
+            c = by_cat.setdefault(_category(nm), [0.0, 0])
+            c[0] += t
+            c[1] += n
+        print("  --- categories ---")
+        for cat, (t, n) in sorted(by_cat.items(), key=lambda kv: -kv[1][0])[:12]:
+            print(f"  {t/1e3:9.2f} ms  {100*t/total:5.1f}%  {n:6d} execs  {cat}")
+        print(f"  --- top {top} ops ---")
+        for nm, (t, n) in sorted(ops.items(), key=lambda kv: -kv[1][0])[:top]:
+            print(f"  {t/1e3:9.2f} ms  {n:5d}x  {nm[:100]}")
+
+
+if __name__ == "__main__":
+    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sdeo_xplane"
+    if os.environ.get("PARSE_ONLY") != "1":
+        capture(outdir)
+    parse(outdir)

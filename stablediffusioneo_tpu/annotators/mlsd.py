@@ -14,11 +14,16 @@ decode path, which is fully implemented here:
     on black, returns single-channel uint8.
 
 The network is pluggable (`model_fn: (N,H,W,4)->(N,h,w,>=5)` with channel 0
-= center logit, 1:5 = displacements at half input resolution). A compact
-JAX line-detection net honoring this contract ships as `init_tiny_mlsd`/
-`tiny_mlsd_apply` for flow tests; exact MobileV2_MLSD_Large checkpoint
-compatibility is a later round (upstream weights are a download this
-framework cannot assume).
+= center logit, 1:5 = displacements at half input resolution). Two nets
+honor this contract:
+  - `init_tiny_mlsd`/`tiny_mlsd_apply` (here): compact net for flow tests;
+  - `annotators/mlsd_net.py`: the full MobileV2-MLSD-Large architecture
+    with a BN-folding converter keyed on the public upstream state-dict
+    naming. Its wiring follows the public mlsd repo (the reference snapshot
+    gitignores the model package) and is A/B-tested numerically against a
+    full-architecture torch mirror (tests/test_pose_depth_mlsd.py);
+    verification against the real `mlsd_large_512_fp32.pth` still requires
+    those weights (unavailable in this zero-egress environment).
 """
 
 from __future__ import annotations

@@ -19,8 +19,20 @@ from stablediffusioneo_tpu.models.vae import (
     DiagonalGaussian,
 )
 from stablediffusioneo_tpu.models.clip import init_clip_text, clip_text_apply
+from stablediffusioneo_tpu.models.t5 import (
+    T5Config,
+    clip_t5_encode,
+    convert_t5,
+    init_t5,
+    t5_encode,
+)
 
 __all__ = [
+    "T5Config",
+    "clip_t5_encode",
+    "convert_t5",
+    "init_t5",
+    "t5_encode",
     "init_unet",
     "unet_apply",
     "init_controlnet",

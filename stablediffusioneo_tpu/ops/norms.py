@@ -52,15 +52,47 @@ def group_norm(
     c = x.shape[-1]
     spatial = x.shape[1:-1]
     assert c % groups == 0, f"channels {c} not divisible by groups {groups}"
-    xf = x.astype(jnp.float32).reshape(n, -1, groups, c // groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
-    xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xhat = xhat.reshape(n, *spatial, c)
-    out = xhat * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    cg = c // groups
+    if orig_dtype == jnp.float32:
+        # exact two-pass fp32 form: bit-stable vs the torch reference
+        # (the e2e integration parity runs 20 chaotic CFG steps in fp32 —
+        # any stats reassociation diverges it)
+        xf = x.reshape(n, -1, groups, cg)
+        mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
+        xhat = (xf - mean) * jax.lax.rsqrt(var + eps)
+        out = xhat.reshape(n, *spatial, c) * gamma + beta
+        if swish:
+            out = out * jax.nn.sigmoid(out)
+        return out
+    xg = x.reshape(n, -1, groups, cg)
+    cnt = xg.shape[1] * cg
+    # One-pass stats with fp32 ACCUMULATION over the low-precision tensor
+    # (fuses to a single convert+reduce over the producer's bf16 output).
+    # Crucially the producer (usually a conv) is consumed at its own dtype:
+    # with the old astype(f32)-then-normalize form, XLA materialized every
+    # conv-feeding-a-norm in fp32 — 2x the HBM write+read bytes (measured:
+    # f32[...] conv fusions in the 512x512 xplane profile, ~12 ms/step).
+    s1 = jnp.sum(xg, axis=(1, 3), dtype=jnp.float32)
+    s2 = jnp.sum(jnp.square(xg.astype(jnp.float32)), axis=(1, 3))
+    mean = s1 / cnt                        # (n, groups) fp32
+    var = s2 / cnt - jnp.square(mean)
+    rstd = jax.lax.rsqrt(var + eps)
+    # fold gamma/beta into per-(sample, channel) scale/shift so the
+    # normalize is one fused multiply-add over the bf16 input
+    g2 = gamma.astype(jnp.float32).reshape(groups, cg)
+    b2 = beta.astype(jnp.float32).reshape(groups, cg)
+    scale = (rstd[:, :, None] * g2[None]).reshape(n, c)
+    shift = (b2[None] - (mean * rstd)[:, :, None] * g2[None]).reshape(n, c)
+    bshape = (n,) + (1,) * len(spatial) + (c,)
+    # scale/shift computed in fp32 then cast to the activation dtype, so the
+    # normalize is a pure orig-dtype FMA (no fp32 view of x that XLA could
+    # CSE with the stats convert and re-materialize)
+    out = (x * scale.reshape(bshape).astype(orig_dtype)
+           + shift.reshape(bshape).astype(orig_dtype))
     if swish:
         out = out * jax.nn.sigmoid(out)
-    return out.astype(orig_dtype)
+    return out
 
 
 def group_norm_silu(
@@ -80,11 +112,24 @@ def layer_norm(
     beta: jax.Array,
     eps: float = 1e-5,
 ) -> jax.Array:
-    """LayerNorm over the last dim, fp32 statistics."""
+    """LayerNorm over the last dim, fp32 statistics.
+
+    Same bandwidth discipline as group_norm: one-pass fp32-accumulated
+    stats over the input at its own dtype, then an orig-dtype FMA with the
+    per-row scale/shift — no fp32 materialization of x."""
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    out = (xf - mean) * jax.lax.rsqrt(var + eps)
-    out = out * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
-    return out.astype(orig_dtype)
+    c = x.shape[-1]
+    if orig_dtype == jnp.float32:
+        # exact two-pass form (see group_norm)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    s1 = jnp.sum(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    mean = s1 / c
+    var = s2 / c - jnp.square(mean)
+    rstd = jax.lax.rsqrt(var + eps)
+    scale = (rstd * gamma.astype(jnp.float32)).astype(orig_dtype)
+    shift = (beta.astype(jnp.float32) - mean * rstd * gamma.astype(jnp.float32)
+             ).astype(orig_dtype)
+    return x * scale + shift

@@ -100,9 +100,19 @@ class Canny2ImagePipeline:
         x_T: Optional[np.ndarray] = None,
         sampler: str = "ddim",
         encoder_cache_interval: int = 1,
+        clip_skip: int = 0,
+        long_prompt: bool = False,
+        granular_timings: bool = False,
     ) -> List[np.ndarray]:
         """Returns [detected_map] + generated uint8 HWC images
-        (canny2image gradio convention)."""
+        (canny2image gradio convention).
+
+        clip_skip: k>1 takes the -(k)th CLIP hidden state through the final
+        LayerNorm (cldm/hack.py:40-44). long_prompt=True routes the prompt
+        through the 3x77 windowed encoder (hack_everything, hack.py:32-68)
+        instead of truncating — opt-in, exactly like the reference activates
+        the hack explicitly (share.py import side effect); the default stays
+        truncation so outputs match the un-hacked reference bit-for-bit."""
         t_start = time.perf_counter()
 
         img = resize_image(HWC3(input_image), image_resolution)
@@ -121,8 +131,12 @@ class Canny2ImagePipeline:
 
         # batched cond+uncond CLIP encode
         cond_text = prompt + ", " + a_prompt if a_prompt else prompt
-        ids = self.tokenizer([cond_text, n_prompt])
-        ctx = self.runtime.encode_prompt(ids)
+        if long_prompt:
+            ctx = self.runtime.encode_prompt_windowed(
+                self.tokenizer, [cond_text, n_prompt], clip_skip=clip_skip)
+        else:
+            ids = self.tokenizer([cond_text, n_prompt])
+            ctx = self.runtime.encode_prompt(ids, clip_skip=clip_skip)
         ctx_cond = jnp.repeat(ctx[0:1], num_samples, axis=0)
         ctx_uncond = jnp.repeat(ctx[1:2], num_samples, axis=0)
 
@@ -136,13 +150,7 @@ class Canny2ImagePipeline:
         else:
             x_T_arr = jnp.asarray(x_T)
 
-        samples = self.runtime.sample(
-            ddim_steps,
-            x_T_arr,
-            jnp.asarray(hint),
-            ctx_cond,
-            ctx_uncond,
-            key,
+        run_kwargs = dict(
             guidance_scale=scale,
             strength=strength,
             eta=eta,
@@ -150,21 +158,44 @@ class Canny2ImagePipeline:
             sampler=sampler,
             encoder_cache_interval=encoder_cache_interval,
         )
-        # hard device sync so the sample/decode timing split is honest
-        # (block_until_ready can return early on tunneled backends)
         from stablediffusioneo_tpu.runtime.profiling import _hard_sync
 
-        _hard_sync(samples)
-        t_sample = time.perf_counter()
-
-        images = self.runtime.decode_latent(samples)  # uint8 (B,H,W,3)
-        t_decode = time.perf_counter()
-
-        self.last_timings = {
-            "preprocess_ms": (t_pre - t_start) * 1e3,
-            "clip_ms": (t_clip - t_pre) * 1e3,
-            "sample_ms": (t_sample - t_clip) * 1e3,
-            "decode_ms": (t_decode - t_sample) * 1e3,
-            "total_ms": (t_decode - t_start) * 1e3,
-        }
+        if granular_timings:
+            # diagnostic path: hard device sync between sample and decode so
+            # the phase split is honest (block_until_ready can return early
+            # on tunneled backends) — costs two extra host<->device RTTs
+            samples = self.runtime.sample(
+                ddim_steps, x_T_arr, jnp.asarray(hint), ctx_cond, ctx_uncond,
+                key, **run_kwargs)
+            _hard_sync(samples)
+            t_sample = time.perf_counter()
+            images_dev = self.runtime.decode_latent_device(samples)
+            _hard_sync(images_dev)
+            t_decode = time.perf_counter()
+            images = np.asarray(images_dev)  # device->host (B,H,W,3) uint8
+            t_fetch = time.perf_counter()
+            self.last_timings = {
+                "preprocess_ms": (t_pre - t_start) * 1e3,
+                "clip_ms": (t_clip - t_pre) * 1e3,
+                "sample_ms": (t_sample - t_clip) * 1e3,
+                "decode_ms": (t_decode - t_sample) * 1e3,
+                "fetch_ms": (t_fetch - t_decode) * 1e3,
+                "total_ms": (t_fetch - t_start) * 1e3,
+            }
+        else:
+            # production path: the whole latent->pixels pipeline is ONE
+            # compiled program + one fetch (no host in the loop)
+            images_dev = self.runtime.sample_decode(
+                ddim_steps, x_T_arr, jnp.asarray(hint), ctx_cond, ctx_uncond,
+                key, **run_kwargs)
+            # no intermediate sync: np.asarray blocks until done AND fetches
+            # in one round-trip (a hard_sync here would cost one extra RTT)
+            images = np.asarray(images_dev)
+            t_fetch = time.perf_counter()
+            self.last_timings = {
+                "preprocess_ms": (t_pre - t_start) * 1e3,
+                "clip_ms": (t_clip - t_pre) * 1e3,
+                "sample_decode_fetch_ms": (t_fetch - t_clip) * 1e3,
+                "total_ms": (t_fetch - t_start) * 1e3,
+            }
         return [detected_map] + [images[i] for i in range(num_samples)]

@@ -79,6 +79,7 @@ class Engine:
         )
         self._compiled = None
         self.compile_seconds: Optional[float] = None
+        self.load_error: Optional[str] = None
 
     def load(self, *abstract_args, **abstract_kwargs) -> "Engine":
         """AOT compile for the given example/abstract arguments.
@@ -94,9 +95,10 @@ class Engine:
             log.info("engine %s compiled in %.1fs", self.name, self.compile_seconds)
         except Exception as e:  # noqa: BLE001 — degrade, don't die
             self._compiled = None
+            self.load_error = f"{type(e).__name__}: {e}"
             log.warning(
-                "engine %s AOT compile failed (%s: %s); falling back to "
-                "on-demand jit", self.name, type(e).__name__, e,
+                "engine %s AOT compile failed (%s); falling back to "
+                "on-demand jit", self.name, self.load_error,
             )
         return self
 
@@ -205,6 +207,101 @@ class CNSDRuntime:
 
         return run
 
+    def sample_decode_engine(
+        self, num_steps: int, batch: int, h: int, w: int,
+        guess_mode: bool = False, sampler: str = "ddim",
+        encoder_cache_interval: int = 1, ctx_len: Optional[int] = None,
+    ) -> Engine:
+        """Sampler + VAE decode + uint8 denorm as ONE compiled program.
+
+        The production serving path: a single dispatch for the whole
+        latent->pixels pipeline. On the tunneled single-chip setup this
+        saves two host<->device round-trips (~30 ms each) vs
+        sampler_engine + decoder_engine; it also lets XLA schedule the
+        decode immediately after the scan with no host in the loop."""
+        ctx_len = ctx_len or self.cfg.clip.max_length
+        key_t = ("sample_decode", sampler, num_steps, batch, h, w, guess_mode,
+                 encoder_cache_interval, ctx_len)
+        if key_t in self._engines:
+            return self._engines[key_t]
+        sfn = self._sampler_fn(num_steps, guess_mode, sampler,
+                               encoder_cache_interval)
+        cfg = self.cfg
+
+        def run(unet_p, ctrl_p, vae_p, sched, x_T, hint, ctx_c, ctx_u,
+                scale, cscales, key):
+            z = sfn(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u,
+                    scale, cscales, key)
+            img = vae_decode(vae_p, cfg.vae, z, scaled=True)
+            img = jnp.clip(img.astype(jnp.float32) * 127.5 + 127.5, 0, 255)
+            return img.astype(jnp.uint8)
+
+        eng = Engine(run, name=f"{sampler}+decode_{num_steps}x{batch}x{h}x{w}"
+                     + ("_guess" if guess_mode else ""),
+                     donate_argnums=(4,))  # donate x_T
+        sched = self._make_schedule(num_steps, sampler)
+        sched_abs = {k: self._abs_rep(v.shape, v.dtype)
+                     for k, v in sched.items()}
+        f = self.cfg.vae.downsample_factor
+        lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
+        hint = self._abs_data((batch, h, w, 3), self.dtype)
+        ctx = self._abs_data(
+            (batch, ctx_len, self.cfg.unet.context_dim), self.dtype)
+        scale = self._abs_rep((), jnp.float32)
+        cscales = self._abs_rep((self.n_taps,), jnp.float32)
+        key = self._abs_rep((2,), jnp.uint32)
+        params_abs = self._abs_tree(
+            (self.params["unet"], self.params["controlnet"],
+             self.params["vae"]))
+        if self._aot_ready(batch):
+            eng.load(params_abs[0], params_abs[1], params_abs[2], sched_abs,
+                     lat, hint, ctx, ctx, scale, cscales, key)
+        self._engines[key_t] = eng
+        return eng
+
+    def sample_decode(
+        self,
+        num_steps: int,
+        x_T: jax.Array,
+        hint: jax.Array,
+        ctx_cond: jax.Array,
+        ctx_uncond: jax.Array,
+        key: jax.Array,
+        guidance_scale: float = 9.0,
+        strength: float = 1.0,
+        eta: float = 0.0,
+        guess_mode: bool = False,
+        sampler: str = "ddim",
+        encoder_cache_interval: int = 1,
+    ) -> jax.Array:
+        """Fused sample+decode: returns uint8 (B, H, W, 3) ON DEVICE."""
+        b, lh, lw, _ = x_T.shape
+        f = self.cfg.vae.downsample_factor
+        eng = self.sample_decode_engine(
+            num_steps, b, lh * f, lw * f, guess_mode, sampler,
+            encoder_cache_interval, ctx_len=ctx_cond.shape[1])
+        sched = self._make_schedule(num_steps, sampler, eta=eta)
+        sched = {k: self._put_rep(v) for k, v in sched.items()}
+        if guess_mode:
+            from stablediffusioneo_tpu.models.controlnet import guess_mode_scales
+
+            cscales = jnp.asarray(guess_mode_scales(strength, self.n_taps),
+                                  jnp.float32)
+        else:
+            cscales = jnp.full((self.n_taps,), strength, jnp.float32)
+        if isinstance(x_T, jax.Array) and x_T.dtype == self.dtype:
+            x_T = jnp.copy(x_T)  # donated below; see sample()
+        return eng(
+            self.params["unet"], self.params["controlnet"],
+            self.params["vae"], sched,
+            self._put_batch(x_T.astype(self.dtype)),
+            self._put_batch(hint.astype(self.dtype)),
+            self._put_batch(ctx_cond.astype(self.dtype)),
+            self._put_batch(ctx_uncond.astype(self.dtype)),
+            self._put_rep(jnp.asarray(guidance_scale, jnp.float32)),
+            self._put_rep(cscales), self._put_rep(key),
+        )
+
     def _make_schedule(self, num_steps: int, sampler: str, eta: float = 0.0):
         if sampler == "dpmpp":
             from stablediffusioneo_tpu.pipeline.dpm_solver import dpmpp_schedule
@@ -215,57 +312,66 @@ class CNSDRuntime:
     def sampler_engine(
         self, num_steps: int, batch: int, h: int, w: int,
         guess_mode: bool = False, sampler: str = "ddim",
-        encoder_cache_interval: int = 1,
+        encoder_cache_interval: int = 1, ctx_len: Optional[int] = None,
     ) -> Engine:
         """Compiled denoise loop for (steps, batch, HxW). H,W are image-space
-        (latent is H/8 x W/8). sampler: "ddim" | "dpmpp"."""
+        (latent is H/8 x W/8). sampler: "ddim" | "dpmpp". ctx_len: context
+        token length (default 77; 231 for the 3x77 windowed long-prompt
+        bucket)."""
+        ctx_len = ctx_len or self.cfg.clip.max_length
         key_t = ("sampler", sampler, num_steps, batch, h, w, guess_mode,
-                 encoder_cache_interval)
+                 encoder_cache_interval, ctx_len)
         if key_t in self._engines:
             return self._engines[key_t]
         fn = self._sampler_fn(num_steps, guess_mode, sampler,
                               encoder_cache_interval)
         eng = Engine(fn, name=f"{sampler}_{num_steps}x{batch}x{h}x{w}"
-                     + ("_guess" if guess_mode else ""),
+                     + ("_guess" if guess_mode else "")
+                     + (f"_ctx{ctx_len}" if ctx_len != self.cfg.clip.max_length
+                        else ""),
                      donate_argnums=(3,))  # donate x_T
         sched = self._make_schedule(num_steps, sampler)
-        sched_abs = {k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in sched.items()}
+        sched_abs = {k: self._abs_rep(v.shape, v.dtype) for k, v in sched.items()}
         f = self.cfg.vae.downsample_factor
-        lat = jax.ShapeDtypeStruct((batch, h // f, w // f, 4), self.dtype)
-        hint = jax.ShapeDtypeStruct((batch, h, w, 3), self.dtype)
-        ctx = jax.ShapeDtypeStruct(
-            (batch, self.cfg.clip.max_length, self.cfg.unet.context_dim), self.dtype
+        lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
+        hint = self._abs_data((batch, h, w, 3), self.dtype)
+        ctx = self._abs_data(
+            (batch, ctx_len, self.cfg.unet.context_dim), self.dtype
         )
-        scale = jax.ShapeDtypeStruct((), jnp.float32)
-        cscales = jax.ShapeDtypeStruct((self.n_taps,), jnp.float32)
-        key = jax.ShapeDtypeStruct((2,), jnp.uint32)
-        params_abs = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (self.params["unet"], self.params["controlnet"])
-        )
-        if self.mesh is None:
+        scale = self._abs_rep((), jnp.float32)
+        cscales = self._abs_rep((self.n_taps,), jnp.float32)
+        key = self._abs_rep((2,), jnp.uint32)
+        params_abs = self._abs_tree(
+            (self.params["unet"], self.params["controlnet"]))
+        if self._aot_ready(batch):
             eng.load(params_abs[0], params_abs[1], sched_abs, lat, hint, ctx, ctx, scale, cscales, key)
-        # mesh mode: defer to on-demand jit so GSPMD specializes on shardings
         self._engines[key_t] = eng
         return eng
 
-    def clip_engine(self, batch: int) -> Engine:
-        key_t = ("clip", batch)
+    def clip_engine(self, batch: int, clip_skip: int = 0) -> Engine:
+        key_t = ("clip", batch, clip_skip)
         if key_t in self._engines:
             return self._engines[key_t]
         cfg = self.cfg
 
         def run(clip_p, ids):
-            out = clip_text_apply(clip_p, cfg.clip, ids)
+            if clip_skip > 1:
+                from stablediffusioneo_tpu.models.text_encoding import (
+                    clip_text_apply_skip,
+                )
+
+                out = clip_text_apply_skip(clip_p, cfg.clip, ids,
+                                           clip_skip=clip_skip)
+            else:
+                out = clip_text_apply(clip_p, cfg.clip, ids)
             return out.astype(self.dtype)
 
-        eng = Engine(run, name=f"clip_b{batch}")
-        ids = jax.ShapeDtypeStruct((batch, cfg.clip.max_length), jnp.int32)
-        params_abs = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params["clip"]
-        )
-        if self.mesh is None:
+        eng = Engine(run, name=f"clip_b{batch}"
+                     + (f"_skip{clip_skip}" if clip_skip > 1 else ""))
+        ids = self._abs_data((batch, cfg.clip.max_length), jnp.int32)
+        params_abs = self._abs_tree(self.params["clip"])
+        if self._aot_ready(batch):
             eng.load(params_abs, ids)
-        # mesh mode: defer to on-demand jit so GSPMD specializes on shardings
         self._engines[key_t] = eng
         return eng
 
@@ -284,13 +390,10 @@ class CNSDRuntime:
         # no donation: the latent is tiny and users may decode it twice
         eng = Engine(run, name=f"decoder_b{batch}_{h}x{w}")
         f = self.cfg.vae.downsample_factor
-        z = jax.ShapeDtypeStruct((batch, h // f, w // f, 4), self.dtype)
-        params_abs = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params["vae"]
-        )
-        if self.mesh is None:
+        z = self._abs_data((batch, h // f, w // f, 4), self.dtype)
+        params_abs = self._abs_tree(self.params["vae"])
+        if self._aot_ready(batch):
             eng.load(params_abs, z)
-        # mesh mode: defer to on-demand jit so GSPMD specializes on shardings
         self._engines[key_t] = eng
         return eng
 
@@ -308,14 +411,11 @@ class CNSDRuntime:
             return z
 
         eng = Engine(run, name=f"encoder_b{batch}_{h}x{w}")
-        img = jax.ShapeDtypeStruct((batch, h, w, 3), self.dtype)
-        key = jax.ShapeDtypeStruct((2,), jnp.uint32)
-        params_abs = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), self.params["vae"]
-        )
-        if self.mesh is None:
+        img = self._abs_data((batch, h, w, 3), self.dtype)
+        key = self._abs_rep((2,), jnp.uint32)
+        params_abs = self._abs_tree(self.params["vae"])
+        if self._aot_ready(batch):
             eng.load(params_abs, img, key)
-        # mesh mode: defer to on-demand jit so GSPMD specializes on shardings
         self._engines[key_t] = eng
         return eng
 
@@ -331,10 +431,70 @@ class CNSDRuntime:
         return jax.device_put(np.asarray(x) if not hasattr(x, "sharding") else x,
                               data_sharding(self.mesh, nd))
 
-    def encode_prompt(self, ids: np.ndarray) -> jax.Array:
-        return self.clip_engine(ids.shape[0])(
+    def _put_rep(self, x):
+        """device_put replicated when a mesh is configured (AOT-compiled
+        mesh executables expect committed, correctly-sharded inputs)."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(jnp.asarray(x), NamedSharding(self.mesh, P()))
+
+    # ---------------------------------------------- abstract-arg builders
+
+    def _aot_ready(self, batch: int) -> bool:
+        """AOT under a mesh needs the batch to tile the dp axis; otherwise
+        fall back to on-demand jit (GSPMD then specializes at call time)."""
+        if self.mesh is None:
+            return True
+        return batch % self.mesh.shape.get("dp", 1) == 0
+
+    def _abs_tree(self, tree):
+        """Abstract tree carrying the params' REAL shardings in mesh mode,
+        so mesh engines AOT-compile the same GSPMD program they run."""
+        if self.mesh is None:
+            return jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree)
+        return jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                           sharding=x.sharding), tree)
+
+    def _abs_data(self, shape, dtype):
+        """Batch-dp-sharded abstract array (replicated without a mesh)."""
+        if self.mesh is None:
+            return jax.ShapeDtypeStruct(shape, dtype)
+        from stablediffusioneo_tpu.parallel.mesh import data_sharding
+
+        return jax.ShapeDtypeStruct(shape, dtype,
+                                    sharding=data_sharding(self.mesh, len(shape)))
+
+    def _abs_rep(self, shape, dtype):
+        if self.mesh is None:
+            return jax.ShapeDtypeStruct(shape, dtype)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.ShapeDtypeStruct(shape, dtype,
+                                    sharding=NamedSharding(self.mesh, P()))
+
+    def encode_prompt(self, ids: np.ndarray, clip_skip: int = 0) -> jax.Array:
+        return self.clip_engine(ids.shape[0], clip_skip)(
             self.params["clip"], self._put_batch(jnp.asarray(ids))
         )
+
+    def encode_prompt_windowed(
+        self, tokenizer, texts, windows: int = 3, clip_skip: int = 0
+    ) -> jax.Array:
+        """Long-prompt conditioning through the compiled CLIP engine: the
+        hack_everything 3x77 windowing (cldm/hack.py:32-68). (B, windows, 77)
+        ids run as one batch-(B*windows) engine call, reshaped to
+        (B, windows*77, hidden) — one extra fixed shape bucket, no dynamic
+        token-length profiles."""
+        from stablediffusioneo_tpu.models.text_encoding import tokenize_windowed
+
+        ids = tokenize_windowed(tokenizer, texts, windows=windows)
+        b, f, l = ids.shape
+        y = self.encode_prompt(ids.reshape(b * f, l), clip_skip=clip_skip)
+        return y.reshape(b, f * l, -1)
 
     def sample(
         self,
@@ -354,9 +514,10 @@ class CNSDRuntime:
         b, lh, lw, _ = x_T.shape
         f = self.cfg.vae.downsample_factor
         eng = self.sampler_engine(num_steps, b, lh * f, lw * f, guess_mode,
-                                  sampler, encoder_cache_interval)
+                                  sampler, encoder_cache_interval,
+                                  ctx_len=ctx_cond.shape[1])
         sched = self._make_schedule(num_steps, sampler, eta=eta)
-        sched = {k: jnp.asarray(v) for k, v in sched.items()}
+        sched = {k: self._put_rep(v) for k, v in sched.items()}
         if guess_mode:
             from stablediffusioneo_tpu.models.controlnet import guess_mode_scales
 
@@ -374,19 +535,27 @@ class CNSDRuntime:
             self._put_batch(hint.astype(self.dtype)),
             self._put_batch(ctx_cond.astype(self.dtype)),
             self._put_batch(ctx_uncond.astype(self.dtype)),
-            jnp.asarray(guidance_scale, jnp.float32), cscales, key,
+            self._put_rep(jnp.asarray(guidance_scale, jnp.float32)),
+            self._put_rep(cscales), self._put_rep(key),
         )
 
-    def decode_latent(self, z: jax.Array) -> np.ndarray:
+    def decode_latent_device(self, z: jax.Array) -> jax.Array:
+        """VAE decode to uint8 pixels, left on device (callers that want to
+        time or overlap the host fetch separately use this + np.asarray)."""
         b, lh, lw, _ = z.shape
         f = self.cfg.vae.downsample_factor
         eng = self.decoder_engine(b, lh * f, lw * f)
-        return np.asarray(eng(self.params["vae"], self._put_batch(z.astype(self.dtype))))
+        return eng(self.params["vae"], self._put_batch(z.astype(self.dtype)))
+
+    def decode_latent(self, z: jax.Array) -> np.ndarray:
+        return np.asarray(self.decode_latent_device(z))
 
     def encode_image(self, img: jax.Array, key: jax.Array) -> jax.Array:
         b, h, w, _ = img.shape
         eng = self.encoder_engine(b, h, w)
-        return eng(self.params["vae"], img.astype(self.dtype), key)
+        return eng(self.params["vae"],
+                   self._put_batch(img.astype(self.dtype)),
+                   self._put_rep(key))
 
     def report(self) -> str:
         """Engine census: one line per compiled engine with FLOPs/memory
@@ -403,12 +572,20 @@ class CNSDRuntime:
                     f"{fl/1e9:.1f} GFLOP, temp {mem/1e6:.0f} MB"
                 )
             else:
-                lines.append(f"{eng.name}: on-demand jit")
+                reason = f" ({eng.load_error})" if eng.load_error else ""
+                lines.append(f"{eng.name}: on-demand jit{reason}")
         return "\n".join(lines)
 
-    def warmup(self, resolution: int = 256, num_steps: int = 1, batch: int = 1):
+    def warmup(self, resolution: int = 256, num_steps: int = 1, batch: int = 1,
+               allow_fallback: bool = False):
         """Boot-time self-test, mirroring hackathon.warm_up
-        (canny2image_TRT.py:33-50): compile + run every engine once."""
+        (canny2image_TRT.py:33-50): compile + run every engine once.
+
+        Fails LOUDLY if any flagship engine silently degraded to on-demand
+        jit (an AOT failure at warmup means a real bug — bad shapes, OOM —
+        not a missing plan; pass allow_fallback=True to keep the old
+        graceful behavior, and note mesh-mode engines intentionally defer
+        to jit so GSPMD can specialize on argument shardings)."""
         assert resolution % 64 == 0, "resolutions are /64 by resize_image contract"
         h = w = resolution
         ids = np.zeros((batch, self.cfg.clip.max_length), np.int32)
@@ -419,4 +596,20 @@ class CNSDRuntime:
         hint = jnp.zeros((batch, h, w, 3), self.dtype)
         z = self.sample(num_steps, x_T, hint, ctx, ctx, key)
         img = self.decode_latent(z)
+        img_fused = np.asarray(self.sample_decode(
+            num_steps, x_T, hint, ctx, ctx, key))
+        if img_fused.shape != img.shape:
+            raise RuntimeError(
+                f"warmup self-test: fused sample_decode shape "
+                f"{img_fused.shape} != granular path {img.shape}")
+        if self.mesh is None and not allow_fallback:
+            fell_back = [
+                (eng.name, eng.load_error)
+                for eng in self._engines.values()
+                if eng.get_engine_infor().get("compiled") is False
+            ]
+            if fell_back:
+                raise RuntimeError(
+                    "warmup: engines fell back to on-demand jit instead of "
+                    f"AOT-compiling: {fell_back}")
         return img.shape

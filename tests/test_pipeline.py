@@ -69,7 +69,7 @@ class TestEngine:
         shape = rt.warmup(resolution=64, num_steps=1)
         assert shape == (1, 64, 64, 3)
         kinds = {k[0] for k in rt._engines}
-        assert kinds == {"clip", "sampler", "decoder"}
+        assert kinds == {"clip", "sampler", "decoder", "sample_decode"}
 
     def test_encode_image(self, tiny_params):
         rt = CNSDRuntime(tiny_params, CFG, persistent_cache=False)
@@ -79,6 +79,26 @@ class TestEngine:
 
 
 class TestCanny2Image:
+    def test_warmup_fails_loud_on_aot_fallback(self, tiny_params, monkeypatch):
+        """A real AOT failure at warmup must raise, not silently degrade to
+        on-demand jit (VERDICT: deliberate shape bug -> warmup raises)."""
+        from stablediffusioneo_tpu.runtime import engine as eng_mod
+
+        rt = CNSDRuntime(tiny_params, CFG, persistent_cache=False)
+
+        def broken_load(self, *a, **k):
+            self._compiled = None
+            self.load_error = "SimulatedError: deliberate AOT failure"
+            return self
+
+        monkeypatch.setattr(eng_mod.Engine, "load", broken_load)
+        with pytest.raises(RuntimeError, match="on-demand jit"):
+            rt.warmup(64, 1)
+        # explicit opt-out keeps the graceful-degrade behavior
+        rt2 = CNSDRuntime(tiny_params, CFG, persistent_cache=False)
+        rt2.warmup(64, 1, allow_fallback=True)
+        assert "on-demand jit" in rt2.report()
+
     def test_process_surface(self, tiny_params, rng):
         pipe = Canny2ImagePipeline(
             tiny_params, toy_tokenizer(max_length=CFG.clip.max_length), CFG,
@@ -97,6 +117,32 @@ class TestCanny2Image:
         # resize_image rounds to /64: short side 60->64
         assert sample.shape[0] % 64 == 0 and sample.shape[1] % 64 == 0
         assert pipe.last_timings["total_ms"] > 0
+
+    def test_long_prompt_windowed_and_clip_skip(self, tiny_params, rng):
+        """A prompt overflowing one CLIP window must auto-route through the
+        3x77-style windowed encoder (hack_everything, cldm/hack.py:32-68:
+        tiny config -> 3x16 = ctx_len 48) and still produce an image;
+        clip_skip=2 must change the conditioning (hack.py:40-44)."""
+        pipe = Canny2ImagePipeline(
+            tiny_params, toy_tokenizer(max_length=CFG.clip.max_length), CFG,
+            persistent_cache=False,
+        )
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        big_prompt = " ".join(f"tokenword{i}" for i in range(40))  # >> 14 body tokens
+        kwargs = dict(num_samples=1, image_resolution=64, ddim_steps=1,
+                      seed=7, a_prompt="", n_prompt="plain")
+        out = pipe.process(img, big_prompt, long_prompt=True, **kwargs)
+        assert out[1].dtype == np.uint8
+        # the windowed bucket produced a ctx-48 (fused) sampler engine
+        assert any(k[0] in ("sampler", "sample_decode")
+                   and k[-1] == 3 * CFG.clip.max_length
+                   for k in pipe.runtime._engines)
+        # same prompt, explicit short path must also work and differ
+        short = pipe.process(img, "a bird", **kwargs)
+        assert not np.array_equal(out[1], short[1])
+        # clip_skip changes conditioning -> different image, same seed
+        skipped = pipe.process(img, "a bird", clip_skip=2, **kwargs)
+        assert not np.array_equal(short[1], skipped[1])
 
     def test_seed_determinism_and_guess_mode(self, tiny_params, rng):
         pipe = Canny2ImagePipeline(

@@ -543,7 +543,151 @@ class TestDPTHybrid:
         assert np.isfinite(np.asarray(logits)).all()
 
 
+def _torch_mlsd_large():
+    """Full-architecture torch mirror of MobileV2-MLSD-Large with the
+    upstream `mlsd_large_512_fp32.pth` state-dict naming (the pattern used
+    for the OpenPose body/hand mirrors): torchvision-style MobileNetV2
+    backbone + A/B/C decoder blocks."""
+    import stablediffusioneo_tpu.annotators.mlsd_net as mn
+
+    def conv_bn_relu6(cin, cout, k=3, stride=1, groups=1):
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, k, stride, (k - 1) // 2, groups=groups,
+                      bias=False),
+            nn.BatchNorm2d(cout),
+            nn.ReLU6(inplace=False),
+        )
+
+    class InvertedResidual(nn.Module):
+        def __init__(self, cin, cout, stride, expand_ratio):
+            super().__init__()
+            hidden = cin * expand_ratio
+            self.use_res = stride == 1 and cin == cout
+            layers = []
+            if expand_ratio != 1:
+                layers.append(conv_bn_relu6(cin, hidden, k=1))
+            layers.extend([
+                conv_bn_relu6(hidden, hidden, stride=stride, groups=hidden),
+                nn.Conv2d(hidden, cout, 1, bias=False),
+                nn.BatchNorm2d(cout),
+            ])
+            self.conv = nn.Sequential(*layers)
+
+        def forward(self, x):
+            return x + self.conv(x) if self.use_res else self.conv(x)
+
+    class Backbone(nn.Module):
+        def __init__(self):
+            super().__init__()
+            feats = [conv_bn_relu6(4, 32, stride=2)]
+            cin = 32
+            for t, c, n, s in mn._MBV2_CFG:
+                for i in range(n):
+                    feats.append(InvertedResidual(cin, c, s if i == 0 else 1, t))
+                    cin = c
+            self.features = nn.Sequential(*feats)
+
+        def forward(self, x):
+            taps = []
+            for i, m in enumerate(self.features):
+                x = m(x)
+                if i in mn._TAPS:
+                    taps.append(x)
+            return taps
+
+    def conv_bn(cin, cout, k=1, dilation=1):
+        pad = dilation * (k - 1) // 2
+        return nn.Sequential(
+            nn.Conv2d(cin, cout, k, padding=pad, dilation=dilation, bias=False),
+            nn.BatchNorm2d(cout),
+        )
+
+    class BlockA(nn.Module):
+        def __init__(self, c_shallow, c_deep, upscale=True):
+            super().__init__()
+            self.conv1 = conv_bn(c_deep, 64)     # deep
+            self.conv2 = conv_bn(c_shallow, 64)  # shallow
+            self.upscale = upscale
+
+        def forward(self, shallow, deep):
+            a = F.relu(self.conv1(deep))
+            b = F.relu(self.conv2(shallow))
+            if self.upscale:
+                a = F.interpolate(a, scale_factor=2.0, mode="bilinear",
+                                  align_corners=False)
+            return torch.cat([a, b], dim=1)
+
+    class BlockB(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = conv_bn(128, 64, k=3)
+            self.conv2 = conv_bn(64, 64, k=3)
+
+        def forward(self, x):
+            return self.conv2(F.relu(self.conv1(x)))
+
+    class BlockC(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = conv_bn(64, 64, k=3, dilation=5)
+            self.conv2 = conv_bn(64, 64, k=3)
+            self.conv3 = nn.Conv2d(64, 16, 1, bias=True)
+
+        def forward(self, x):
+            x = F.relu(self.conv1(x))
+            x = F.relu(self.conv2(x))
+            return self.conv3(x)
+
+    class MLSDLarge(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = Backbone()
+            self.block15 = BlockA(64, 96, upscale=False)
+            self.block16 = BlockB()
+            self.block17 = BlockA(32, 64)
+            self.block18 = BlockB()
+            self.block19 = BlockA(24, 64)
+            self.block20 = BlockB()
+            self.block21 = BlockA(16, 64)
+            self.block22 = BlockB()
+            self.block23 = BlockC()
+
+        def forward(self, x):
+            c1, c2, c3, c4, c5 = self.backbone(x)
+            h = self.block16(self.block15(c4, c5))
+            h = self.block18(self.block17(c3, h))
+            h = self.block20(self.block19(c2, h))
+            h = self.block22(self.block21(c1, h))
+            return self.block23(h)
+
+    return MLSDLarge()
+
+
 class TestMLSDNet:
+    def test_full_net_parity_vs_torch_mirror(self, rng):
+        """Numeric A/B at full architecture through the real state-dict
+        naming + BN folding (the strongest surrogate available without the
+        upstream weights)."""
+        import stablediffusioneo_tpu.annotators.mlsd_net as mn
+
+        torch.manual_seed(3)
+        tm = _torch_mlsd_large().eval()
+        # randomize BN stats so folding is actually exercised
+        with torch.no_grad():
+            for m in tm.modules():
+                if isinstance(m, nn.BatchNorm2d):
+                    m.running_mean.uniform_(-0.2, 0.2)
+                    m.running_var.uniform_(0.7, 1.5)
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        params = mn.convert_mlsd_large(sd)
+        x = rng.standard_normal((1, 64, 64, 4), dtype=np.float32) * 0.5
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+        out = np.asarray(mn.mlsd_large_apply(params, jnp.asarray(x)))
+        assert out.shape == (1, 32, 32, 16)
+        np.testing.assert_allclose(
+            out, np.transpose(ref, (0, 2, 3, 1)), rtol=2e-3, atol=2e-4)
+
     def test_convert_and_apply(self):
         """Structural: generated upstream-named state dict -> 16-ch tpMap."""
         import stablediffusioneo_tpu.annotators.mlsd_net as mn
