@@ -83,7 +83,12 @@ def main():
     log(f"param init (zeros, {n_params/1e6:.0f}M params): {time.perf_counter()-t0:.1f}s")
 
     tok = toy_tokenizer(vocab_size=cfg.clip.vocab_size, max_length=cfg.clip.max_length)
-    pipe = Canny2ImagePipeline(params, tok, cfg)
+    int8 = os.environ.get("BENCH_INT8", "0") == "1"
+    if int8:
+        from stablediffusioneo_tpu.ops.dispatch import set_kernels
+
+        set_kernels(int8_linear=True)
+    pipe = Canny2ImagePipeline(params, tok, cfg, quantize_linears=int8)
     del params  # runtime holds the bf16 copy
 
     rng = np.random.default_rng(2946901)

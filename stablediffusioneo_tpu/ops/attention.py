@@ -37,6 +37,9 @@ def _use_flash(q, k, mask) -> bool:
         # measured on v5e: the kernel wins once logits would be HBM-sized;
         # below 1024 query tokens XLA keeps everything fused on-chip anyway
         and q.shape[-2] >= 1024
+        # NOTE kv is deliberately NOT gated: restricting the kernel to
+        # long-KV self-attention (kv >= 1024) measured SLOWER e2e
+        # (0.787 vs 0.750 s) — the kernel beats XLA even at kv=77 here
         and kernels_enabled("flash_attention")
         and fused_attention_supported(q.shape, k.shape[-2], q.dtype)
     )

@@ -24,6 +24,9 @@ _FLAGS: Dict[str, bool] = {
     # rematerialize UNet blocks under grad (training memory <-> +compute);
     # off for inference (no residuals are stored anyway)
     "remat": os.environ.get("SDEO_REMAT", "0") == "1",
+    # int8 weight-only linears: Pallas fused dequant-matmul kernel for
+    # params converted via quantize_linear_tree (off = XLA dequant+matmul)
+    "int8_linear": os.environ.get("SDEO_INT8_PALLAS", "0") == "1",
 }
 
 

@@ -105,6 +105,10 @@ def conv2d(
 
 
 def linear(x: jax.Array, p: dict) -> jax.Array:
+    if "w_q" in p:  # int8 weight-only (ops/pallas/quant.py wiring)
+        from stablediffusioneo_tpu.ops.pallas.quant import quantized_linear
+
+        return quantized_linear(x, p)
     out = jnp.matmul(x, p["w"].astype(x.dtype), precision=mm_precision(x.dtype))
     if "b" in p:
         out = out + p["b"].astype(x.dtype)

@@ -73,8 +73,12 @@ def group_norm(
     # with the old astype(f32)-then-normalize form, XLA materialized every
     # conv-feeding-a-norm in fp32 — 2x the HBM write+read bytes (measured:
     # f32[...] conv fusions in the 512x512 xplane profile, ~12 ms/step).
+    # square in the input dtype, accumulate in fp32: an explicit
+    # astype(f32)-then-square gives XLA a convert op to CSE with s1's
+    # internal convert, which re-materializes the full f32 tensor
+    # (measured: convert_multiply_fusion with dual f32+bf16 outputs)
     s1 = jnp.sum(xg, axis=(1, 3), dtype=jnp.float32)
-    s2 = jnp.sum(jnp.square(xg.astype(jnp.float32)), axis=(1, 3))
+    s2 = jnp.sum(jnp.square(xg), axis=(1, 3), dtype=jnp.float32)
     mean = s1 / cnt                        # (n, groups) fp32
     var = s2 / cnt - jnp.square(mean)
     rstd = jax.lax.rsqrt(var + eps)
@@ -125,7 +129,7 @@ def layer_norm(
         var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
         return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
     s1 = jnp.sum(x, axis=-1, keepdims=True, dtype=jnp.float32)
-    s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True, dtype=jnp.float32)
     mean = s1 / c
     var = s2 / c - jnp.square(mean)
     rstd = jax.lax.rsqrt(var + eps)

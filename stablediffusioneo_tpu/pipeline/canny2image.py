@@ -52,11 +52,14 @@ class Canny2ImagePipeline:
         cfg: Optional[PipelineConfig] = None,
         persistent_cache: bool = True,
         annotator=None,
+        quantize_linears: bool = False,
     ):
         self.cfg = cfg or sd15_pipeline()
         self.tokenizer = tokenizer
         self.apply_canny = annotator or CannyDetector()
-        self.runtime = CNSDRuntime(params, self.cfg, persistent_cache=persistent_cache)
+        self.runtime = CNSDRuntime(params, self.cfg,
+                                   persistent_cache=persistent_cache,
+                                   quantize_linears=quantize_linears)
         self.last_timings: Dict[str, float] = {}
 
     # -------------------------------------------------------------- bring-up

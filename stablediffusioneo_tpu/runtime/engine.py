@@ -144,10 +144,16 @@ class CNSDRuntime:
         persistent_cache: bool = True,
         cache_dir: Optional[str] = None,
         mesh=None,
+        quantize_linears: bool = False,
     ):
         """mesh: optional jax.sharding.Mesh (from parallel.make_mesh) for
         multi-chip serving — params get tp shardings, batches shard over dp
-        (GSPMD inserts the ICI collectives). None = single-chip."""
+        (GSPMD inserts the ICI collectives). None = single-chip.
+
+        quantize_linears: int8 weight-only on the UNet/ControlNet
+        transformer linears (per-channel symmetric; ops/pallas/quant.py) —
+        halves their weight HBM traffic vs bf16. Quality-gated in
+        tests/test_pipeline.py; keep off when exact torch parity matters."""
         if persistent_cache:
             enable_persistent_cache(cache_dir)
         self.cfg = cfg
@@ -164,6 +170,17 @@ class CNSDRuntime:
             else x,
             params,
         )
+        if quantize_linears:
+            # after the bf16 cast so the per-channel scales stay fp32
+            from stablediffusioneo_tpu.ops.pallas.quant import (
+                quantize_linear_tree,
+            )
+
+            cast = dict(cast)
+            for name in ("unet", "controlnet"):
+                cast[name], n_q = quantize_linear_tree(cast[name])
+                log.info("int8 weight-only: %d linears quantized in %s",
+                         n_q, name)
         if mesh is not None:
             from stablediffusioneo_tpu.parallel.mesh import shard_params
 

@@ -193,6 +193,41 @@ class TestSD15Topology:
         np.testing.assert_allclose(out, nhwc(ref), rtol=RTOL, atol=1e-3)
 
 
+class TestVAEFullTopology:
+    def test_vae_parity_sd15_mult(self, rng):
+        """VAE at SD-1.5 channel multipliers (1,2,4,4): exercises the
+        nin_shortcut converter branch (channel-changing res blocks), which
+        the tiny (1,1,1,1) config never hits, plus the asymmetric
+        downsample pad at every level (model.py Encoder/Decoder)."""
+        from stablediffusioneo_tpu.config import VAEConfig
+        from stablediffusioneo_tpu.checkpoint.convert import convert_vae
+        from stablediffusioneo_tpu.models import vae_decode, vae_encode
+        from torch_ref import TorchVAE
+
+        vcfg = VAEConfig(ch=16, ch_mult=(1, 2, 4, 4), num_res_blocks=2,
+                         groups=8)
+        torch.manual_seed(5)
+        tv = TorchVAE(vcfg).eval()
+        sd = {k: v.detach().numpy() for k, v in tv.state_dict().items()}
+        # channel-changing blocks must exist in the real naming
+        assert any("nin_shortcut" in k for k in sd)
+        params = convert_vae(sd, vcfg, prefix="")
+        x = rng.standard_normal((1, 64, 64, 3), dtype=np.float32)
+        with torch.no_grad():
+            ref_m = tv.encode_moments(torch.from_numpy(nchw(x))).numpy()
+        dist = vae_encode(params, vcfg, jnp.asarray(x))
+        moments = np.concatenate(
+            [np.asarray(dist.mean), np.asarray(2.0 * jnp.log(dist.std))],
+            axis=-1)
+        np.testing.assert_allclose(moments, nhwc(ref_m), rtol=ATOL, atol=ATOL)
+
+        z = rng.standard_normal((1, 8, 8, vcfg.z_channels), dtype=np.float32)
+        with torch.no_grad():
+            ref_img = tv.decode(torch.from_numpy(nchw(z))).numpy()
+        img = np.asarray(vae_decode(params, vcfg, jnp.asarray(z), scaled=False))
+        np.testing.assert_allclose(img, nhwc(ref_img), rtol=ATOL, atol=ATOL)
+
+
 class TestSD2xTopologyHeadChannels:
     def test_unet_parity_head_channels(self, rng):
         """SD-2.x num_head_channels mode at full depth: heads computed
