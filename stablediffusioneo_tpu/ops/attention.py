@@ -128,12 +128,27 @@ def multi_head_attention(
         k, v = jnp.split(kv, 2, axis=-1)
         tk = context.shape[1]
 
-    q = q.reshape(b, tq, num_heads, head_dim).transpose(0, 2, 1, 3)
-    k = k.reshape(b, tk, num_heads, head_dim).transpose(0, 2, 1, 3)
-    v = v.reshape(b, tk, num_heads, head_dim).transpose(0, 2, 1, 3)
+    from stablediffusioneo_tpu.ops.dispatch import kernels_enabled
+    from stablediffusioneo_tpu.ops.pallas.attention import (
+        fused_attention_packed,
+        fused_attention_packed_supported,
+    )
 
-    out = attention(q, k, v, mask=mask)
-    out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
+    if (mask is None
+            and tq >= 1024
+            and kernels_enabled("flash_attention")
+            and fused_attention_packed_supported(
+                (b, tq, inner), tk, num_heads, q.dtype)):
+        # head-packed kernel: per-head column slicing happens in the kernel's
+        # BlockSpecs, so the (B,T,H,D)<->(B,H,T,D) relayouts disappear
+        out = fused_attention_packed(q, k, v, num_heads,
+                                     scale=head_dim ** -0.5)
+    else:
+        qh = q.reshape(b, tq, num_heads, head_dim).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, tk, num_heads, head_dim).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, tk, num_heads, head_dim).transpose(0, 2, 1, 3)
+        out = attention(qh, kh, vh, mask=mask)
+        out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
     out = jnp.matmul(out, wo, precision=mm_precision(out.dtype))
     if bo is not None:
         out = out + bo

@@ -126,3 +126,37 @@ class TestFusedAttention:
 
         assert fused_attention_supported((2, 8, 4096, 40), 4096, jnp.bfloat16)
         assert not fused_attention_supported((2, 8, 100, 40), 100, jnp.bfloat16)
+
+    @pytest.mark.parametrize("b,h,t,s,d", [(2, 4, 256, 256, 40),
+                                           (2, 8, 256, 77, 40),
+                                           (1, 8, 128, 128, 80)])
+    def test_packed_vs_reference(self, rng, b, h, t, s, d):
+        """Head-packed kernel (heads sliced in-kernel, no caller transposes)
+        vs the reference attention math."""
+        from stablediffusioneo_tpu.ops.attention import attention
+        from stablediffusioneo_tpu.ops.pallas.attention import (
+            fused_attention_packed,
+        )
+
+        q = jnp.asarray(rng.standard_normal((b, t, h * d), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((b, s, h * d), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((b, s, h * d), dtype=np.float32))
+        out = np.asarray(fused_attention_packed(q, k, v, h, scale=d ** -0.5,
+                                                interpret=True))
+        qh = jnp.transpose(q.reshape(b, t, h, d), (0, 2, 1, 3))
+        kh = jnp.transpose(k.reshape(b, s, h, d), (0, 2, 1, 3))
+        vh = jnp.transpose(v.reshape(b, s, h, d), (0, 2, 1, 3))
+        ref = np.asarray(attention(qh, kh, vh))
+        ref = np.transpose(ref, (0, 2, 1, 3)).reshape(b, t, h * d)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    def test_packed_support_predicate(self):
+        from stablediffusioneo_tpu.ops.pallas.attention import (
+            fused_attention_packed_supported,
+        )
+
+        # the SD-1.5 512px shapes: self-attn ds=1/2, cross-attn kv=77
+        assert fused_attention_packed_supported((2, 4096, 320), 4096, 8, jnp.bfloat16)
+        assert fused_attention_packed_supported((2, 4096, 320), 77, 8, jnp.bfloat16)
+        assert fused_attention_packed_supported((2, 1024, 640), 1024, 8, jnp.bfloat16)
+        assert not fused_attention_packed_supported((2, 100, 320), 100, 8, jnp.bfloat16)
