@@ -132,6 +132,29 @@ def reassemble(params: Dict, hooked: List[jax.Array], gh: int, gw: int
 # ------------------------------------------------------------- fusion + head
 
 
+def _up2x_align_corners(x: jax.Array) -> jax.Array:
+    """Bilinear 2x upsample with ALIGN_CORNERS=True — the DPT fusion/head
+    convention (midas/blocks.py:223,336, dpt_depth.py:94). jax.image.resize
+    only does half-pixel (align_corners=False), so interpolate explicitly:
+    out coord i maps to src i*(h-1)/(2h-1)."""
+    n, h, w, c = x.shape
+
+    def axis_interp(arr, size, axis):
+        src = jnp.arange(2 * size) * ((size - 1) / (2 * size - 1))
+        i0 = jnp.floor(src).astype(jnp.int32)
+        i1 = jnp.minimum(i0 + 1, size - 1)
+        f = (src - i0).astype(arr.dtype)
+        shape = [1] * arr.ndim
+        shape[axis] = 2 * size
+        f = f.reshape(shape)
+        a = jnp.take(arr, i0, axis=axis)
+        b = jnp.take(arr, i1, axis=axis)
+        return a * (1 - f) + b * f
+
+    x = axis_interp(x, h, 1)
+    return axis_interp(x, w, 2)
+
+
 def _residual_conv_unit(p: Dict, x: jax.Array) -> jax.Array:
     h = jax.nn.relu(x)
     h = conv2d(h, p["conv1"], padding=1)
@@ -144,8 +167,7 @@ def _fusion_block(p: Dict, x: jax.Array, skip: Optional[jax.Array]) -> jax.Array
     if skip is not None:
         x = x + _residual_conv_unit(p["rcu1"], skip)
     x = _residual_conv_unit(p["rcu2"], x)
-    n, h, w, c = x.shape
-    x = jax.image.resize(x, (n, h * 2, w * 2, c), method="bilinear")
+    x = _up2x_align_corners(x)  # align_corners=True (blocks.py:336)
     return conv2d(x, p["out_conv"], padding=0)
 
 
@@ -160,8 +182,7 @@ def dpt_apply(params: Dict, x: jax.Array) -> jax.Array:
     path = _fusion_block(f["refine1"], path, l1)
     h = params["head"]
     y = conv2d(path, h["conv1"], padding=1)
-    n, hh, ww, c = y.shape
-    y = jax.image.resize(y, (n, hh * 2, ww * 2, c), method="bilinear")
+    y = _up2x_align_corners(y)  # align_corners=True (dpt_depth.py:94)
     y = jax.nn.relu(conv2d(y, h["conv2"], padding=1))
     y = jax.nn.relu(conv2d(y, h["conv3"], padding=0))
     return y[..., 0]

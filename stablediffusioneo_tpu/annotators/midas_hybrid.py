@@ -27,6 +27,7 @@ from stablediffusioneo_tpu.ops.norms import layer_norm
 from stablediffusioneo_tpu.annotators.midas import (
     _fusion_block,
     _readout_project,
+    _up2x_align_corners,
     _vit_block,
     _resize_pos_embed,
 )
@@ -133,8 +134,7 @@ def dpt_hybrid_apply(params: Dict, x: jax.Array) -> jax.Array:
     path = _fusion_block(f["refine1"], path, l1)
     h = params["head"]
     y = conv2d(path, h["conv1"], padding=1)
-    n2, hh, ww, cc = y.shape
-    y = jax.image.resize(y, (n2, hh * 2, ww * 2, cc), method="bilinear")
+    y = _up2x_align_corners(y)  # align_corners=True (dpt_depth.py:94)
     y = jax.nn.relu(conv2d(y, h["conv2"], padding=1))
     y = jax.nn.relu(conv2d(y, h["conv3"], padding=0))
     return y[..., 0]
