@@ -73,10 +73,13 @@ def group_norm(
     # with the old astype(f32)-then-normalize form, XLA materialized every
     # conv-feeding-a-norm in fp32 — 2x the HBM write+read bytes (measured:
     # f32[...] conv fusions in the 512x512 xplane profile, ~12 ms/step).
-    # square in the input dtype, accumulate in fp32: an explicit
-    # astype(f32)-then-square gives XLA a convert op to CSE with s1's
-    # internal convert, which re-materializes the full f32 tensor
-    # (measured: convert_multiply_fusion with dual f32+bf16 outputs)
+    # square in the input dtype, accumulate in fp32. NOTE two alternatives
+    # measured SLOWER e2e: astype(f32)-then-square (XLA CSEs the convert and
+    # materializes the f32 tensor), and MXU-dot stats via einsum (0.742 vs
+    # 0.683 s — the dots force their own operand relayouts). XLA still
+    # producer-fuses the square+convert into the upstream conv (dual
+    # (f32, bf16) fusion outputs in the optimized HLO) — known remaining
+    # headroom, see docs/performance.md.
     s1 = jnp.sum(xg, axis=(1, 3), dtype=jnp.float32)
     s2 = jnp.sum(jnp.square(xg), axis=(1, 3), dtype=jnp.float32)
     mean = s1 / cnt                        # (n, groups) fp32
