@@ -39,7 +39,22 @@ except ImportError:  # pragma: no cover
     pltpu = None
     _HAS_PLTPU = False
 
-_VMEM_BUDGET = 14 * 1024 * 1024  # v5e scoped vmem is 16M; leave 2M headroom
+# v5e physical VMEM is 128M; the compiler's default scoped limit is 16M.
+# We raise the kernel's limit via CompilerParams(vmem_limit_bytes) and size
+# blocks against our own budget (leaving room for Mosaic double-buffering).
+_VMEM_BUDGET = 14 * 1024 * 1024
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _compiler_params(batch: int = 1):
+    """Raised scoped-vmem limit ONLY where Mosaic's double-buffering can
+    overflow the default 16M (batch > 2; measured OOM at batch 8). The
+    raised limit is not free: unconditionally setting it changed Mosaic's
+    scheduling and cost ~40 ms e2e on the batch-1 flagship (0.688->0.725 s),
+    so small batches keep the default."""
+    if batch > 2 and _HAS_PLTPU and hasattr(pltpu, "CompilerParams"):
+        return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+    return None
 
 
 def fused_attention_supported(q_shape, kv_len: int, dtype) -> bool:
@@ -107,8 +122,13 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, heads: int):
     o_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
-def _pick_block_q_packed(tq: int, s: int, c: int) -> int:
-    # K+V slabs are full-C here; logits/p buffers are per-head (bq, S)
+def _pick_block_q_packed(tq: int, s: int, c: int, batch: int = 1) -> int:
+    # K+V slabs are full-C here; logits/p buffers are per-head (bq, S).
+    # Block sizing targets the 14M working-set budget — measured FASTER
+    # than maximizing block size (bq=512 at the 4096-token self-attn shape
+    # benched 0.770 s e2e vs 0.683 s at bq=256). Mosaic double-buffering
+    # can exceed the naive accounting (OOM at batch 8 under the default
+    # 16M scoped limit); the raised vmem_limit_bytes absorbs that.
     kv_bytes = 2 * s * c * 2
     for bq in (512, 256, 128):
         if tq % bq:
@@ -125,7 +145,7 @@ def fused_attention_packed_supported(q_shape, kv_len: int, heads: int,
     b, tq, c = q_shape
     if tq % 128 or c % heads:
         return False
-    return _pick_block_q_packed(tq, kv_len, c) > 0
+    return _pick_block_q_packed(tq, kv_len, c, b) > 0
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
@@ -147,7 +167,7 @@ def fused_attention_packed(
     for ALL heads instead of once per (head, q tile)."""
     b, tq, c = q.shape
     s = k.shape[1]
-    bq = _pick_block_q_packed(tq, s, c)
+    bq = _pick_block_q_packed(tq, s, c, b)
     assert bq > 0, f"unsupported packed attention shape {q.shape} x {k.shape}"
     q = q * jnp.asarray(scale, q.dtype)
 
@@ -159,6 +179,7 @@ def fused_attention_packed(
     return pl.pallas_call(
         functools.partial(_attn_kernel_packed, heads=heads),
         grid=(b, tq // bq),
+        compiler_params=None if interpret else _compiler_params(b),
         in_specs=[
             spec((1, bq, c), lambda bi, j: (bi, j, 0)),
             spec((1, s, c), lambda bi, j: (bi, 0, 0)),
@@ -198,6 +219,7 @@ def fused_attention(
     out = pl.pallas_call(
         _attn_kernel,
         grid=(bh, tq // bq),
+        compiler_params=None if interpret else _compiler_params(b),
         in_specs=[
             spec((1, bq, d), lambda i, j: (i, j, 0)),
             spec((1, s, d), lambda i, j: (i, 0, 0)),
