@@ -24,7 +24,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from stablediffusioneo_tpu.ops.layers import mm_precision
+from stablediffusioneo_tpu.ops.layers import matmul2d, mm_precision
 
 
 def _use_flash(q, k, mask) -> bool:
@@ -118,13 +118,13 @@ def multi_head_attention(
 
     if context is None:
         wqkv = jnp.concatenate([wq, wk, wv], axis=1)  # (C, 3*inner)
-        qkv = jnp.matmul(x, wqkv, precision=mm_precision(x.dtype))
+        qkv = matmul2d(x, wqkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         tk = tq
     else:
-        q = jnp.matmul(x, wq, precision=mm_precision(x.dtype))
+        q = matmul2d(x, wq)
         wkv = jnp.concatenate([wk, wv], axis=1)  # (Ck, 2*inner)
-        kv = jnp.matmul(context, wkv, precision=mm_precision(x.dtype))
+        kv = matmul2d(context, wkv)
         k, v = jnp.split(kv, 2, axis=-1)
         tk = context.shape[1]
 
@@ -149,7 +149,7 @@ def multi_head_attention(
         vh = v.reshape(b, tk, num_heads, head_dim).transpose(0, 2, 1, 3)
         out = attention(qh, kh, vh, mask=mask)
         out = out.transpose(0, 2, 1, 3).reshape(b, tq, inner)
-    out = jnp.matmul(out, wo, precision=mm_precision(out.dtype))
+    out = matmul2d(out, wo)
     if bo is not None:
         out = out + bo
     return out

@@ -104,12 +104,30 @@ def conv2d(
     return out
 
 
+def matmul2d(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Matmul with leading dims flattened to one row dim.
+
+    A 3D (B, T, C) x (C, N) dot makes XLA's TPU backend treat dim 0 as a
+    batch dim and pick the batch-in-lanes emitter with a token-minor
+    {1,2,0} output layout — measured ~10x below matmul speed-of-light at
+    the SD (2, 4096, 320) shapes, plus a relayout copy back to {2,1,0} at
+    every attention/FF site (xplane round 2: add_add_fusion ~2.7 ms/step +
+    copies ~1.8 ms/step). Flattening to (B*T, C) gets the canonical
+    row-major MXU emitter and a bitcast-compatible layout throughout."""
+    if x.ndim == 2:
+        return jnp.matmul(x, w, precision=mm_precision(x.dtype))
+    lead = x.shape[:-1]
+    out = jnp.matmul(x.reshape(-1, x.shape[-1]), w,
+                     precision=mm_precision(x.dtype))
+    return out.reshape(*lead, w.shape[-1])
+
+
 def linear(x: jax.Array, p: dict) -> jax.Array:
     if "w_q" in p:  # int8 weight-only (ops/pallas/quant.py wiring)
         from stablediffusioneo_tpu.ops.pallas.quant import quantized_linear
 
         return quantized_linear(x, p)
-    out = jnp.matmul(x, p["w"].astype(x.dtype), precision=mm_precision(x.dtype))
+    out = matmul2d(x, p["w"].astype(x.dtype))
     if "b" in p:
         out = out + p["b"].astype(x.dtype)
     return out
