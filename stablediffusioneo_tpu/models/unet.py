@@ -289,13 +289,25 @@ def _spatial_transformer_apply(p: dict, cfg: UNetConfig, x, context):
     n, h_, w_, c = x.shape
     residual = x
     h = group_norm(x, p["norm"]["g"], p["norm"]["b"], cfg.groups, ATTN_NORM_EPS)
-    h = conv2d(h, p["proj_in"], padding=0)
+    # proj_in/proj_out are 1x1 convs in the SD-1.5 checkpoint
+    # (attention.py:388-450 conv flavor); a 1x1 conv IS a linear over the
+    # token view, and applying it after the reshape keeps the whole
+    # transformer section in token space — the NHWC<->token boundary then
+    # crosses once per site instead of wrapping two convs in relayouts.
     h = h.reshape(n, h_ * w_, c)
+    h = linear(h, _conv1x1_as_linear(p["proj_in"]))
     for blk in p["blocks"]:
         h = transformer_block_apply(blk, cfg, h, context)
+    h = linear(h, _conv1x1_as_linear(p["proj_out"]))
     h = h.reshape(n, h_, w_, c)
-    h = conv2d(h, p["proj_out"], padding=0)
     return h + residual
+
+
+def _conv1x1_as_linear(p: dict) -> dict:
+    q = {"w": p["w"].reshape(p["w"].shape[-2], p["w"].shape[-1])}
+    if "b" in p:
+        q["b"] = p["b"]
+    return q
 
 
 def _embed_timesteps(p: dict, cfg: UNetConfig, timesteps, dtype):
