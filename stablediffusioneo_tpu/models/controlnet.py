@@ -161,11 +161,26 @@ def controlled_unet_apply(
         guided_hint=guided_hint,
     )
     if control_scales is not None:
-        control = [c * jnp.asarray(s, c.dtype) for c, s in zip(control, control_scales)]
+        control = scale_control(control, control_scales)
     return unet_apply(
         unet_params, cfg.unet, x, timesteps, context,
         control=control, only_mid_control=only_mid_control,
     )
+
+
+def scale_control(control: List[jax.Array], control_scales) -> List[jax.Array]:
+    """Apply per-tap control strengths (cldm/cldm.py:338 `outs x scales`).
+
+    control_scales: a length-13 sequence / (13,) array (one strength per
+    tap, shared across the batch — the reference semantics), or a
+    (B, 13) array for PER-SAMPLE strengths — the serving layer batches
+    requests with different `strength` values into one engine call."""
+    if isinstance(control_scales, jax.Array) and control_scales.ndim == 2:
+        return [
+            c * control_scales[:, i].astype(c.dtype)[:, None, None, None]
+            for i, c in enumerate(control)
+        ]
+    return [c * jnp.asarray(s, c.dtype) for c, s in zip(control, control_scales)]
 
 
 def guess_mode_scales(strength: float, n: int = 13) -> List[float]:

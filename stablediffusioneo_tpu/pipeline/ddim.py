@@ -82,9 +82,26 @@ def _cfg_eval(
     ctx2 = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
     eps2 = controlled_unet_apply(
         unet_params, controlnet_params, cfg, x2, None, t2, ctx2,
-        control_scales=control_scales, guided_hint=gh2,
+        control_scales=_tile_cfg(control_scales), guided_hint=gh2,
     )
     return eps2[:b], eps2[b:]
+
+
+def _tile_cfg(control_scales):
+    """Per-sample (B, 13) control scales tiled to the CFG batch-2B concat;
+    shared (13,)/list scales pass through (broadcast over batch)."""
+    if isinstance(control_scales, jax.Array) and control_scales.ndim == 2:
+        return jnp.concatenate([control_scales, control_scales], axis=0)
+    return control_scales
+
+
+def _bc_scale(scale, x):
+    """Guidance scale as a scalar (shared) or (B,) vector (per-sample,
+    serving-layer batches) broadcast against (B, H, W, C)."""
+    s = jnp.asarray(scale, x.dtype)
+    if s.ndim == 1:
+        return s.reshape(-1, *([1] * (x.ndim - 1)))
+    return s
 
 
 def ddim_scan_step(
@@ -117,7 +134,7 @@ def ddim_scan_step(
         unet_params, controlnet_params, cfg, x, guided_hint, tb,
         ctx_cond, ctx_uncond, control_scales, guess_mode,
     )
-    model_out = e_uncond + scale.astype(x.dtype) * (e_cond - e_uncond)
+    model_out = e_uncond + _bc_scale(scale, x) * (e_cond - e_uncond)
     # fp32 island for the state update: tiny per-step errors compound over
     # the scan, so x is carried in fp32 even when the nets run bf16.
     xf = x.astype(jnp.float32)
@@ -249,7 +266,8 @@ def _ddim_scan_enc_cached(
         ctrl = controlnet_apply(
             controlnet_params, cfg, x2, None, t2, ctx2, guided_hint=gh2
         )
-        ctrl = [c * control_scales[i].astype(c.dtype) for i, c in enumerate(ctrl)]
+        from stablediffusioneo_tpu.models.controlnet import scale_control
+        ctrl = scale_control(ctrl, _tile_cfg(control_scales))
         h, hs = unet_encode(unet_params, ucfg, x2, emb, ctx2)
         h = unet_middle(unet_params, ucfg, h, emb, ctx2) + ctrl[-1].astype(x2.dtype)
         merged = [s + c.astype(s.dtype) for s, c in zip(hs, ctrl[:-1])]
@@ -284,7 +302,7 @@ def _ddim_scan_enc_cached(
         cache = jax.lax.cond(is_full, do_full, do_cached, cache)
         eps2 = decode_eps(cache[0], cache[1], t2)
         e_cond, e_uncond = eps2[:b], eps2[b:]
-        model_out = e_uncond + scale.astype(x.dtype) * (e_cond - e_uncond)
+        model_out = e_uncond + _bc_scale(scale, x) * (e_cond - e_uncond)
         x_next = _ddim_update(x, model_out, per_step, key, temperature,
                               parameterization)
         return (x_next, cache), ()

@@ -27,7 +27,7 @@ import numpy as np
 from stablediffusioneo_tpu.config import ControlNetConfig
 from stablediffusioneo_tpu.models.controlnet import hint_block_apply
 from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
-from stablediffusioneo_tpu.pipeline.ddim import _cfg_eval
+from stablediffusioneo_tpu.pipeline.ddim import _bc_scale, _cfg_eval
 
 
 def dpmpp_schedule(
@@ -76,7 +76,7 @@ def dpmpp_sample_scan(
             unet_params, controlnet_params, cfg, x, guided_hint, tb,
             ctx_cond, ctx_uncond, control_scales, guess_mode,
         )
-        m = (e_u + scale.astype(x.dtype) * (e_c - e_u)).astype(jnp.float32)
+        m = (e_u + _bc_scale(scale, x) * (e_c - e_u)).astype(jnp.float32)
         xf = x.astype(jnp.float32)
         if parameterization == "v":
             return alpha * xf - sigma * m
