@@ -30,6 +30,8 @@ def main():
     other BASELINE.md tracked configs:
       batch4   — batch-4 throughput at 512x512 (images/sec/chip)
       multires — 384/512/640 bucket sweep (the onnx2trt_dynamic analog)
+      serving  — DiffusionServer cross-request batching throughput
+        (BENCH_CONCURRENCY requests, mixed prompts/scales/seeds)
     """
     mode = os.environ.get("BENCH_MODE", "default")
     resolution = int(os.environ.get("BENCH_RESOLUTION", "512"))
@@ -92,6 +94,48 @@ def main():
     del params  # runtime holds the bf16 copy
 
     rng = np.random.default_rng(2946901)
+
+    if mode == "serving":
+        from stablediffusioneo_tpu.serving import DiffusionServer, GenRequest
+
+        res = resolution
+        n_req = int(os.environ.get("BENCH_CONCURRENCY", "16"))
+        server = DiffusionServer(pipe, batch_buckets=(1, 2, 4),
+                                 max_wait_ms=30.0).start()
+        t0 = time.perf_counter()
+        server.warmup(resolutions=(res,), steps=steps)
+        log(f"[serving] warmup (3 batch buckets): {time.perf_counter()-t0:.1f}s")
+        prompts = ["a bird", "a dog on grass", "an oil painting of a ship",
+                   "a red sports car"]
+
+        def mk(i):
+            return GenRequest(
+                image=(np.random.default_rng(i).random((res, res, 3)) * 255
+                       ).astype(np.uint8),
+                prompt=prompts[i % len(prompts)], image_resolution=res,
+                ddim_steps=steps, seed=1000 + i,
+                scale=7.0 + (i % 5), strength=0.8 + 0.1 * (i % 4))
+
+        # warm pass (compiles nothing new, fills caches)
+        [f.result(timeout=900) for f in [server.submit(mk(i)) for i in range(4)]]
+        t0 = time.perf_counter()
+        futures = [server.submit(mk(i)) for i in range(n_req)]
+        for f in futures:
+            f.result(timeout=900)
+        dt = time.perf_counter() - t0
+        st = server.stats.snapshot()
+        server.stop(drain=False)
+        ips = n_req / dt
+        log(f"[serving] {n_req} reqs in {dt:.2f}s -> {ips:.3f} img/s; "
+            f"stats {st}")
+        print(json.dumps({
+            "metric": f"canny2image_{res}x{res}_{steps}step_bf16_serving_imgs_per_sec",
+            "value": round(ips, 4),
+            "unit": "img/s",
+            "vs_baseline": round(ips / 0.5, 3),  # target: 0.5 img/s/chip
+        }), flush=True)
+        return
+
     results = []
     for res in resolutions:
         # synthetic bird-ish input image

@@ -264,8 +264,8 @@ class CNSDRuntime:
         hint = self._abs_data((batch, h, w, 3), self.dtype)
         ctx = self._abs_data(
             (batch, ctx_len, self.cfg.unet.context_dim), self.dtype)
-        scale = self._abs_rep((), jnp.float32)
-        cscales = self._abs_rep((self.n_taps,), jnp.float32)
+        scale = self._abs_data((batch,), jnp.float32)
+        cscales = self._abs_data((batch, self.n_taps), jnp.float32)
         key = self._abs_rep((2,), jnp.uint32)
         params_abs = self._abs_tree(
             (self.params["unet"], self.params["controlnet"],
@@ -299,13 +299,8 @@ class CNSDRuntime:
             encoder_cache_interval, ctx_len=ctx_cond.shape[1])
         sched = self._make_schedule(num_steps, sampler, eta=eta)
         sched = {k: self._put_rep(v) for k, v in sched.items()}
-        if guess_mode:
-            from stablediffusioneo_tpu.models.controlnet import guess_mode_scales
-
-            cscales = jnp.asarray(guess_mode_scales(strength, self.n_taps),
-                                  jnp.float32)
-        else:
-            cscales = jnp.full((self.n_taps,), strength, jnp.float32)
+        scale_v, cscales = self._per_sample_scales(
+            b, guidance_scale, strength, guess_mode)
         if isinstance(x_T, jax.Array) and x_T.dtype == self.dtype:
             x_T = jnp.copy(x_T)  # donated below; see sample()
         return eng(
@@ -315,8 +310,8 @@ class CNSDRuntime:
             self._put_batch(hint.astype(self.dtype)),
             self._put_batch(ctx_cond.astype(self.dtype)),
             self._put_batch(ctx_uncond.astype(self.dtype)),
-            self._put_rep(jnp.asarray(guidance_scale, jnp.float32)),
-            self._put_rep(cscales), self._put_rep(key),
+            self._put_batch(scale_v),
+            self._put_batch(cscales), self._put_rep(key),
         )
 
     def _make_schedule(self, num_steps: int, sampler: str, eta: float = 0.0):
@@ -324,6 +319,9 @@ class CNSDRuntime:
             from stablediffusioneo_tpu.pipeline.dpm_solver import dpmpp_schedule
 
             return dpmpp_schedule(self.schedule, num_steps)
+        if sampler != "ddim":
+            raise ValueError(f"unknown sampler {sampler!r} "
+                             "(expected 'ddim' or 'dpmpp')")
         return self.schedule.ddim(num_steps, eta=eta)
 
     def sampler_engine(
@@ -355,8 +353,8 @@ class CNSDRuntime:
         ctx = self._abs_data(
             (batch, ctx_len, self.cfg.unet.context_dim), self.dtype
         )
-        scale = self._abs_rep((), jnp.float32)
-        cscales = self._abs_rep((self.n_taps,), jnp.float32)
+        scale = self._abs_data((batch,), jnp.float32)
+        cscales = self._abs_data((batch, self.n_taps), jnp.float32)
         key = self._abs_rep((2,), jnp.uint32)
         params_abs = self._abs_tree(
             (self.params["unet"], self.params["controlnet"]))
@@ -513,6 +511,29 @@ class CNSDRuntime:
         y = self.encode_prompt(ids.reshape(b * f, l), clip_skip=clip_skip)
         return y.reshape(b, f * l, -1)
 
+    def _per_sample_scales(self, batch: int, guidance_scale, strength,
+                           guess_mode: bool):
+        """Normalize guidance_scale / strength (scalar or per-sample
+        sequences) to a (B,) scale vector and a (B, n_taps) control-scales
+        matrix — one engine signature serves both uniform and mixed-request
+        (serving-layer) batches."""
+        from stablediffusioneo_tpu.models.controlnet import guess_mode_scales
+
+        gs = np.asarray(guidance_scale, np.float32).reshape(-1)
+        if gs.size == 1:
+            gs = np.full((batch,), gs[0], np.float32)
+        st = np.asarray(strength, np.float32).reshape(-1)
+        if st.size == 1:
+            st = np.full((batch,), st[0], np.float32)
+        if guess_mode:
+            cs = np.stack([
+                np.asarray(guess_mode_scales(float(s), self.n_taps))
+                for s in st
+            ]).astype(np.float32)
+        else:
+            cs = np.repeat(st[:, None], self.n_taps, axis=1)
+        return jnp.asarray(gs), jnp.asarray(cs)
+
     def sample(
         self,
         num_steps: int,
@@ -535,12 +556,8 @@ class CNSDRuntime:
                                   ctx_len=ctx_cond.shape[1])
         sched = self._make_schedule(num_steps, sampler, eta=eta)
         sched = {k: self._put_rep(v) for k, v in sched.items()}
-        if guess_mode:
-            from stablediffusioneo_tpu.models.controlnet import guess_mode_scales
-
-            cscales = jnp.asarray(guess_mode_scales(strength, self.n_taps), jnp.float32)
-        else:
-            cscales = jnp.full((self.n_taps,), strength, jnp.float32)
+        scale_v, cscales = self._per_sample_scales(
+            b, guidance_scale, strength, guess_mode)
         # x_T is donated (donate_argnums=(3,)); .astype is a no-op alias when
         # the dtype already matches, which would invalidate a caller-held x_T
         # reused across sample() calls — force a fresh buffer in that case.
@@ -552,8 +569,8 @@ class CNSDRuntime:
             self._put_batch(hint.astype(self.dtype)),
             self._put_batch(ctx_cond.astype(self.dtype)),
             self._put_batch(ctx_uncond.astype(self.dtype)),
-            self._put_rep(jnp.asarray(guidance_scale, jnp.float32)),
-            self._put_rep(cscales), self._put_rep(key),
+            self._put_batch(scale_v),
+            self._put_batch(cscales), self._put_rep(key),
         )
 
     def decode_latent_device(self, z: jax.Array) -> jax.Array:

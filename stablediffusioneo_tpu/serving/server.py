@@ -1,0 +1,324 @@
+"""DiffusionServer — cross-request batching over compiled engine buckets.
+
+The reference's app layer serves exactly one request per `process()` call
+(canny2image_TRT.py:51-92). A TPU deployment leaves most of the MXU idle
+at batch 1; this server gathers concurrent requests into batched engine
+calls:
+
+  submit(GenRequest) -> Future          (any thread)
+       | host preprocess on the caller thread (annotate, tokenize)
+       v
+  per-compatibility-group queues        (same resolution bucket / steps /
+       |                                 sampler / guess-mode / ctx shape
+       v                                 = same compiled engine signature)
+  dispatcher thread: native batch-cut policy (serving/scheduler.py,
+       |             native/scheduler.cpp) decides when to cut and how big
+       v
+  ONE batched CLIP encode + ONE batched sample_decode engine call,
+  per-request prompts / seeds / guidance scales / control strengths
+  riding the batch dimension (runtime/engine.py per-sample scales)
+       |
+       v
+  futures resolve with (detected_map, image) per request
+
+While the TPU runs one batch the queues keep accumulating — continuous
+batching. Different `scale`/`strength`/`seed`/prompts batch together;
+`eta > 0` requests only batch with identical eta (the stochastic-noise
+schedule is an engine constant) and their in-loop noise key is shared per
+batch (per-request reproducibility for eta > 0 holds only at batch 1 —
+same caveat as any batched stochastic sampler).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from stablediffusioneo_tpu.serving.scheduler import (
+    decide_cut,
+    next_deadline_ms,
+    pick_group,
+)
+
+
+@dataclass
+class GenRequest:
+    """One generation request — the per-call knobs of `process()`
+    (canny2image_TRT.py:51, minus num_samples: one request = one image;
+    submit several requests for several samples)."""
+
+    image: np.ndarray
+    prompt: str
+    a_prompt: str = "best quality, extremely detailed"
+    n_prompt: str = ("longbody, lowres, bad anatomy, bad hands, "
+                     "missing fingers, extra digit, fewer digits, cropped, "
+                     "worst quality, low quality")
+    image_resolution: int = 256
+    ddim_steps: int = 20
+    guess_mode: bool = False
+    strength: float = 1.0
+    scale: float = 9.0
+    seed: int = -1
+    eta: float = 0.0
+    low_threshold: int = 100
+    high_threshold: int = 200
+    sampler: str = "ddim"
+    encoder_cache_interval: int = 1
+    clip_skip: int = 0
+
+
+@dataclass
+class _Pending:
+    req: GenRequest
+    future: Future
+    t_submit: float
+    detected_map: np.ndarray = None
+    hint: np.ndarray = None            # (H, W, 3) float32 [0,1]
+    ids: np.ndarray = None             # (2, 77) cond/uncond token ids
+    hw: Tuple[int, int] = (0, 0)
+
+
+@dataclass
+class ServerStats:
+    requests: int = 0
+    batches: int = 0
+    rows: int = 0
+    errors: int = 0
+    queue_ms_sum: float = 0.0
+    run_ms_sum: float = 0.0
+    batch_hist: Dict[int, int] = field(default_factory=dict)
+
+    def snapshot(self) -> Dict:
+        b = max(self.batches, 1)
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "mean_batch": self.rows / b,
+            "mean_queue_ms": self.queue_ms_sum / max(self.rows, 1),
+            "mean_batch_run_ms": self.run_ms_sum / b,
+            "errors": self.errors,
+            "batch_hist": dict(self.batch_hist),
+        }
+
+
+class DiffusionServer:
+    """Batched serving front-end over a Canny2ImagePipeline.
+
+    pipeline: an initialized Canny2ImagePipeline (owns runtime, tokenizer,
+    annotator). batch_buckets: the engine batch sizes to compile/serve
+    (each size is one compiled program, like the reference's batch-2 engine
+    variants, onnx2trt_static_plugin.py:160-171). max_wait_ms: batching
+    window — the extra latency a lone request can pay waiting for company.
+    """
+
+    def __init__(
+        self,
+        pipeline,
+        batch_buckets: Tuple[int, ...] = (1, 2, 4),
+        max_wait_ms: float = 25.0,
+    ):
+        self.pipe = pipeline
+        self.buckets = tuple(sorted(batch_buckets))
+        if self.buckets[0] != 1:
+            # without a batch-1 engine a lone request could never dispatch
+            raise ValueError("batch_buckets must include 1")
+        self.max_batch = self.buckets[-1]
+        self.max_wait_ms = float(max_wait_ms)
+        self._groups: Dict[Tuple, List[_Pending]] = {}
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._stop = False
+        self._thread: Optional[threading.Thread] = None
+        self.stats = ServerStats()
+
+    # ---------------------------------------------------------------- control
+
+    def start(self) -> "DiffusionServer":
+        if self._thread is not None:
+            return self
+        self._stop = False
+        self._thread = threading.Thread(target=self._dispatch_loop,
+                                        name="sdeo-dispatch", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self, drain: bool = True):
+        """Stop the dispatcher. drain=True serves queued requests first."""
+        if self._thread is None:
+            return
+        if drain:
+            self.drain()
+        with self._wake:
+            self._stop = True
+            self._wake.notify_all()
+        self._thread.join()
+        self._thread = None
+
+    def drain(self, timeout: float = 300.0):
+        """Block until every queued request has been dispatched+resolved."""
+        deadline = time.perf_counter() + timeout
+        futures = []
+        while time.perf_counter() < deadline:
+            with self._lock:
+                futures = [p.future for q in self._groups.values() for p in q]
+            if not futures:
+                return
+            for f in futures:
+                f.result(timeout=max(0.0, deadline - time.perf_counter()))
+        raise TimeoutError("serving queue did not drain")
+
+    def warmup(self, resolutions=(256,), steps=20, sampler="ddim"):
+        """Precompile the sample_decode + CLIP engines for every
+        (batch bucket, resolution) pair (the reference's warm_up analog)."""
+        rt = self.pipe.runtime
+        for res in resolutions:
+            for b in self.buckets:
+                rt.sample_decode_engine(steps, b, res, res, sampler=sampler)
+                rt.clip_engine(2 * b)
+        return self
+
+    # ---------------------------------------------------------------- submit
+
+    def submit(self, req: GenRequest) -> Future:
+        """Enqueue a request; host preprocessing (annotate + tokenize) runs
+        on the caller thread so the dispatcher only does device work.
+        The Future resolves to (detected_map, image), both uint8 HWC."""
+        if self._thread is None:
+            raise RuntimeError("server not started — call start()")
+        from stablediffusioneo_tpu.annotators.util import HWC3, resize_image
+
+        p = _Pending(req=req, future=Future(), t_submit=time.perf_counter())
+        img = resize_image(HWC3(req.image), req.image_resolution)
+        p.hw = img.shape[:2]
+        p.detected_map = self.pipe._annotate(
+            img, req.low_threshold, req.high_threshold)
+        p.hint = p.detected_map.astype(np.float32) / 255.0
+        cond_text = (req.prompt + ", " + req.a_prompt
+                     if req.a_prompt else req.prompt)
+        p.ids = np.asarray(self.pipe.tokenizer([cond_text, req.n_prompt]))
+        if req.seed == -1:
+            req.seed = int(np.random.randint(0, 2 ** 31 - 1))
+        with self._wake:
+            self._groups.setdefault(self._key(p), []).append(p)
+            self.stats.requests += 1
+            self._wake.notify_all()
+        return p.future
+
+    def generate(self, req: GenRequest, timeout: float = 600.0):
+        """Synchronous convenience wrapper."""
+        return self.submit(req).result(timeout=timeout)
+
+    # ------------------------------------------------------------- scheduling
+
+    def _key(self, p: _Pending) -> Tuple:
+        r = p.req
+        return (p.hw, r.ddim_steps, r.sampler, r.guess_mode, r.eta,
+                r.encoder_cache_interval, r.clip_skip, p.ids.shape[-1])
+
+    def _cut_batch(self) -> Optional[List[_Pending]]:
+        """Called under the lock. Returns the batch to run now, or None."""
+        keys = list(self._groups.keys())
+        now = time.perf_counter()
+        ages = [
+            (now - self._groups[k][0].t_submit) * 1e3 if self._groups[k]
+            else -1.0
+            for k in keys
+        ]
+        gi = pick_group(ages)
+        if gi < 0:
+            return None
+        q = self._groups[keys[gi]]
+        q_ages = [(now - p.t_submit) * 1e3 for p in q]
+        n = decide_cut(q_ages, self.buckets, self.max_batch, self.max_wait_ms)
+        if n <= 0:
+            return None
+        batch, self._groups[keys[gi]] = q[:n], q[n:]
+        if not self._groups[keys[gi]]:
+            del self._groups[keys[gi]]
+        return batch
+
+    def _wait_timeout(self) -> Optional[float]:
+        """Called under the lock: seconds until the oldest group's batching
+        window expires (None = wait for arrivals only)."""
+        best = None
+        now = time.perf_counter()
+        for q in self._groups.values():
+            if not q:
+                continue
+            d = next_deadline_ms([(now - p.t_submit) * 1e3 for p in q],
+                                 self.max_wait_ms)
+            if d >= 0 and (best is None or d < best):
+                best = d
+        return None if best is None else best / 1e3
+
+    def _dispatch_loop(self):
+        while True:
+            with self._wake:
+                batch = self._cut_batch()
+                while batch is None and not self._stop:
+                    self._wake.wait(timeout=self._wait_timeout())
+                    batch = self._cut_batch()
+                if batch is None and self._stop:
+                    return
+            try:
+                self._run_batch(batch)
+            except Exception as e:  # noqa: BLE001 — fail the requests, not the server
+                with self._lock:
+                    self.stats.errors += len(batch)
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(e)
+
+    # -------------------------------------------------------------- execution
+
+    def _run_batch(self, batch: List[_Pending]):
+        import jax
+        import jax.numpy as jnp
+
+        rt = self.pipe.runtime
+        t0 = time.perf_counter()
+        r0 = batch[0].req
+        b = len(batch)
+        h, w = batch[0].hw
+        f = self.pipe.cfg.vae.downsample_factor
+
+        # one batched CLIP encode: rows [cond_0..cond_{B-1}, uncond_0..]
+        ids = np.concatenate([np.stack([p.ids[0] for p in batch]),
+                              np.stack([p.ids[1] for p in batch])])
+        ctx = rt.encode_prompt(ids, clip_skip=r0.clip_skip)
+        ctx_cond, ctx_uncond = ctx[:b], ctx[b:]
+
+        hint = np.stack([p.hint for p in batch])
+        # per-request x_T, exactly process()'s seeding (PRNGKey(seed) split)
+        keys = [jax.random.split(jax.random.PRNGKey(p.req.seed))
+                for p in batch]
+        x_T = jnp.concatenate([
+            jax.random.normal(sub, (1, h // f, w // f, 4), jnp.float32)
+            for _, sub in keys
+        ])
+        scales = np.asarray([p.req.scale for p in batch], np.float32)
+        strengths = np.asarray([p.req.strength for p in batch], np.float32)
+
+        images_dev = rt.sample_decode(
+            r0.ddim_steps, x_T, jnp.asarray(hint), ctx_cond, ctx_uncond,
+            keys[0][0],
+            guidance_scale=scales, strength=strengths, eta=r0.eta,
+            guess_mode=r0.guess_mode, sampler=r0.sampler,
+            encoder_cache_interval=r0.encoder_cache_interval,
+        )
+        images = np.asarray(images_dev)
+        t1 = time.perf_counter()
+        with self._lock:
+            self.stats.batches += 1
+            self.stats.rows += b
+            self.stats.run_ms_sum += (t1 - t0) * 1e3
+            self.stats.queue_ms_sum += sum(
+                (t0 - p.t_submit) * 1e3 for p in batch)
+            self.stats.batch_hist[b] = self.stats.batch_hist.get(b, 0) + 1
+        for i, p in enumerate(batch):
+            p.future.set_result((p.detected_map, images[i]))

@@ -1,0 +1,183 @@
+"""Serving layer: batch-cut policy (native == python), DiffusionServer
+batching semantics, and output parity vs direct process() calls."""
+
+import os
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# --------------------------------------------------------------- policy core
+
+
+class TestBatchCutPolicy:
+    def test_empty_and_tiny_queues(self):
+        from stablediffusioneo_tpu.serving import decide_cut
+
+        assert decide_cut([], (1, 2, 4), 4, 25.0) == 0
+        # below the window a lone request keeps waiting for company
+        assert decide_cut([5.0], (1, 2, 4), 4, 25.0) == 0
+        # after the window it goes out alone
+        assert decide_cut([26.0], (1, 2, 4), 4, 25.0) == 1
+
+    def test_full_bucket_dispatches_immediately(self):
+        from stablediffusioneo_tpu.serving import decide_cut
+
+        assert decide_cut([1.0, 0.5, 0.2, 0.1], (1, 2, 4), 4, 25.0) == 4
+        # queue beyond max_batch still cuts at max_batch
+        assert decide_cut([9, 8, 7, 6, 5, 4], (1, 2, 4), 4, 25.0) == 4
+
+    def test_partial_queue_holds_then_cuts_largest(self):
+        from stablediffusioneo_tpu.serving import decide_cut
+
+        # 3 requests, window live: could still become 4 -> hold
+        assert decide_cut([10.0, 2.0, 1.0], (1, 2, 4), 4, 25.0) == 0
+        # window expired: cut at the largest fillable bucket (2, not 3)
+        assert decide_cut([30.0, 2.0, 1.0], (1, 2, 4), 4, 25.0) == 2
+
+    def test_pick_group_and_deadline(self):
+        from stablediffusioneo_tpu.serving import next_deadline_ms, pick_group
+
+        assert pick_group([-1.0, 5.0, 12.0, -1.0]) == 2
+        assert pick_group([-1.0, -1.0]) == -1
+        assert next_deadline_ms([10.0], 25.0) == pytest.approx(15.0)
+        assert next_deadline_ms([30.0], 25.0) == 0.0
+        assert next_deadline_ms([], 25.0) == -1.0
+
+    def test_native_matches_python(self):
+        """Randomized equivalence native .so vs the Python mirror."""
+        lib = os.path.join(REPO, "native", "build", "libsdeo_sched.so")
+        if not os.path.exists(lib):
+            subprocess.run(["make", "-C", os.path.join(REPO, "native")],
+                           check=True, capture_output=True)
+        from stablediffusioneo_tpu.serving import scheduler as s
+
+        assert s.native_available()
+        rng = np.random.default_rng(0)
+        for _ in range(200):
+            n = int(rng.integers(0, 9))
+            ages = np.sort(rng.random(n) * 60.0)[::-1].copy()
+            buckets = sorted(rng.choice([1, 2, 3, 4, 8], size=3,
+                                        replace=False).tolist())
+            mb = int(rng.choice([2, 4, 8]))
+            w = float(rng.random() * 40.0)
+            assert s.decide_cut(ages, buckets, mb, w) == s.decide_cut(
+                ages, buckets, mb, w, _force_python=True)
+            assert s.next_deadline_ms(ages, w) == pytest.approx(
+                s.next_deadline_ms(ages, w, _force_python=True))
+            k = int(rng.integers(1, 6))
+            oldest = rng.random(k) * 50.0 - 10.0
+            assert s.pick_group(oldest) == s.pick_group(
+                oldest, _force_python=True)
+
+
+# ------------------------------------------------------------------- server
+
+
+@pytest.fixture(scope="module")
+def tiny_server():
+    import jax
+    import jax.numpy as jnp
+
+    from stablediffusioneo_tpu.config import tiny_pipeline
+    from stablediffusioneo_tpu.models import (
+        init_clip_text, init_controlnet, init_unet, init_vae,
+    )
+    from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
+    from stablediffusioneo_tpu.pipeline.canny2image import Canny2ImagePipeline
+    from stablediffusioneo_tpu.serving import DiffusionServer
+
+    cfg = tiny_pipeline()
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    params = {
+        "unet": init_unet(ks[0], cfg.unet),
+        "controlnet": init_controlnet(ks[1], cfg.controlnet),
+        "vae": init_vae(ks[2], cfg.vae),
+        "clip": init_clip_text(ks[3], cfg.clip),
+    }
+    tok = toy_tokenizer(vocab_size=cfg.clip.vocab_size,
+                        max_length=cfg.clip.max_length)
+    pipe = Canny2ImagePipeline(params, tok, cfg, persistent_cache=False)
+    server = DiffusionServer(pipe, batch_buckets=(1, 2, 4), max_wait_ms=200.0)
+    server.start()
+    yield server, pipe
+    server.stop(drain=False)
+
+
+def _img(seed, size=64):
+    rng = np.random.default_rng(seed)
+    return (rng.random((size, size, 3)) * 255).astype(np.uint8)
+
+
+class TestDiffusionServer:
+    def test_concurrent_requests_batch_and_match_process(self, tiny_server):
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, pipe = tiny_server
+        reqs = [
+            GenRequest(image=_img(10), prompt="a bird", image_resolution=64,
+                       ddim_steps=2, seed=101, scale=9.0, strength=1.0),
+            GenRequest(image=_img(11), prompt="a dog", image_resolution=64,
+                       ddim_steps=2, seed=202, scale=5.0, strength=0.7),
+            GenRequest(image=_img(12), prompt="a cat", image_resolution=64,
+                       ddim_steps=2, seed=303, scale=13.0, strength=1.4),
+        ]
+        futures = [server.submit(r) for r in reqs]
+        results = [f.result(timeout=600) for f in futures]
+
+        # the three compatible requests must have shared batched calls
+        st = server.stats.snapshot()
+        assert st["requests"] == 3
+        assert st["batches"] < 3, f"no batching happened: {st}"
+
+        # outputs must match the single-request process() path per request
+        for r, (det, im) in zip(reqs, results):
+            outs = pipe.process(
+                r.image, r.prompt, a_prompt=r.a_prompt, n_prompt=r.n_prompt,
+                num_samples=1, image_resolution=64, ddim_steps=2,
+                seed=r.seed, scale=r.scale, strength=r.strength)
+            np.testing.assert_array_equal(det, outs[0])
+            ref = outs[1].astype(np.int16)
+            got = im.astype(np.int16)
+            # identical math modulo batch-dim reduction/fusion reassociation:
+            # allow 1-LSB uint8 wiggle on a small tail of pixels
+            frac_off = (np.abs(ref - got) > 1).mean()
+            assert frac_off < 0.02, f"serving diverged from process(): {frac_off}"
+
+    def test_incompatible_requests_do_not_batch(self, tiny_server):
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, _ = tiny_server
+        b0 = server.stats.batches
+        futures = [
+            server.submit(GenRequest(image=_img(20), prompt="x",
+                                     image_resolution=64, ddim_steps=2,
+                                     seed=1)),
+            server.submit(GenRequest(image=_img(21), prompt="y",
+                                     image_resolution=64, ddim_steps=3,
+                                     seed=2)),  # different steps -> new group
+        ]
+        for f in futures:
+            det, im = f.result(timeout=600)
+            assert im.dtype == np.uint8
+        assert server.stats.batches - b0 == 2
+
+    def test_error_isolated_to_request(self, tiny_server):
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, _ = tiny_server
+        bad = GenRequest(image=_img(30), prompt="z", image_resolution=64,
+                         ddim_steps=2, seed=3, sampler="no-such-sampler")
+        f = server.submit(bad)
+        with pytest.raises(Exception):
+            f.result(timeout=600)
+        # server still alive
+        ok = server.submit(GenRequest(image=_img(31), prompt="w",
+                                      image_resolution=64, ddim_steps=2,
+                                      seed=4))
+        det, im = ok.result(timeout=600)
+        assert im.dtype == np.uint8
