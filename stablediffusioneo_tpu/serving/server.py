@@ -31,6 +31,7 @@ same caveat as any batched stochastic sampler).
 
 from __future__ import annotations
 
+import queue
 import threading
 import time
 from concurrent.futures import Future
@@ -105,6 +106,11 @@ class ServerStats:
             "batch_hist": dict(self.batch_hist),
         }
 
+    def reset(self):
+        self.requests = self.batches = self.rows = self.errors = 0
+        self.queue_ms_sum = self.run_ms_sum = 0.0
+        self.batch_hist = {}
+
 
 class DiffusionServer:
     """Batched serving front-end over a Canny2ImagePipeline.
@@ -121,6 +127,7 @@ class DiffusionServer:
         pipeline,
         batch_buckets: Tuple[int, ...] = (1, 2, 4),
         max_wait_ms: float = 25.0,
+        max_inflight_batches: int = 2,
     ):
         self.pipe = pipeline
         self.buckets = tuple(sorted(batch_buckets))
@@ -129,11 +136,22 @@ class DiffusionServer:
             raise ValueError("batch_buckets must include 1")
         self.max_batch = self.buckets[-1]
         self.max_wait_ms = float(max_wait_ms)
+        # dispatch depth: 1 = cut only when the device is idle; 2 (default)
+        # = keep one batch queued behind the running one (hides the
+        # dispatch+fetch gap) while still letting the queue grow into full
+        # buckets during the ~seconds-long engine runs. Unbounded depth
+        # would race ahead of arrivals and fragment the queue into
+        # small early batches.
+        self.max_inflight_batches = int(max_inflight_batches)
         self._groups: Dict[Tuple, List[_Pending]] = {}
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
         self._stop = False
         self._thread: Optional[threading.Thread] = None
+        self._completer: Optional[threading.Thread] = None
+        self._done_q: "queue.Queue" = queue.Queue()
+        self._inflight: List[Future] = []
+        self._inflight_batches = 0
         self.stats = ServerStats()
 
     # ---------------------------------------------------------------- control
@@ -144,7 +162,10 @@ class DiffusionServer:
         self._stop = False
         self._thread = threading.Thread(target=self._dispatch_loop,
                                         name="sdeo-dispatch", daemon=True)
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           name="sdeo-complete", daemon=True)
         self._thread.start()
+        self._completer.start()
         return self
 
     def stop(self, drain: bool = True):
@@ -158,6 +179,9 @@ class DiffusionServer:
             self._wake.notify_all()
         self._thread.join()
         self._thread = None
+        self._done_q.put(None)  # completer drains in-flight batches first
+        self._completer.join()
+        self._completer = None
 
     def drain(self, timeout: float = 300.0):
         """Block until every queued request has been dispatched+resolved."""
@@ -166,6 +190,7 @@ class DiffusionServer:
         while time.perf_counter() < deadline:
             with self._lock:
                 futures = [p.future for q in self._groups.values() for p in q]
+                futures += [f for f in self._inflight if not f.done()]
             if not futures:
                 return
             for f in futures:
@@ -259,24 +284,44 @@ class DiffusionServer:
     def _dispatch_loop(self):
         while True:
             with self._wake:
-                batch = self._cut_batch()
+                batch = (self._cut_batch()
+                         if self._inflight_batches < self.max_inflight_batches
+                         else None)
                 while batch is None and not self._stop:
-                    self._wake.wait(timeout=self._wait_timeout())
-                    batch = self._cut_batch()
+                    at_depth = (self._inflight_batches
+                                >= self.max_inflight_batches)
+                    # at depth, only a batch completion can unblock us —
+                    # no deadline to honor (the completer notifies _wake)
+                    self._wake.wait(timeout=None if at_depth
+                                    else self._wait_timeout())
+                    if self._inflight_batches < self.max_inflight_batches:
+                        batch = self._cut_batch()
                 if batch is None and self._stop:
                     return
+                self._inflight += [p.future for p in batch]
+                self._inflight_batches += 1
             try:
-                self._run_batch(batch)
+                self._dispatch_batch(batch)
             except Exception as e:  # noqa: BLE001 — fail the requests, not the server
-                with self._lock:
-                    self.stats.errors += len(batch)
                 for p in batch:
                     if not p.future.done():
                         p.future.set_exception(e)
+                with self._wake:
+                    self.stats.errors += len(batch)
+                    done = {p.future for p in batch}
+                    self._inflight = [f for f in self._inflight
+                                      if f not in done]
+                    self._inflight_batches -= 1
+                    self._wake.notify_all()
 
     # -------------------------------------------------------------- execution
 
-    def _run_batch(self, batch: List[_Pending]):
+    def _dispatch_batch(self, batch: List[_Pending]):
+        """Encode prompts and ENQUEUE the batched engine call. JAX dispatch
+        is async: the device array is handed to the completion thread, which
+        blocks on the device->host fetch — so the dispatcher can cut and
+        enqueue the NEXT batch while this one still computes/transfers
+        (the fetch is ~70 ms of tunnel RTT per batch otherwise serialized)."""
         import jax
         import jax.numpy as jnp
 
@@ -311,14 +356,38 @@ class DiffusionServer:
             guess_mode=r0.guess_mode, sampler=r0.sampler,
             encoder_cache_interval=r0.encoder_cache_interval,
         )
-        images = np.asarray(images_dev)
-        t1 = time.perf_counter()
-        with self._lock:
-            self.stats.batches += 1
-            self.stats.rows += b
-            self.stats.run_ms_sum += (t1 - t0) * 1e3
-            self.stats.queue_ms_sum += sum(
-                (t0 - p.t_submit) * 1e3 for p in batch)
-            self.stats.batch_hist[b] = self.stats.batch_hist.get(b, 0) + 1
-        for i, p in enumerate(batch):
-            p.future.set_result((p.detected_map, images[i]))
+        self._done_q.put((batch, images_dev, t0))
+
+    def _complete_loop(self):
+        while True:
+            item = self._done_q.get()
+            if item is None:
+                return
+            batch, images_dev, t0 = item
+            try:
+                images = np.asarray(images_dev)  # blocks: compute + fetch
+                t1 = time.perf_counter()
+                b = len(batch)
+                with self._lock:
+                    self.stats.batches += 1
+                    self.stats.rows += b
+                    self.stats.run_ms_sum += (t1 - t0) * 1e3
+                    self.stats.queue_ms_sum += sum(
+                        (t0 - p.t_submit) * 1e3 for p in batch)
+                    self.stats.batch_hist[b] = (
+                        self.stats.batch_hist.get(b, 0) + 1)
+                for i, p in enumerate(batch):
+                    p.future.set_result((p.detected_map, images[i]))
+            except Exception as e:  # noqa: BLE001
+                with self._lock:
+                    self.stats.errors += len(batch)
+                for p in batch:
+                    if not p.future.done():
+                        p.future.set_exception(e)
+            finally:
+                with self._wake:
+                    done = {p.future for p in batch}
+                    self._inflight = [f for f in self._inflight
+                                      if f not in done]
+                    self._inflight_batches -= 1
+                    self._wake.notify_all()
