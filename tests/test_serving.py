@@ -166,6 +166,29 @@ class TestDiffusionServer:
             assert im.dtype == np.uint8
         assert server.stats.batches - b0 == 2
 
+    def test_drain_covers_inflight_batches(self, tiny_server):
+        """drain() must wait for batches already cut and dispatched (in
+        flight on the completion thread), not just queued ones."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, _ = tiny_server
+        futures = [
+            server.submit(GenRequest(image=_img(40 + i), prompt="q",
+                                     image_resolution=64, ddim_steps=2,
+                                     seed=40 + i))
+            for i in range(5)
+        ]
+        server.drain(timeout=600)
+        assert all(f.done() for f in futures)
+
+    def test_stats_reset(self, tiny_server):
+        server, _ = tiny_server
+        server.drain(timeout=600)
+        server.stats.reset()
+        st = server.stats.snapshot()
+        assert st["requests"] == 0 and st["batches"] == 0
+        assert st["batch_hist"] == {}
+
     def test_error_isolated_to_request(self, tiny_server):
         from stablediffusioneo_tpu.serving import GenRequest
 
