@@ -17,3 +17,9 @@ from stablediffusioneo_tpu.serving.scheduler import (  # noqa: F401
     next_deadline_ms,
     pick_group,
 )
+
+
+def make_http_server(*args, **kwargs):  # noqa: D103 — lazy re-export
+    from stablediffusioneo_tpu.serving.http_api import make_http_server as f
+
+    return f(*args, **kwargs)

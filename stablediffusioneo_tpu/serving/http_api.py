@@ -1,0 +1,118 @@
+"""HTTP front-end over DiffusionServer — the app/API layer.
+
+The reference exposes its pipeline through a gradio Blocks UI
+(canny2image_TRT.py bottom, `block.launch()`); this is the TPU
+deployment's equivalent surface: a small stdlib HTTP server whose handler
+threads submit into the cross-request batching DiffusionServer, so
+concurrent HTTP clients batch onto the TPU automatically.
+
+Endpoints:
+  POST /generate  JSON {"image_b64": <base64 PNG/JPEG>, "prompt": str,
+                        ...any GenRequest field}
+                  -> {"image_b64": <base64 PNG>, "detected_b64": ..., "ms": float}
+  GET  /stats     -> ServerStats snapshot JSON
+  GET  /healthz   -> {"ok": true}
+
+Run: python scripts/serve_http.py [--port 8000] (see that script for
+checkpoint loading; --tiny serves a random-weight toy config for smoke
+testing the deployment path).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from stablediffusioneo_tpu.serving.server import DiffusionServer, GenRequest
+
+# GenRequest fields settable over the wire (image comes via image_b64)
+_REQ_FIELDS = (
+    "prompt", "a_prompt", "n_prompt", "image_resolution", "ddim_steps",
+    "guess_mode", "strength", "scale", "seed", "eta", "low_threshold",
+    "high_threshold", "sampler", "encoder_cache_interval", "clip_skip",
+)
+
+
+def _decode_image(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(b64)))
+    return np.asarray(img.convert("RGB"))
+
+
+def _encode_image(arr: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "sdeo-tpu/2"
+    # set by make_http_server
+    diffusion: DiffusionServer = None
+    request_timeout_s: float = 900.0
+
+    def log_message(self, fmt, *args):  # quiet by default; stats has counts
+        pass
+
+    def _json(self, code: int, payload: dict):
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            return self._json(200, {"ok": True})
+        if self.path == "/stats":
+            return self._json(200, self.diffusion.stats.snapshot())
+        return self._json(404, {"error": f"no route {self.path}"})
+
+    def do_POST(self):
+        if self.path != "/generate":
+            return self._json(404, {"error": f"no route {self.path}"})
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            image = _decode_image(payload["image_b64"])
+            kwargs = {k: payload[k] for k in _REQ_FIELDS if k in payload}
+            req = GenRequest(image=image, **kwargs)
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+            return self._json(400, {"error": f"bad request: {e!r}"})
+        t0 = time.perf_counter()
+        try:
+            # handler threads block here; the DiffusionServer dispatcher
+            # batches across all concurrently-blocked handlers
+            detected, image_out = self.diffusion.submit(req).result(
+                timeout=self.request_timeout_s)
+        except Exception as e:  # noqa: BLE001 — surface per-request errors as 500s
+            return self._json(500, {"error": repr(e)})
+        return self._json(200, {
+            "image_b64": _encode_image(image_out),
+            "detected_b64": _encode_image(detected),
+            "ms": (time.perf_counter() - t0) * 1e3,
+        })
+
+
+def make_http_server(
+    diffusion: DiffusionServer,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+    request_timeout_s: float = 900.0,
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; call .serve_forever() to run.
+    Port 0 picks a free port (see server_address[1] after construction)."""
+    handler = type("Handler", (_Handler,), {
+        "diffusion": diffusion,
+        "request_timeout_s": request_timeout_s,
+    })
+    return ThreadingHTTPServer((host, port), handler)

@@ -189,6 +189,69 @@ class TestDiffusionServer:
         assert st["requests"] == 0 and st["batches"] == 0
         assert st["batch_hist"] == {}
 
+    def test_http_api(self, tiny_server):
+        """HTTP front-end: concurrent POST /generate requests batch through
+        the DiffusionServer; stats/healthz/404/400 behave."""
+        import base64
+        import io
+        import json
+        import threading
+        import urllib.request
+        from concurrent.futures import ThreadPoolExecutor
+
+        from PIL import Image
+
+        from stablediffusioneo_tpu.serving.http_api import make_http_server
+
+        server, _ = tiny_server
+        server.drain(timeout=600)
+        httpd = make_http_server(server, port=0)
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        base = f"http://127.0.0.1:{port}"
+        try:
+            with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+                assert json.loads(r.read()) == {"ok": True}
+
+            def gen(seed):
+                buf = io.BytesIO()
+                Image.fromarray(_img(seed)).save(buf, format="PNG")
+                body = json.dumps({
+                    "image_b64": base64.b64encode(buf.getvalue()).decode(),
+                    "prompt": "a bird", "image_resolution": 64,
+                    "ddim_steps": 2, "seed": seed,
+                }).encode()
+                req = urllib.request.Request(
+                    base + "/generate", data=body,
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    return json.loads(r.read())
+
+            with ThreadPoolExecutor(2) as pool:
+                a, b = list(pool.map(gen, [51, 52]))
+            for payload in (a, b):
+                img = np.asarray(Image.open(io.BytesIO(
+                    base64.b64decode(payload["image_b64"]))))
+                assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+
+            with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+                st = json.loads(r.read())
+            assert st["requests"] >= 2
+
+            # bad request -> 400; unknown route -> 404
+            import urllib.error
+            bad = urllib.request.Request(
+                base + "/generate", data=b'{"prompt": "no image"}')
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(bad, timeout=30)
+            assert ei.value.code == 400
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(base + "/nope", timeout=30)
+            assert ei.value.code == 404
+        finally:
+            httpd.shutdown()
+
     def test_error_isolated_to_request(self, tiny_server):
         from stablediffusioneo_tpu.serving import GenRequest
 
