@@ -73,13 +73,16 @@ def group_norm(
     # with the old astype(f32)-then-normalize form, XLA materialized every
     # conv-feeding-a-norm in fp32 — 2x the HBM write+read bytes (measured:
     # f32[...] conv fusions in the 512x512 xplane profile, ~12 ms/step).
-    # square in the input dtype, accumulate in fp32. NOTE two alternatives
-    # measured SLOWER e2e: astype(f32)-then-square (XLA CSEs the convert and
-    # materializes the f32 tensor), and MXU-dot stats via einsum (0.742 vs
-    # 0.683 s — the dots force their own operand relayouts). XLA still
-    # producer-fuses the square+convert into the upstream conv (dual
-    # (f32, bf16) fusion outputs in the optimized HLO) — known remaining
-    # headroom, see docs/performance.md.
+    # square in the input dtype, accumulate in fp32. NOTE four alternatives
+    # measured SLOWER e2e (ledger in docs/performance.md):
+    # astype(f32)-then-square (XLA CSEs the convert and materializes f32),
+    # MXU-dot stats via einsum (0.742 s — operand relayouts), and two
+    # optimization_barrier variants meant to stop the square+convert
+    # producer-fusing into the upstream conv (0.777/0.791 s). XLA's dual
+    # (f32, bf16) conv outputs look wasteful in the HLO but beat every
+    # attempt to force a single bf16 materialization: the x^2 write hides
+    # in the conv's compute, while a separate stats pass costs a
+    # serialized full re-read. Closed as NOT headroom.
     s1 = jnp.sum(xg, axis=(1, 3), dtype=jnp.float32)
     s2 = jnp.sum(jnp.square(xg), axis=(1, 3), dtype=jnp.float32)
     mean = s1 / cnt                        # (n, groups) fp32
