@@ -36,6 +36,21 @@ class TestYoloModel:
         assert (out[..., 2:4] > 0).all()
         assert (out[..., 4:] >= 0).all() and (out[..., 4:] <= 1).all()
 
+    def test_detect_topk_matches_full_path(self, params, rng):
+        """yolov5_detect (uint8 in, device-side top-k by objectness) must
+        reproduce the full-fetch path: with k = all anchors it is exactly
+        the objectness-sorted prediction tensor; smaller k is its prefix."""
+        from stablediffusioneo_tpu.yolo.model import yolov5_detect
+
+        img = (rng.random((1, 256, 256, 3)) * 255).astype(np.uint8)
+        full = np.asarray(yolov5_apply(params, jnp.asarray(img, jnp.float32) / 255.0))
+        order = np.argsort(-full[0, :, 4], kind="stable")
+        n = full.shape[1]
+        top_all = np.asarray(yolov5_detect(params, jnp.asarray(img), k=n))
+        np.testing.assert_allclose(top_all[0], full[0, order], rtol=1e-6, atol=1e-6)
+        top50 = np.asarray(yolov5_detect(params, jnp.asarray(img), k=50))
+        np.testing.assert_allclose(top50[0], full[0, order[:50]], rtol=1e-6, atol=1e-6)
+
     def test_bn_folding_parity(self, rng):
         conv = nn.Conv2d(3, 8, 3, padding=1, bias=False)
         bn = nn.BatchNorm2d(8, eps=1e-3)
