@@ -164,7 +164,7 @@ def main():
         for name, det in (
             ("canny", CannyDetector()),
             ("hed", HEDdetector()),
-            ("midas", MidasDetector(model_type="dpt_hybrid")),
+            ("midas", MidasDetector(model_type="dpt_large")),
             ("openpose", OpenposeDetector()),
         ):
             pipe.apply_canny = det

@@ -191,6 +191,70 @@ def dpt_apply(params: Dict, x: jax.Array) -> jax.Array:
 # ----------------------------------------------------------------- convert
 
 
+def init_dpt(key, dim: int = 1024, n_blocks: int = 24, grid: int = 24) -> Dict:
+    """Random-weight dpt_large tree (same layout as convert_dpt) — for
+    benchmarks/smoke tests without a checkpoint; shapes mirror ViT-L/16 +
+    the DPT reassemble/fusion/head (run_midas.py model_type dpt_large)."""
+    ks = iter(jax.random.split(key, 16 + 6 * n_blocks + 40))
+
+    def conv(kh, kw, cin, cout, bias=True):
+        p = {"w": jax.random.normal(next(ks), (kh, kw, cin, cout),
+                                    jnp.float32) * 0.02}
+        if bias:
+            p["b"] = jnp.zeros((cout,), jnp.float32)
+        return p
+
+    def lin(cin, cout):
+        return {"w": jax.random.normal(next(ks), (cin, cout),
+                                       jnp.float32) * 0.02,
+                "b": jnp.zeros((cout,), jnp.float32)}
+
+    def norm(c):
+        return {"g": jnp.ones((c,), jnp.float32),
+                "b": jnp.zeros((c,), jnp.float32)}
+
+    vit = {
+        "patch_embed": conv(16, 16, 3, dim),
+        "cls_token": jax.random.normal(next(ks), (1, 1, dim), jnp.float32) * 0.02,
+        "pos_embed": jax.random.normal(next(ks), (1, 1 + grid * grid, dim),
+                                       jnp.float32) * 0.02,
+        "blocks": [
+            {"norm1": norm(dim), "qkv": lin(dim, 3 * dim),
+             "proj": lin(dim, dim), "norm2": norm(dim),
+             "fc1": lin(dim, 4 * dim), "fc2": lin(4 * dim, dim)}
+            for _ in range(n_blocks)
+        ],
+    }
+    re_p: Dict = {}
+    for i in range(1, 5):
+        ch = STAGE_CHANNELS[i - 1]
+        entry = {"project": lin(2 * dim, dim), "channel": conv(1, 1, dim, ch)}
+        if i == 1:
+            entry["resample"] = conv(4, 4, ch, ch)
+        elif i == 2:
+            entry["resample"] = conv(2, 2, ch, ch)
+        elif i == 4:
+            entry["resample"] = conv(3, 3, ch, ch)
+        re_p[f"post{i}"] = entry
+        re_p[f"layer{i}_rn"] = conv(3, 3, ch, FEATURES, bias=False)
+    fusion = {
+        f"refine{i}": {
+            "rcu1": {"conv1": conv(3, 3, FEATURES, FEATURES),
+                     "conv2": conv(3, 3, FEATURES, FEATURES)},
+            "rcu2": {"conv1": conv(3, 3, FEATURES, FEATURES),
+                     "conv2": conv(3, 3, FEATURES, FEATURES)},
+            "out_conv": conv(1, 1, FEATURES, FEATURES),
+        }
+        for i in range(1, 5)
+    }
+    head = {
+        "conv1": conv(3, 3, FEATURES, FEATURES // 2),
+        "conv2": conv(3, 3, FEATURES // 2, 32),
+        "conv3": conv(1, 1, 32, 1),
+    }
+    return {"vit": vit, "reassemble": re_p, "fusion": fusion, "head": head}
+
+
 def convert_dpt(sd: Dict[str, np.ndarray], dtype=None) -> Dict:
     """Map the upstream dpt_large-midas .pt state dict onto the tree."""
 
@@ -305,8 +369,18 @@ class MidasDetector:
             )
 
             params = convert_fn(load_torch_state_dict(ckpt_path))
+        elif params is None and model_type == "dpt_large":
+            # random weights (like the other detectors' fallback) — flow
+            # tests and benchmarks without a checkpoint
+            params = init_dpt(jax.random.PRNGKey(0))
         self.params = params
-        self._apply = jax.jit(apply_fn)
+        # uint8 upload; ImageNet normalize in-graph (4x cheaper transfer
+        # to a network-attached TPU than f32 pixels)
+        mean = jnp.asarray(_IMAGENET_MEAN)
+        std = jnp.asarray(_IMAGENET_STD)
+        self._apply = jax.jit(
+            lambda p, u8: apply_fn(
+                p, (u8.astype(jnp.float32) / 255.0 - mean) / std))
 
     def __call__(self, input_image: np.ndarray, a: float = np.pi * 2.0,
                  bg_th: float = 0.1) -> Tuple[np.ndarray, np.ndarray]:
@@ -315,9 +389,9 @@ class MidasDetector:
         # DPT runs on /32-aligned inputs (ViT/16 then 1/2 head upsample)
         nh, nw = max(32, (h // 32) * 32), max(32, (w // 32) * 32)
         img = cv2.resize(input_image, (nw, nh), interpolation=cv2.INTER_AREA)
-        x = (img.astype(np.float32) / 255.0 - _IMAGENET_MEAN) / _IMAGENET_STD
         depth = np.asarray(
-            self._apply(self.params, jnp.asarray(x[None])), np.float32
+            self._apply(self.params, jnp.asarray(
+                np.ascontiguousarray(img[None]))), np.float32
         )[0]
         depth = cv2.resize(depth, (w, h), interpolation=cv2.INTER_CUBIC)
 

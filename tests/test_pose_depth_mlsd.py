@@ -336,6 +336,22 @@ class TestMidasDPT:
         assert depth.shape == (70, 90) and depth.dtype == np.uint8
         assert normal.shape == (70, 90, 3) and normal.dtype == np.uint8
 
+    def test_init_dpt_random_fallback(self, rng):
+        """init_dpt builds the exact convert_dpt tree layout (full ViT-L
+        depth at reduced spatial) and runs through the detector — the
+        no-checkpoint fallback used by bench/smoke flows."""
+        import jax
+
+        from stablediffusioneo_tpu.annotators.midas import (
+            MidasDetector, init_dpt,
+        )
+
+        det = MidasDetector(params=init_dpt(jax.random.PRNGKey(1)))
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        depth, normal = det(img)
+        assert depth.shape == (64, 64) and depth.dtype == np.uint8
+        assert np.isfinite(depth.astype(np.float64)).all()
+
 
 # ---------------------------------------------------------------------- mlsd
 
