@@ -123,8 +123,10 @@ class Canny2ImagePipeline:
 
         detected_map = self._annotate(img, low_threshold, high_threshold)
 
-        control = detected_map.astype(np.float32) / 255.0
-        hint = np.repeat(control[None], num_samples, axis=0)  # (B,H,W,3)
+        # uint8 hint: normalized in-graph by the engine's uint8-ingest
+        # variant (bit-identical to `detected / 255.0` here, 4x less
+        # host->device transfer)
+        hint = np.repeat(detected_map[None], num_samples, axis=0)  # (B,H,W,3)
 
         if seed == -1:
             seed = int(np.random.randint(0, 2**31 - 1))

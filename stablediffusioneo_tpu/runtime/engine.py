@@ -224,10 +224,24 @@ class CNSDRuntime:
 
         return run
 
+    def _with_u8_hint(self, fn):
+        """Wrap a sampler fn so the hint arg is uint8 pixels, normalized
+        in-graph: astype(f32) / 255 then the model dtype — bit-identical
+        to the host-side `detected / 255.0` it replaces (uint8->f32 is
+        exact and the division happens in f32 either way)."""
+        dtype = self.dtype
+
+        def run(unet_p, ctrl_p, sched, x_T, hint_u8, *rest):
+            hint = (hint_u8.astype(jnp.float32) / 255.0).astype(dtype)
+            return fn(unet_p, ctrl_p, sched, x_T, hint, *rest)
+
+        return run
+
     def sample_decode_engine(
         self, num_steps: int, batch: int, h: int, w: int,
         guess_mode: bool = False, sampler: str = "ddim",
         encoder_cache_interval: int = 1, ctx_len: Optional[int] = None,
+        hint_u8: bool = False,
     ) -> Engine:
         """Sampler + VAE decode + uint8 denorm as ONE compiled program.
 
@@ -238,11 +252,12 @@ class CNSDRuntime:
         decode immediately after the scan with no host in the loop."""
         ctx_len = ctx_len or self.cfg.clip.max_length
         key_t = ("sample_decode", sampler, num_steps, batch, h, w, guess_mode,
-                 encoder_cache_interval, ctx_len)
+                 encoder_cache_interval, ctx_len, hint_u8)
         if key_t in self._engines:
             return self._engines[key_t]
-        sfn = self._sampler_fn(num_steps, guess_mode, sampler,
-                               encoder_cache_interval)
+        base = self._sampler_fn(num_steps, guess_mode, sampler,
+                                encoder_cache_interval)
+        sfn = self._with_u8_hint(base) if hint_u8 else base
         cfg = self.cfg
 
         def run(unet_p, ctrl_p, vae_p, sched, x_T, hint, ctx_c, ctx_u,
@@ -261,7 +276,8 @@ class CNSDRuntime:
                      for k, v in sched.items()}
         f = self.cfg.vae.downsample_factor
         lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
-        hint = self._abs_data((batch, h, w, 3), self.dtype)
+        hint = self._abs_data((batch, h, w, 3),
+                              jnp.uint8 if hint_u8 else self.dtype)
         ctx = self._abs_data(
             (batch, ctx_len, self.cfg.unet.context_dim), self.dtype)
         scale = self._abs_data((batch,), jnp.float32)
@@ -291,12 +307,18 @@ class CNSDRuntime:
         sampler: str = "ddim",
         encoder_cache_interval: int = 1,
     ) -> jax.Array:
-        """Fused sample+decode: returns uint8 (B, H, W, 3) ON DEVICE."""
+        """Fused sample+decode: returns uint8 (B, H, W, 3) ON DEVICE.
+
+        A uint8 `hint` selects the uint8-ingest engine variant (normalize
+        in-graph — 4x less host->device transfer); float hints keep the
+        float variant."""
         b, lh, lw, _ = x_T.shape
         f = self.cfg.vae.downsample_factor
+        hint_u8 = hint.dtype == jnp.uint8
         eng = self.sample_decode_engine(
             num_steps, b, lh * f, lw * f, guess_mode, sampler,
-            encoder_cache_interval, ctx_len=ctx_cond.shape[1])
+            encoder_cache_interval, ctx_len=ctx_cond.shape[1],
+            hint_u8=hint_u8)
         sched = self._make_schedule(num_steps, sampler, eta=eta)
         sched = {k: self._put_rep(v) for k, v in sched.items()}
         scale_v, cscales = self._per_sample_scales(
@@ -307,7 +329,7 @@ class CNSDRuntime:
             self.params["unet"], self.params["controlnet"],
             self.params["vae"], sched,
             self._put_batch(x_T.astype(self.dtype)),
-            self._put_batch(hint.astype(self.dtype)),
+            self._put_batch(hint if hint_u8 else hint.astype(self.dtype)),
             self._put_batch(ctx_cond.astype(self.dtype)),
             self._put_batch(ctx_uncond.astype(self.dtype)),
             self._put_batch(scale_v),
@@ -328,18 +350,24 @@ class CNSDRuntime:
         self, num_steps: int, batch: int, h: int, w: int,
         guess_mode: bool = False, sampler: str = "ddim",
         encoder_cache_interval: int = 1, ctx_len: Optional[int] = None,
+        hint_u8: bool = False,
     ) -> Engine:
         """Compiled denoise loop for (steps, batch, HxW). H,W are image-space
         (latent is H/8 x W/8). sampler: "ddim" | "dpmpp". ctx_len: context
         token length (default 77; 231 for the 3x77 windowed long-prompt
-        bucket)."""
+        bucket). hint_u8: engine ingests the control hint as uint8 pixels
+        and divides by 255 in-graph — the production path (a 512^2 f32
+        hint is ~3 MB of host->device transfer; uint8 is 4x less, and the
+        in-graph f32 division then dtype cast is bit-identical to the old
+        host-side normalize)."""
         ctx_len = ctx_len or self.cfg.clip.max_length
         key_t = ("sampler", sampler, num_steps, batch, h, w, guess_mode,
-                 encoder_cache_interval, ctx_len)
+                 encoder_cache_interval, ctx_len, hint_u8)
         if key_t in self._engines:
             return self._engines[key_t]
-        fn = self._sampler_fn(num_steps, guess_mode, sampler,
-                              encoder_cache_interval)
+        sfn = self._sampler_fn(num_steps, guess_mode, sampler,
+                               encoder_cache_interval)
+        fn = self._with_u8_hint(sfn) if hint_u8 else sfn
         eng = Engine(fn, name=f"{sampler}_{num_steps}x{batch}x{h}x{w}"
                      + ("_guess" if guess_mode else "")
                      + (f"_ctx{ctx_len}" if ctx_len != self.cfg.clip.max_length
@@ -349,7 +377,8 @@ class CNSDRuntime:
         sched_abs = {k: self._abs_rep(v.shape, v.dtype) for k, v in sched.items()}
         f = self.cfg.vae.downsample_factor
         lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
-        hint = self._abs_data((batch, h, w, 3), self.dtype)
+        hint = self._abs_data((batch, h, w, 3),
+                              jnp.uint8 if hint_u8 else self.dtype)
         ctx = self._abs_data(
             (batch, ctx_len, self.cfg.unet.context_dim), self.dtype
         )
@@ -551,9 +580,11 @@ class CNSDRuntime:
     ) -> jax.Array:
         b, lh, lw, _ = x_T.shape
         f = self.cfg.vae.downsample_factor
+        hint_u8 = hint.dtype == jnp.uint8
         eng = self.sampler_engine(num_steps, b, lh * f, lw * f, guess_mode,
                                   sampler, encoder_cache_interval,
-                                  ctx_len=ctx_cond.shape[1])
+                                  ctx_len=ctx_cond.shape[1],
+                                  hint_u8=hint_u8)
         sched = self._make_schedule(num_steps, sampler, eta=eta)
         sched = {k: self._put_rep(v) for k, v in sched.items()}
         scale_v, cscales = self._per_sample_scales(
@@ -566,7 +597,7 @@ class CNSDRuntime:
         return eng(
             self.params["unet"], self.params["controlnet"], sched,
             self._put_batch(x_T.astype(self.dtype)),
-            self._put_batch(hint.astype(self.dtype)),
+            self._put_batch(hint if hint_u8 else hint.astype(self.dtype)),
             self._put_batch(ctx_cond.astype(self.dtype)),
             self._put_batch(ctx_uncond.astype(self.dtype)),
             self._put_batch(scale_v),
@@ -627,7 +658,8 @@ class CNSDRuntime:
         key = jax.random.PRNGKey(0)
         f = self.cfg.vae.downsample_factor
         x_T = jax.random.normal(key, (batch, h // f, w // f, 4), self.dtype)
-        hint = jnp.zeros((batch, h, w, 3), self.dtype)
+        # uint8 hint: warm the uint8-ingest engine variants process() uses
+        hint = jnp.zeros((batch, h, w, 3), jnp.uint8)
         z = self.sample(num_steps, x_T, hint, ctx, ctx, key)
         img = self.decode_latent(z)
         img_fused = np.asarray(self.sample_decode(

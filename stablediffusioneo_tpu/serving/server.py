@@ -79,7 +79,7 @@ class _Pending:
     future: Future
     t_submit: float
     detected_map: np.ndarray = None
-    hint: np.ndarray = None            # (H, W, 3) float32 [0,1]
+    hint: np.ndarray = None            # (H, W, 3) uint8 (in-graph /255)
     ids: np.ndarray = None             # (2, 77) cond/uncond token ids
     hw: Tuple[int, int] = (0, 0)
 
@@ -203,7 +203,8 @@ class DiffusionServer:
         rt = self.pipe.runtime
         for res in resolutions:
             for b in self.buckets:
-                rt.sample_decode_engine(steps, b, res, res, sampler=sampler)
+                rt.sample_decode_engine(steps, b, res, res, sampler=sampler,
+                                        hint_u8=True)
                 rt.clip_engine(2 * b)
         return self
 
@@ -222,7 +223,7 @@ class DiffusionServer:
         p.hw = img.shape[:2]
         p.detected_map = self.pipe._annotate(
             img, req.low_threshold, req.high_threshold)
-        p.hint = p.detected_map.astype(np.float32) / 255.0
+        p.hint = p.detected_map  # uint8; engines normalize in-graph
         cond_text = (req.prompt + ", " + req.a_prompt
                      if req.a_prompt else req.prompt)
         p.ids = np.asarray(self.pipe.tokenizer([cond_text, req.n_prompt]))
