@@ -150,8 +150,14 @@ class Canny2ImagePipeline:
         f = self.cfg.vae.downsample_factor
         lat_shape = (num_samples, H // f, W // f, 4)
         if x_T is None:
-            key, sub = jax.random.split(key)
-            x_T_arr = jax.random.normal(sub, lat_shape, jnp.float32)
+            if granular_timings:
+                # diagnostic path needs a concrete latent for phase timing
+                key, sub = jax.random.split(key)
+                x_T_arr = jax.random.normal(sub, lat_shape, jnp.float32)
+            else:
+                # production: the engine derives key/sub and draws x_T
+                # in-graph from the root key (same bits, no host dispatch)
+                x_T_arr = None
         else:
             x_T_arr = jnp.asarray(x_T)
 

@@ -193,6 +193,7 @@ class CNSDRuntime:
         )
         self.n_taps = len(encoder_plan(cfg.unet)) + 1
         self._engines: Dict[Tuple, Engine] = {}
+        self._sched_cache: Dict[Tuple, dict] = {}
 
     # ------------------------------------------------------------- engines
 
@@ -241,7 +242,7 @@ class CNSDRuntime:
         self, num_steps: int, batch: int, h: int, w: int,
         guess_mode: bool = False, sampler: str = "ddim",
         encoder_cache_interval: int = 1, ctx_len: Optional[int] = None,
-        hint_u8: bool = False,
+        hint_u8: bool = False, gen_xT: bool = False,
     ) -> Engine:
         """Sampler + VAE decode + uint8 denorm as ONE compiled program.
 
@@ -252,30 +253,44 @@ class CNSDRuntime:
         decode immediately after the scan with no host in the loop."""
         ctx_len = ctx_len or self.cfg.clip.max_length
         key_t = ("sample_decode", sampler, num_steps, batch, h, w, guess_mode,
-                 encoder_cache_interval, ctx_len, hint_u8)
+                 encoder_cache_interval, ctx_len, hint_u8, gen_xT)
         if key_t in self._engines:
             return self._engines[key_t]
         base = self._sampler_fn(num_steps, guess_mode, sampler,
                                 encoder_cache_interval)
         sfn = self._with_u8_hint(base) if hint_u8 else base
         cfg = self.cfg
+        f_ds = cfg.vae.downsample_factor
+        lat_shape = (batch, h // f_ds, w // f_ds, 4)
+        dtype = self.dtype
 
         def run(unet_p, ctrl_p, vae_p, sched, x_T, hint, ctx_c, ctx_u,
                 scale, cscales, key):
-            z = sfn(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u,
+            if gen_xT:
+                # x_T carries the ROOT key (2,) uint32; reproduce exactly
+                # the host-side `key, sub = split(root); normal(sub, ...)`
+                # sequence in-graph — identical bits, zero host dispatches
+                key, sub = jax.random.split(x_T)
+                x_T_v = jax.random.normal(sub, lat_shape,
+                                          jnp.float32).astype(dtype)
+            else:
+                x_T_v = x_T
+            z = sfn(unet_p, ctrl_p, sched, x_T_v, hint, ctx_c, ctx_u,
                     scale, cscales, key)
             img = vae_decode(vae_p, cfg.vae, z, scaled=True)
             img = jnp.clip(img.astype(jnp.float32) * 127.5 + 127.5, 0, 255)
             return img.astype(jnp.uint8)
 
         eng = Engine(run, name=f"{sampler}+decode_{num_steps}x{batch}x{h}x{w}"
-                     + ("_guess" if guess_mode else ""),
-                     donate_argnums=(4,))  # donate x_T
+                     + ("_guess" if guess_mode else "")
+                     + ("_genxT" if gen_xT else ""),
+                     donate_argnums=() if gen_xT else (4,))  # donate x_T
         sched = self._make_schedule(num_steps, sampler)
         sched_abs = {k: self._abs_rep(v.shape, v.dtype)
                      for k, v in sched.items()}
         f = self.cfg.vae.downsample_factor
-        lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
+        lat = (self._abs_rep((2,), jnp.uint32) if gen_xT
+               else self._abs_data((batch, h // f, w // f, 4), self.dtype))
         hint = self._abs_data((batch, h, w, 3),
                               jnp.uint8 if hint_u8 else self.dtype)
         ctx = self._abs_data(
@@ -295,7 +310,7 @@ class CNSDRuntime:
     def sample_decode(
         self,
         num_steps: int,
-        x_T: jax.Array,
+        x_T: Optional[jax.Array],
         hint: jax.Array,
         ctx_cond: jax.Array,
         ctx_uncond: jax.Array,
@@ -311,30 +326,50 @@ class CNSDRuntime:
 
         A uint8 `hint` selects the uint8-ingest engine variant (normalize
         in-graph — 4x less host->device transfer); float hints keep the
-        float variant."""
-        b, lh, lw, _ = x_T.shape
-        f = self.cfg.vae.downsample_factor
+        float variant. x_T=None selects the gen_xT variant: `key` is
+        treated as the ROOT key and the engine reproduces
+        `key, sub = split(root); x_T = normal(sub, ...)` in-graph —
+        identical bits to the host-side sequence, minus two tiny device
+        dispatches and the latent upload per call."""
+        b = hint.shape[0]
+        h, w = hint.shape[1], hint.shape[2]
+        gen_xT = x_T is None
         hint_u8 = hint.dtype == jnp.uint8
         eng = self.sample_decode_engine(
-            num_steps, b, lh * f, lw * f, guess_mode, sampler,
+            num_steps, b, h, w, guess_mode, sampler,
             encoder_cache_interval, ctx_len=ctx_cond.shape[1],
-            hint_u8=hint_u8)
-        sched = self._make_schedule(num_steps, sampler, eta=eta)
-        sched = {k: self._put_rep(v) for k, v in sched.items()}
+            hint_u8=hint_u8, gen_xT=gen_xT)
+        sched = self._sched_device(num_steps, sampler, eta)
         scale_v, cscales = self._per_sample_scales(
             b, guidance_scale, strength, guess_mode)
-        if isinstance(x_T, jax.Array) and x_T.dtype == self.dtype:
-            x_T = jnp.copy(x_T)  # donated below; see sample()
+        if gen_xT:
+            x_T_arg = self._put_rep(key)  # root key rides the x_T slot
+        else:
+            if isinstance(x_T, jax.Array) and x_T.dtype == self.dtype:
+                x_T = jnp.copy(x_T)  # donated below; see sample()
+            x_T_arg = self._put_batch(x_T.astype(self.dtype))
         return eng(
             self.params["unet"], self.params["controlnet"],
             self.params["vae"], sched,
-            self._put_batch(x_T.astype(self.dtype)),
+            x_T_arg,
             self._put_batch(hint if hint_u8 else hint.astype(self.dtype)),
             self._put_batch(ctx_cond.astype(self.dtype)),
             self._put_batch(ctx_uncond.astype(self.dtype)),
             self._put_batch(scale_v),
             self._put_batch(cscales), self._put_rep(key),
         )
+
+    def _sched_device(self, num_steps: int, sampler: str, eta: float):
+        """Device-resident schedule constants, cached per (sampler, steps,
+        eta) — re-uploading the ~10 small schedule arrays on every call
+        costs a handful of tunneled transfers each."""
+        ck = (sampler, num_steps, float(eta))
+        cached = self._sched_cache.get(ck)
+        if cached is None:
+            sched = self._make_schedule(num_steps, sampler, eta=eta)
+            cached = {k: self._put_rep(v) for k, v in sched.items()}
+            self._sched_cache[ck] = cached
+        return cached
 
     def _make_schedule(self, num_steps: int, sampler: str, eta: float = 0.0):
         if sampler == "dpmpp":
@@ -585,8 +620,7 @@ class CNSDRuntime:
                                   sampler, encoder_cache_interval,
                                   ctx_len=ctx_cond.shape[1],
                                   hint_u8=hint_u8)
-        sched = self._make_schedule(num_steps, sampler, eta=eta)
-        sched = {k: self._put_rep(v) for k, v in sched.items()}
+        sched = self._sched_device(num_steps, sampler, eta)
         scale_v, cscales = self._per_sample_scales(
             b, guidance_scale, strength, guess_mode)
         # x_T is donated (donate_argnums=(3,)); .astype is a no-op alias when
