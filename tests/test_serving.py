@@ -166,6 +166,26 @@ class TestDiffusionServer:
             assert im.dtype == np.uint8
         assert server.stats.batches - b0 == 2
 
+    def test_mixed_resolutions_route_to_separate_groups(self, tiny_server):
+        """Requests at different resolutions form different compatibility
+        groups (different engine buckets) and both complete."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, _ = tiny_server
+        b0 = server.stats.batches
+        futures = [
+            server.submit(GenRequest(image=_img(60), prompt="a",
+                                     image_resolution=64, ddim_steps=2,
+                                     seed=1)),
+            server.submit(GenRequest(image=_img(61, size=128), prompt="b",
+                                     image_resolution=128, ddim_steps=2,
+                                     seed=2)),
+        ]
+        outs = [f.result(timeout=900) for f in futures]
+        assert outs[0][1].shape == (64, 64, 3)
+        assert outs[1][1].shape == (128, 128, 3)
+        assert server.stats.batches - b0 == 2  # never co-batched
+
     def test_drain_covers_inflight_batches(self, tiny_server):
         """drain() must wait for batches already cut and dispatched (in
         flight on the completion thread), not just queued ones."""
