@@ -28,10 +28,14 @@ def log(*a):
 def main():
     """Default: the flagship 512x512 20-step metric. BENCH_MODE selects the
     other BASELINE.md tracked configs:
-      batch4   — batch-4 throughput at 512x512 (images/sec/chip)
-      multires — 384/512/640 bucket sweep (the onnx2trt_dynamic analog)
-      serving  — DiffusionServer cross-request batching throughput
+      batch4     — batch-4 throughput at 512x512 (images/sec/chip)
+      multires   — 384/512/640 bucket sweep (the onnx2trt_dynamic analog)
+      serving    — DiffusionServer cross-request batching throughput
         (BENCH_CONCURRENCY requests, mixed prompts/scales/seeds)
+      annotators — tracked config 4: canny/HED/MiDaS/OpenPose conditioning,
+        one full process() per annotator family
+      yolo       — tracked config 5: YOLOv5 1120^2 e2e (pre+net+post)
+      train      — ControlNet fine-tune steps/s (BENCH_TRAIN_BATCH, 256^2)
     """
     mode = os.environ.get("BENCH_MODE", "default")
     resolution = int(os.environ.get("BENCH_RESOLUTION", "512"))
