@@ -696,8 +696,10 @@ class CNSDRuntime:
         hint = jnp.zeros((batch, h, w, 3), jnp.uint8)
         z = self.sample(num_steps, x_T, hint, ctx, ctx, key)
         img = self.decode_latent(z)
+        # x_T=None: warm the gen_xT fused engine — the variant process()'s
+        # production path actually runs (x_T provided warms the other one)
         img_fused = np.asarray(self.sample_decode(
-            num_steps, x_T, hint, ctx, ctx, key))
+            num_steps, None, hint, ctx, ctx, key))
         if img_fused.shape != img.shape:
             raise RuntimeError(
                 f"warmup self-test: fused sample_decode shape "

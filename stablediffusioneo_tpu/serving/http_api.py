@@ -86,7 +86,10 @@ class _Handler(BaseHTTPRequestHandler):
             image = _decode_image(payload["image_b64"])
             kwargs = {k: payload[k] for k in _REQ_FIELDS if k in payload}
             req = GenRequest(image=image, **kwargs)
-        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+        except (KeyError, ValueError, TypeError, OSError,
+                json.JSONDecodeError) as e:
+            # OSError covers PIL.UnidentifiedImageError (valid base64 of
+            # non-image bytes) — a malformed request, not a server fault
             return self._json(400, {"error": f"bad request: {e!r}"})
         t0 = time.perf_counter()
         try:

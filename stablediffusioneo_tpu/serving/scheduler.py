@@ -18,43 +18,27 @@ Policy (see scheduler.cpp for the full rationale):
 from __future__ import annotations
 
 import ctypes
-import os
 from typing import Optional, Sequence
 
 import numpy as np
 
-_LIB_CANDIDATES = (
-    os.path.join(os.path.dirname(__file__), "..", "..", "native", "build",
-                 "libsdeo_sched.so"),
-)
+from stablediffusioneo_tpu.utils.native import load_native_lib
 
-_lib: Optional[ctypes.CDLL] = None
-_load_attempted = False
+
+def _configure(lib: ctypes.CDLL) -> None:
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.sdeo_decide_cut.argtypes = [dp, ctypes.c_int, ip, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_double]
+    lib.sdeo_decide_cut.restype = ctypes.c_int
+    lib.sdeo_pick_group.argtypes = [dp, ctypes.c_int]
+    lib.sdeo_pick_group.restype = ctypes.c_int
+    lib.sdeo_next_deadline_ms.argtypes = [dp, ctypes.c_int, ctypes.c_double]
+    lib.sdeo_next_deadline_ms.restype = ctypes.c_double
 
 
 def _load() -> Optional[ctypes.CDLL]:
-    global _lib, _load_attempted
-    if _load_attempted:
-        return _lib
-    _load_attempted = True
-    for cand in _LIB_CANDIDATES:
-        path = os.path.abspath(cand)
-        if os.path.exists(path):
-            lib = ctypes.CDLL(path)
-            dp = ctypes.POINTER(ctypes.c_double)
-            ip = ctypes.POINTER(ctypes.c_int)
-            lib.sdeo_decide_cut.argtypes = [dp, ctypes.c_int, ip,
-                                            ctypes.c_int, ctypes.c_int,
-                                            ctypes.c_double]
-            lib.sdeo_decide_cut.restype = ctypes.c_int
-            lib.sdeo_pick_group.argtypes = [dp, ctypes.c_int]
-            lib.sdeo_pick_group.restype = ctypes.c_int
-            lib.sdeo_next_deadline_ms.argtypes = [dp, ctypes.c_int,
-                                                  ctypes.c_double]
-            lib.sdeo_next_deadline_ms.restype = ctypes.c_double
-            _lib = lib
-            break
-    return _lib
+    return load_native_lib("sdeo_sched", _configure)
 
 
 def native_available() -> bool:

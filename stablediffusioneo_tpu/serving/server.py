@@ -82,6 +82,7 @@ class _Pending:
     hint: np.ndarray = None            # (H, W, 3) uint8 (in-graph /255)
     ids: np.ndarray = None             # (2, 77) cond/uncond token ids
     hw: Tuple[int, int] = (0, 0)
+    seed: int = 0                      # resolved per submission (-1 drawn)
 
 
 @dataclass
@@ -185,6 +186,8 @@ class DiffusionServer:
 
     def drain(self, timeout: float = 300.0):
         """Block until every queued request has been dispatched+resolved."""
+        from concurrent.futures import wait as futures_wait
+
         deadline = time.perf_counter() + timeout
         futures = []
         while time.perf_counter() < deadline:
@@ -193,8 +196,10 @@ class DiffusionServer:
                 futures += [f for f in self._inflight if not f.done()]
             if not futures:
                 return
-            for f in futures:
-                f.result(timeout=max(0.0, deadline - time.perf_counter()))
+            # wait WITHOUT re-raising: a failed request's stored exception
+            # belongs to its submitter, not to whoever drains the server
+            futures_wait(futures,
+                         timeout=max(0.0, deadline - time.perf_counter()))
         raise TimeoutError("serving queue did not drain")
 
     def warmup(self, resolutions=(256,), steps=20, sampler="ddim"):
@@ -227,8 +232,10 @@ class DiffusionServer:
         cond_text = (req.prompt + ", " + req.a_prompt
                      if req.a_prompt else req.prompt)
         p.ids = np.asarray(self.pipe.tokenizer([cond_text, req.n_prompt]))
-        if req.seed == -1:
-            req.seed = int(np.random.randint(0, 2 ** 31 - 1))
+        # resolve seed=-1 per SUBMISSION, without mutating the caller's
+        # request object (a reused GenRequest must draw fresh seeds)
+        p.seed = (int(np.random.randint(0, 2 ** 31 - 1))
+                  if req.seed == -1 else int(req.seed))
         with self._wake:
             self._groups.setdefault(self._key(p), []).append(p)
             self.stats.requests += 1
@@ -247,7 +254,12 @@ class DiffusionServer:
                 r.encoder_cache_interval, r.clip_skip, p.ids.shape[-1])
 
     def _cut_batch(self) -> Optional[List[_Pending]]:
-        """Called under the lock. Returns the batch to run now, or None."""
+        """Called under the lock. Returns the batch to run now, or None.
+
+        Groups are tried oldest-request-first; a group holding for its
+        batching window must NOT block a younger group that is already
+        dispatch-ready (e.g. a full max-size bucket at another resolution
+        while the lone oldest request still waits for company)."""
         keys = list(self._groups.keys())
         now = time.perf_counter()
         ages = [
@@ -255,18 +267,20 @@ class DiffusionServer:
             else -1.0
             for k in keys
         ]
-        gi = pick_group(ages)
-        if gi < 0:
-            return None
-        q = self._groups[keys[gi]]
-        q_ages = [(now - p.t_submit) * 1e3 for p in q]
-        n = decide_cut(q_ages, self.buckets, self.max_batch, self.max_wait_ms)
-        if n <= 0:
-            return None
-        batch, self._groups[keys[gi]] = q[:n], q[n:]
-        if not self._groups[keys[gi]]:
-            del self._groups[keys[gi]]
-        return batch
+        while True:
+            gi = pick_group(ages)
+            if gi < 0:
+                return None
+            q = self._groups[keys[gi]]
+            q_ages = [(now - p.t_submit) * 1e3 for p in q]
+            n = decide_cut(q_ages, self.buckets, self.max_batch,
+                           self.max_wait_ms)
+            if n > 0:
+                batch, self._groups[keys[gi]] = q[:n], q[n:]
+                if not self._groups[keys[gi]]:
+                    del self._groups[keys[gi]]
+                return batch
+            ages[gi] = -1.0  # holding: mask and consult the next group
 
     def _wait_timeout(self) -> Optional[float]:
         """Called under the lock: seconds until the oldest group's batching
@@ -341,7 +355,7 @@ class DiffusionServer:
 
         hint = np.stack([p.hint for p in batch])
         # per-request x_T, exactly process()'s seeding (PRNGKey(seed) split)
-        keys = [jax.random.split(jax.random.PRNGKey(p.req.seed))
+        keys = [jax.random.split(jax.random.PRNGKey(p.seed))
                 for p in batch]
         x_T = jnp.concatenate([
             jax.random.normal(sub, (1, h // f, w // f, 4), jnp.float32)

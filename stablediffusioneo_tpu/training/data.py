@@ -20,44 +20,32 @@ from __future__ import annotations
 import ctypes
 import json
 import os
-import threading
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                         "build", "libsdeo_loader.so")
+from stablediffusioneo_tpu.utils.native import load_native_lib
 
-_lib = None
-_load_attempted = False
-_lib_lock = threading.Lock()
+
+def _configure(lib: ctypes.CDLL) -> None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.sdeo_loader_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_uint, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.sdeo_loader_create.restype = ctypes.c_void_p
+    lib.sdeo_loader_next.argtypes = [ctypes.c_void_p, u8p, u8p, i32p]
+    lib.sdeo_loader_next.restype = ctypes.c_longlong
+    lib.sdeo_loader_error_count.argtypes = [ctypes.c_void_p]
+    lib.sdeo_loader_error_count.restype = ctypes.c_longlong
+    lib.sdeo_loader_destroy.argtypes = [ctypes.c_void_p]
 
 
 def _load_lib():
-    global _lib, _load_attempted
-    with _lib_lock:
-        if _load_attempted:
-            return _lib
-        _load_attempted = True
-        path = os.path.abspath(_LIB_PATH)
-        if os.path.exists(path):
-            lib = ctypes.CDLL(path)
-            u8p = ctypes.POINTER(ctypes.c_uint8)
-            i32p = ctypes.POINTER(ctypes.c_int32)
-            lib.sdeo_loader_create.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p),
-                ctypes.POINTER(ctypes.c_char_p),
-                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_uint, ctypes.c_int, ctypes.c_int,
-            ]
-            lib.sdeo_loader_create.restype = ctypes.c_void_p
-            lib.sdeo_loader_next.argtypes = [ctypes.c_void_p, u8p, u8p, i32p]
-            lib.sdeo_loader_next.restype = ctypes.c_longlong
-            lib.sdeo_loader_error_count.argtypes = [ctypes.c_void_p]
-            lib.sdeo_loader_error_count.restype = ctypes.c_longlong
-            lib.sdeo_loader_destroy.argtypes = [ctypes.c_void_p]
-            _lib = lib
-        return _lib
+    return load_native_lib("sdeo_loader", _configure)
 
 
 def native_available() -> bool:
@@ -120,6 +108,7 @@ class ImagePairLoader:
         self.shuffle = bool(shuffle)
         self.seed = int(seed)
         self._pos = 0  # python-backend global sample position
+        self._perm_cache: Tuple[int, np.ndarray] = (-1, None)
         if backend == "auto":
             backend = "native" if native_available() else "python"
         self.backend = backend
@@ -168,8 +157,11 @@ class ImagePairLoader:
         idx = np.empty((self.batch,), np.int32)
         for b in range(self.batch):
             pos = self._pos + b
-            perm = _epoch_perm(n, pos // n, self.seed, self.shuffle)
-            si = int(perm[pos % n])
+            epoch = pos // n
+            if self._perm_cache[0] != epoch:  # once per epoch, not sample
+                self._perm_cache = (
+                    epoch, _epoch_perm(n, epoch, self.seed, self.shuffle))
+            si = int(self._perm_cache[1][pos % n])
             idx[b] = si
             src[b] = self._decode_py(self.src_paths[si])
             tgt[b] = self._decode_py(self.tgt_paths[si])
@@ -224,14 +216,16 @@ def controlnet_batches(
     encode_text: token ids (B, T) -> context (B, T, C) (CLIP tower).
     encode_image: uint8 target (B, H, W, 3) + step -> scaled latents
     (B, H/8, W/8, 4) (VAE encode, sampled posterior). Both typically run
-    on device (CNSDRuntime.encode_prompt / encode_image)."""
+    on device (CNSDRuntime.encode_prompt / encode_image). The hint stays
+    uint8 — train_step normalizes it in-graph (same uint8-upload
+    discipline as the inference engines)."""
     step = 0
     while True:
         raw = loader.next()
         ids = np.asarray(tokenizer([prompts[i] for i in raw["indices"]]))
         yield {
             "x0": np.asarray(encode_image(raw["target"], step)),
-            "hint": raw["source"].astype(np.float32) / 255.0,
+            "hint": raw["source"],
             "ctx": np.asarray(encode_text(ids)),
         }
         step += 1

@@ -87,8 +87,16 @@ def train_step(
     batch: Dict[str, jax.Array],
     key: jax.Array,
 ) -> Tuple[TrainState, jax.Array]:
-    """One AdamW step on the ControlNet branch. batch: {x0, hint, ctx}."""
+    """One AdamW step on the ControlNet branch. batch: {x0, hint, ctx}.
+
+    A uint8 hint is normalized in-graph (/255) — the data pipeline ships
+    raw pixels and the device does the cast, the same uint8-upload
+    discipline as the inference engines."""
     b = batch["x0"].shape[0]
+    if batch["hint"].dtype == jnp.uint8:
+        batch = dict(batch)
+        batch["hint"] = (batch["hint"].astype(jnp.float32)
+                         / 255.0).astype(batch["x0"].dtype)
     kt, kn = jax.random.split(jax.random.fold_in(key, state.step))
     t = jax.random.randint(kt, (b,), 0, cfg.diffusion.timesteps)
     noise = jax.random.normal(kn, batch["x0"].shape, jnp.float32).astype(
