@@ -107,7 +107,7 @@ def main():
         }), flush=True)
         return
 
-    from stablediffusioneo_tpu.config import sd15_pipeline
+    from stablediffusioneo_tpu.config import sd15_pipeline, sd21_pipeline
     from stablediffusioneo_tpu.models import (
         init_clip_text,
         init_controlnet,
@@ -117,7 +117,11 @@ def main():
     from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
     from stablediffusioneo_tpu.pipeline.canny2image import Canny2ImagePipeline
 
-    cfg = sd15_pipeline(dtype="bfloat16")
+    # BENCH_FAMILY=sd21 runs the same workload on the SD-2.x family
+    # (v-prediction, OpenCLIP ViT-H context, num_head_channels attention)
+    family = os.environ.get("BENCH_FAMILY", "sd15")
+    cfg = (sd21_pipeline(dtype="bfloat16") if family == "sd21"
+           else sd15_pipeline(dtype="bfloat16"))
 
     t0 = time.perf_counter()
     key = jax.random.PRNGKey(0)
@@ -351,6 +355,8 @@ def main():
         tag = "" if sampler == "ddim" else f"_{sampler}"
         if enc_cache > 1:
             tag += f"_enccache{enc_cache}"
+        if family != "sd15":
+            tag += f"_{family}"
         result = {
             "metric": f"canny2image_{res}x{res}_{steps}step{tag}_bf16_b1_e2e_p50",
             "value": round(p50, 4),

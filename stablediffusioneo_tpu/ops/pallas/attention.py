@@ -48,13 +48,18 @@ _VMEM_BUDGET = 14 * 1024 * 1024
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
-def _compiler_params(batch: int = 1):
-    """Raised scoped-vmem limit ONLY where Mosaic's double-buffering can
-    overflow the default 16M (batch > 2; measured OOM at batch 8). The
-    raised limit is not free: unconditionally setting it changed Mosaic's
-    scheduling and cost ~40 ms e2e on the batch-1 flagship (0.688->0.725 s),
-    so small batches keep the default."""
-    if batch > 2 and _HAS_PLTPU and hasattr(pltpu, "CompilerParams"):
+def _compiler_params(batch: int = 1, head_dim: int = 40):
+    """Raised scoped-vmem limit ONLY where Mosaic's stack accounting can
+    overflow the default 16M: batch > 2 (measured OOM at batch 8), or a
+    head dim outside SD-1.5's {40, 80, 160} (SD-2.x head-channel mode
+    d=64 OOMs at compile: 18.57M needed for the (2,1024,640) h=10 site —
+    Mosaic's per-head buffer liveness doesn't follow the naive estimate,
+    so this is keyed on the measured shape family, not a size model).
+    The raised limit is not free: unconditionally setting it changed
+    Mosaic's scheduling and cost ~40 ms e2e on the batch-1 flagship
+    (0.688->0.725 s), so the measured SD-1.5 shapes keep the default."""
+    if ((batch > 2 or head_dim not in (40, 80, 160))
+            and _HAS_PLTPU and hasattr(pltpu, "CompilerParams")):
         return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     return None
 
@@ -323,7 +328,8 @@ def _packed_call(
     return pl.pallas_call(
         functools.partial(_attn_kernel_packed, heads=heads),
         grid=(b, tq // bq),
-        compiler_params=None if interpret else _compiler_params(b),
+        compiler_params=(None if interpret
+                         else _compiler_params(b, c // heads)),
         in_specs=[
             spec((1, bq, c), lambda bi, j: (bi, j, 0)),
             spec((1, s, c), lambda bi, j: (bi, 0, 0)),
@@ -407,7 +413,7 @@ def _split_call(
     out = pl.pallas_call(
         _attn_kernel,
         grid=(bh, tq // bq),
-        compiler_params=None if interpret else _compiler_params(b),
+        compiler_params=None if interpret else _compiler_params(b, d),
         in_specs=[
             spec((1, bq, d), lambda i, j: (i, j, 0)),
             spec((1, s, d), lambda i, j: (i, 0, 0)),
