@@ -173,17 +173,28 @@ def main():
         tok = CLIPTokenizer.from_hf_files(args.vocab, args.merges,
                                           max_length=cfg.clip.max_length)
 
-    # JAX pipeline from the same state dict
-    from stablediffusioneo_tpu.checkpoint.convert import (
-        convert_clip, convert_controlnet, convert_unet, convert_vae,
+    # JAX pipeline from the same state dict, behind the strict accounting
+    # gate: a real checkpoint either maps 100% (modulo the documented
+    # SD_KNOWN_UNUSED buffers) or this exits naming the orphan keys.
+    import jax as _jax
+
+    from stablediffusioneo_tpu.checkpoint.accounting import account_pipeline
+    from stablediffusioneo_tpu.models import (
+        init_clip_text, init_controlnet, init_unet, init_vae,
     )
 
-    params = {
-        "unet": convert_unet(sd, cfg.unet),
-        "controlnet": convert_controlnet(sd, cfg.controlnet),
-        "vae": convert_vae(sd, cfg.vae),
-        "clip": convert_clip(sd, cfg.clip),
-    }
+    key = _jax.random.PRNGKey(0)
+    rep = account_pipeline(sd, cfg, expect={
+        "unet": _jax.eval_shape(lambda k: init_unet(k, cfg.unet), key),
+        "controlnet": _jax.eval_shape(
+            lambda k: init_controlnet(k, cfg.controlnet), key),
+        "vae": _jax.eval_shape(lambda k: init_vae(k, cfg.vae), key),
+        "clip": _jax.eval_shape(lambda k: init_clip_text(k, cfg.clip), key),
+    }).assert_complete("controlnet_pipeline")
+    print(f"[accounting] {len(rep.consumed)} keys consumed, "
+          f"{len(rep.ignored)} known-unused"
+          + (f" ({sorted(rep.ignored)[:4]}...)" if rep.ignored else ""))
+    params = rep.tree
     pipe = Canny2ImagePipeline(params, tok, cfg)
 
     images = [make_scene(1000 + i, args.res) for i in range(args.n)]

@@ -52,8 +52,12 @@ def _norm(sd, name, dtype=None):
     }
 
 
-def _strip(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
-    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+def _strip(sd, prefix: str):
+    """Prefix-stripping *view* (not a copy): keeps read accounting alive when
+    `sd` is a checkpoint.accounting.TrackedStateDict."""
+    from stablediffusioneo_tpu.checkpoint.accounting import PrefixView
+
+    return PrefixView(sd, prefix)
 
 
 # ------------------------------------------------------------------- UNet
@@ -111,11 +115,13 @@ def _proj_conv(sd, name, dtype=None):
     reshaped into the conv representation."""
     w = sd[f"{name}.weight"]
     if w.ndim == 2:
-        p = {"w": jnp.asarray(np.transpose(w)[None, None], dtype)}
-        if f"{name}.bias" in sd:
-            p["b"] = jnp.asarray(sd[f"{name}.bias"], dtype)
-        return p
-    return _conv(sd, name, dtype)
+        w = np.transpose(w)[None, None]
+    else:
+        w = np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+    p = {"w": jnp.asarray(w, dtype)}
+    if f"{name}.bias" in sd:
+        p["b"] = jnp.asarray(sd[f"{name}.bias"], dtype)
+    return p
 
 
 def _unet_encoder_part(sd, cfg: UNetConfig, dtype) -> Dict:
@@ -156,7 +162,7 @@ def convert_unet(
     dtype=None,
 ) -> Dict:
     """Map an openaimodel UNetModel state dict onto the JAX UNet tree."""
-    sd = _strip(sd, prefix) if prefix else dict(sd)
+    sd = _strip(sd, prefix) if prefix else sd
     params = _unet_encoder_part(sd, cfg, dtype)
 
     out_blocks = []
@@ -188,7 +194,7 @@ def convert_controlnet(
     prefix: str = "control_model.",
     dtype=None,
 ) -> Dict:
-    sd = _strip(sd, prefix) if prefix else dict(sd)
+    sd = _strip(sd, prefix) if prefix else sd
     # the encoder part shares UNet naming
     unet_part = _unet_encoder_part(sd, cfg.unet, dtype)
     n_blocks = len(encoder_plan(cfg.unet))
@@ -239,7 +245,7 @@ def convert_vae(
     prefix: str = "first_stage_model.",
     dtype=None,
 ) -> Dict:
-    sd = _strip(sd, prefix) if prefix else dict(sd)
+    sd = _strip(sd, prefix) if prefix else sd
     enc: Dict = {"conv_in": _conv(sd, "encoder.conv_in", dtype), "down": []}
     for i in range(len(cfg.ch_mult)):
         level = {
@@ -295,7 +301,7 @@ def convert_clip(
     prefix: str = "cond_stage_model.transformer.",
     dtype=None,
 ) -> Dict:
-    sd = _strip(sd, prefix) if prefix else dict(sd)
+    sd = _strip(sd, prefix) if prefix else sd
     tm = "text_model."
     params: Dict = {
         "token_embedding": jnp.asarray(
@@ -331,15 +337,28 @@ def load_controlnet_pipeline(
     path: str,
     cfg: Optional[PipelineConfig] = None,
     dtype=None,
+    strict: bool = True,
 ) -> Dict[str, Dict]:
     """Load a full ControlNet checkpoint (e.g. control_sd15_canny.pth) into
     the four param trees. Equivalent of create_model + load_state_dict
-    (canny2image_TRT.py:23-28)."""
+    (canny2image_TRT.py:23-28).
+
+    strict=True (default) runs key accounting: every checkpoint key must be
+    consumed by exactly one converter or match a documented known-unused
+    pattern (checkpoint/accounting.py SD_KNOWN_UNUSED); otherwise raises
+    ConversionAccountingError naming the orphan keys. The loud-boundary
+    analog of the reference's onnxruntime_check (export_onnx_all.py:60-100).
+    """
+    from stablediffusioneo_tpu.checkpoint.accounting import account_pipeline
     from stablediffusioneo_tpu.checkpoint.torch_reader import load_torch_state_dict
     from stablediffusioneo_tpu.config import sd15_pipeline
 
     cfg = cfg or sd15_pipeline()
     sd = load_torch_state_dict(path)
+    if strict:
+        return account_pipeline(sd, cfg, dtype=dtype).assert_complete(
+            "controlnet_pipeline"
+        ).tree
     return {
         "unet": convert_unet(sd, cfg.unet, dtype=dtype),
         "controlnet": convert_controlnet(sd, cfg.controlnet, dtype=dtype),
@@ -357,7 +376,7 @@ def convert_openclip_text(
     """Map an OpenCLIP text tower (FrozenOpenCLIPEmbedder's inner model,
     SD-2.x checkpoints: `cond_stage_model.model.*` with packed
     attn.in_proj_{weight,bias}) onto the CLIP tree."""
-    sd = _strip(sd, prefix) if prefix else dict(sd)
+    sd = _strip(sd, prefix) if prefix else sd
     params: Dict = {
         "token_embedding": jnp.asarray(sd["token_embedding.weight"], dtype),
         "position_embedding": jnp.asarray(sd["positional_embedding"], dtype),

@@ -106,7 +106,9 @@ def convert_t5(sd: Dict[str, np.ndarray], cfg: T5Config,
       encoder.final_layer_norm.weight
     """
     if prefix:
-        sd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+        from stablediffusioneo_tpu.checkpoint.accounting import PrefixView
+
+        sd = PrefixView(sd, prefix)
 
     def lin(name):
         return {"w": jnp.asarray(np.transpose(sd[f"{name}.weight"]), dtype)}
