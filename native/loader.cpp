@@ -16,7 +16,8 @@
 // C ABI (ctypes):
 //   sdeo_loader_create(paths_src, paths_tgt, n, batch, h, w,
 //                      shuffle, seed, threads, depth) -> handle
-//   sdeo_loader_next(handle, src_out, tgt_out, idx_out) -> batch ticket
+//   sdeo_loader_next(handle, src_out, tgt_out, idx_out) -> batch ticket,
+//       or -1 if destroy() raced the wait (outputs untouched in that case)
 //   sdeo_loader_error_count(handle) -> decode failures so far (zero-filled)
 //   sdeo_loader_destroy(handle)
 
@@ -266,7 +267,13 @@ long long sdeo_loader_next(void* handle, uint8_t* src_out, uint8_t* tgt_out,
   Slot* slot = &L->slots[t % L->depth];
   {
     std::unique_lock<std::mutex> lk(L->mu);
-    L->cv_ready.wait(lk, [&] { return slot->ticket == t && slot->ready; });
+    // also wake on stop: a consumer blocked here during destroy() must
+    // return (-1) instead of waiting on a condition variable the
+    // destructor is about to delete (use-after-free otherwise)
+    L->cv_ready.wait(lk, [&] {
+      return (slot->ticket == t && slot->ready) || L->stop.load();
+    });
+    if (L->stop.load() && !(slot->ticket == t && slot->ready)) return -1;
   }
   const size_t bytes = size_t(L->batch) * L->h * L->w * 3;
   std::memcpy(src_out, slot->src.data(), bytes);

@@ -10,7 +10,7 @@ Replaces the reference's CrossAttention einsum path
     in fp32 (the bf16 analog of the reference's ATTN_PRECISION fp32 island,
     attention.py:229-233) — XLA fuses this well for the 77-token and
     <=4096-latent-token shapes of SD-1.5;
-  * a Pallas blockwise flash-attention kernel (ops/pallas/flash_attention.py)
+  * Pallas blockwise flash-attention kernels (ops/pallas/attention.py)
     for larger latent grids — the principled version of sliced attention.
 
 Projections (to_q/to_k/to_v/to_out) are kept in the model layer; the ops here

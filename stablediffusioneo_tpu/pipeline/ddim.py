@@ -95,6 +95,22 @@ def _tile_cfg(control_scales):
     return control_scales
 
 
+def _step_noise(key, step_idx, shape):
+    """Per-step stochastic noise (eta > 0). key is either one PRNGKey (2,)
+    shared by the batch, or (B, 2) per-sample keys — then each sample's
+    noise depends only on its own key, so a request's output is identical
+    whether it runs at batch 1 or inside a serving batch (per-request
+    reproducibility; the reference's per-request torch generator analog,
+    cldm_trt/ddim_hacked.py:119-121)."""
+    idx = step_idx.astype(jnp.int32)
+    if key.ndim == 2:  # (B, 2) per-sample keys
+        return jax.vmap(
+            lambda k: jax.random.normal(
+                jax.random.fold_in(k, idx), shape[1:], jnp.float32)
+        )(key)
+    return jax.random.normal(jax.random.fold_in(key, idx), shape, jnp.float32)
+
+
 def _bc_scale(scale, x):
     """Guidance scale as a scalar (shared) or (B,) vector (per-sample,
     serving-layer batches) broadcast against (B, H, W, C)."""
@@ -147,8 +163,7 @@ def ddim_scan_step(
         ef = mf
         pred_x0 = (xf - sqrt_1m_at * ef) / sqrt_at
     dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * ef
-    noise_key = jax.random.fold_in(key, step_idx.astype(jnp.int32))
-    noise = sigma_t * jax.random.normal(noise_key, xf.shape, jnp.float32) * temperature
+    noise = sigma_t * _step_noise(key, step_idx, xf.shape) * temperature
     x_prev = jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise
     return x_prev.astype(x.dtype), pred_x0
 
@@ -231,8 +246,7 @@ def _ddim_update(x, model_out, per_step, key, temperature, parameterization):
         ef = mf
         pred_x0 = (xf - sqrt_1m_at * ef) / sqrt_at
     dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * ef
-    noise_key = jax.random.fold_in(key, step_idx.astype(jnp.int32))
-    noise = sigma_t * jax.random.normal(noise_key, xf.shape, jnp.float32) * temperature
+    noise = sigma_t * _step_noise(key, step_idx, xf.shape) * temperature
     return (jnp.sqrt(a_prev) * pred_x0 + dir_xt + noise).astype(x.dtype)
 
 

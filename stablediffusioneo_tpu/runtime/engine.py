@@ -242,7 +242,7 @@ class CNSDRuntime:
         self, num_steps: int, batch: int, h: int, w: int,
         guess_mode: bool = False, sampler: str = "ddim",
         encoder_cache_interval: int = 1, ctx_len: Optional[int] = None,
-        hint_u8: bool = False, gen_xT: bool = False,
+        hint_u8: bool = False, gen_xT=False,  # False | True | "seeds"
     ) -> Engine:
         """Sampler + VAE decode + uint8 denorm as ONE compiled program.
 
@@ -266,7 +266,19 @@ class CNSDRuntime:
 
         def run(unet_p, ctrl_p, vae_p, sched, x_T, hint, ctx_c, ctx_u,
                 scale, cscales, key):
-            if gen_xT:
+            if gen_xT == "seeds":
+                # x_T carries PER-REQUEST int32 seeds (B,): derive each
+                # request's root key, x_T rows, and in-loop noise keys from
+                # its own seed in-graph — a request's bits are identical
+                # whether it runs at batch 1 or inside a serving batch
+                # (process()'s PRNGKey(seed) -> split -> normal, per row)
+                ks = jax.vmap(
+                    lambda s: jax.random.split(jax.random.PRNGKey(s)))(x_T)
+                key = ks[:, 0]  # (B, 2) per-sample noise keys (ddim._step_noise)
+                x_T_v = jax.vmap(
+                    lambda k: jax.random.normal(k, lat_shape[1:], jnp.float32)
+                )(ks[:, 1]).astype(dtype)
+            elif gen_xT:
                 # x_T carries the ROOT key (2,) uint32; reproduce exactly
                 # the host-side `key, sub = split(root); normal(sub, ...)`
                 # sequence in-graph — identical bits, zero host dispatches
@@ -283,14 +295,19 @@ class CNSDRuntime:
 
         eng = Engine(run, name=f"{sampler}+decode_{num_steps}x{batch}x{h}x{w}"
                      + ("_guess" if guess_mode else "")
-                     + ("_genxT" if gen_xT else ""),
+                     + (f"_genxT{'-seeds' if gen_xT == 'seeds' else ''}"
+                        if gen_xT else ""),
                      donate_argnums=() if gen_xT else (4,))  # donate x_T
         sched = self._make_schedule(num_steps, sampler)
         sched_abs = {k: self._abs_rep(v.shape, v.dtype)
                      for k, v in sched.items()}
         f = self.cfg.vae.downsample_factor
-        lat = (self._abs_rep((2,), jnp.uint32) if gen_xT
-               else self._abs_data((batch, h // f, w // f, 4), self.dtype))
+        if gen_xT == "seeds":
+            lat = self._abs_data((batch,), jnp.int32)
+        elif gen_xT:
+            lat = self._abs_rep((2,), jnp.uint32)
+        else:
+            lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
         hint = self._abs_data((batch, h, w, 3),
                               jnp.uint8 if hint_u8 else self.dtype)
         ctx = self._abs_data(
@@ -321,6 +338,7 @@ class CNSDRuntime:
         guess_mode: bool = False,
         sampler: str = "ddim",
         encoder_cache_interval: int = 1,
+        seeds=None,
     ) -> jax.Array:
         """Fused sample+decode: returns uint8 (B, H, W, 3) ON DEVICE.
 
@@ -330,10 +348,17 @@ class CNSDRuntime:
         treated as the ROOT key and the engine reproduces
         `key, sub = split(root); x_T = normal(sub, ...)` in-graph —
         identical bits to the host-side sequence, minus two tiny device
-        dispatches and the latent upload per call."""
+        dispatches and the latent upload per call.
+
+        seeds (serving path): per-request int seeds, shape (B,); requires
+        x_T=None. Each row's x_T AND in-loop eta-noise derive from its own
+        seed in-graph, so a request reproduces bit-identically regardless
+        of which batch it was cut into (`key` is then ignored)."""
         b = hint.shape[0]
         h, w = hint.shape[1], hint.shape[2]
-        gen_xT = x_T is None
+        if seeds is not None and x_T is not None:
+            raise ValueError("seeds requires x_T=None (in-graph generation)")
+        gen_xT = "seeds" if seeds is not None else x_T is None
         hint_u8 = hint.dtype == jnp.uint8
         eng = self.sample_decode_engine(
             num_steps, b, h, w, guess_mode, sampler,
@@ -342,7 +367,11 @@ class CNSDRuntime:
         sched = self._sched_device(num_steps, sampler, eta)
         scale_v, cscales = self._per_sample_scales(
             b, guidance_scale, strength, guess_mode)
-        if gen_xT:
+        if gen_xT == "seeds":
+            x_T_arg = self._put_batch(np.asarray(seeds, np.int32))
+            if key is None:
+                key = jax.random.PRNGKey(0)  # ignored by the seeds variant
+        elif gen_xT:
             x_T_arg = self._put_rep(key)  # root key rides the x_T slot
         else:
             if isinstance(x_T, jax.Array) and x_T.dtype == self.dtype:
@@ -501,12 +530,18 @@ class CNSDRuntime:
     # ----------------------------------------------------------- user API
 
     def _put_batch(self, x, ndim=None):
-        """device_put with dp batch sharding when a mesh is configured."""
+        """device_put with dp batch sharding when a mesh is configured.
+        Batches that don't tile the dp axis (e.g. a serving batch-1 cut on
+        a dp=2 mesh) go in replicated — matching _aot_ready's on-demand-jit
+        fallback for those shapes (GSPMD re-shards inside the program)."""
         if self.mesh is None:
             return jnp.asarray(x)
         from stablediffusioneo_tpu.parallel.mesh import data_sharding
 
         nd = ndim if ndim is not None else np.ndim(x)
+        b = np.shape(x)[0] if nd else 0
+        if nd == 0 or b % self.mesh.shape.get("dp", 1) != 0:
+            return self._put_rep(x)
         return jax.device_put(np.asarray(x) if not hasattr(x, "sharding") else x,
                               data_sharding(self.mesh, nd))
 
@@ -561,15 +596,23 @@ class CNSDRuntime:
         )
 
     def encode_prompt_windowed(
-        self, tokenizer, texts, windows: int = 3, clip_skip: int = 0
+        self, tokenizer, texts, windows=3, clip_skip: int = 0
     ) -> jax.Array:
         """Long-prompt conditioning through the compiled CLIP engine: the
         hack_everything 3x77 windowing (cldm/hack.py:32-68). (B, windows, 77)
         ids run as one batch-(B*windows) engine call, reshaped to
         (B, windows*77, hidden) — one extra fixed shape bucket, no dynamic
-        token-length profiles."""
-        from stablediffusioneo_tpu.models.text_encoding import tokenize_windowed
+        token-length profiles.
 
+        windows="auto" picks the minimal count for the texts (1..3): a
+        78-127-token prompt then costs the ctx-154 bucket, not ctx-231 —
+        the fixed-bucket answer to onnx2trt_dynamic.py's 1-128 profile."""
+        from stablediffusioneo_tpu.models.text_encoding import (
+            needed_windows, tokenize_windowed,
+        )
+
+        if windows == "auto":
+            windows = needed_windows(tokenizer, texts)
         ids = tokenize_windowed(tokenizer, texts, windows=windows)
         b, f, l = ids.shape
         y = self.encode_prompt(ids.reshape(b * f, l), clip_skip=clip_skip)
@@ -683,8 +726,10 @@ class CNSDRuntime:
         Fails LOUDLY if any flagship engine silently degraded to on-demand
         jit (an AOT failure at warmup means a real bug — bad shapes, OOM —
         not a missing plan; pass allow_fallback=True to keep the old
-        graceful behavior, and note mesh-mode engines intentionally defer
-        to jit so GSPMD can specialize on argument shardings)."""
+        graceful behavior). Mesh-mode engines AOT-compile too, with sharded
+        abstract args (__graft_entry__.dryrun_multichip asserts zero jit
+        fallbacks); the fallback census below is skipped for them only
+        because their engines live in per-mesh dicts, not self._engines."""
         assert resolution % 64 == 0, "resolutions are /64 by resize_image contract"
         h = w = resolution
         ids = np.zeros((batch, self.cfg.clip.max_length), np.int32)

@@ -58,6 +58,7 @@ class _Handler(BaseHTTPRequestHandler):
     # set by make_http_server
     diffusion: DiffusionServer = None
     request_timeout_s: float = 900.0
+    max_body_bytes: int = 32 * 1024 * 1024  # 413 above this, before read
 
     def log_message(self, fmt, *args):  # quiet by default; stats has counts
         pass
@@ -82,6 +83,10 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(404, {"error": f"no route {self.path}"})
         try:
             length = int(self.headers.get("Content-Length", "0"))
+            if length > self.max_body_bytes:
+                return self._json(413, {
+                    "error": f"body {length} B exceeds "
+                             f"{self.max_body_bytes} B cap"})
             payload = json.loads(self.rfile.read(length) or b"{}")
             image = _decode_image(payload["image_b64"])
             kwargs = {k: payload[k] for k in _REQ_FIELDS if k in payload}
@@ -92,11 +97,18 @@ class _Handler(BaseHTTPRequestHandler):
             # non-image bytes) — a malformed request, not a server fault
             return self._json(400, {"error": f"bad request: {e!r}"})
         t0 = time.perf_counter()
+        fut = self.diffusion.submit(req)
         try:
             # handler threads block here; the DiffusionServer dispatcher
             # batches across all concurrently-blocked handlers
-            detected, image_out = self.diffusion.submit(req).result(
-                timeout=self.request_timeout_s)
+            detected, image_out = fut.result(timeout=self.request_timeout_s)
+        except TimeoutError:
+            # drop the abandoned request from the queue (succeeds unless it
+            # was already cut into a batch) so timed-out work stops
+            # consuming batch capacity under sustained overload
+            fut.cancel()
+            return self._json(
+                504, {"error": f"timed out after {self.request_timeout_s}s"})
         except Exception as e:  # noqa: BLE001 — surface per-request errors as 500s
             return self._json(500, {"error": repr(e)})
         return self._json(200, {

@@ -24,9 +24,10 @@ calls:
 While the TPU runs one batch the queues keep accumulating — continuous
 batching. Different `scale`/`strength`/`seed`/prompts batch together;
 `eta > 0` requests only batch with identical eta (the stochastic-noise
-schedule is an engine constant) and their in-loop noise key is shared per
-batch (per-request reproducibility for eta > 0 holds only at batch 1 —
-same caveat as any batched stochastic sampler).
+schedule is an engine constant). Each request's x_T and in-loop noise
+derive from its own seed in-graph (engine gen_xT="seeds"), so outputs are
+per-request reproducible regardless of batch composition — including
+eta > 0.
 """
 
 from __future__ import annotations
@@ -209,7 +210,7 @@ class DiffusionServer:
         for res in resolutions:
             for b in self.buckets:
                 rt.sample_decode_engine(steps, b, res, res, sampler=sampler,
-                                        hint_u8=True)
+                                        hint_u8=True, gen_xT="seeds")
                 rt.clip_engine(2 * b)
         return self
 
@@ -260,6 +261,14 @@ class DiffusionServer:
         batching window must NOT block a younger group that is already
         dispatch-ready (e.g. a full max-size bucket at another resolution
         while the lone oldest request still waits for company)."""
+        # purge abandoned requests (e.g. HTTP handlers that timed out and
+        # cancelled their Future) so they stop consuming batch capacity
+        for k in list(self._groups):
+            q = [p for p in self._groups[k] if not p.future.cancelled()]
+            if q:
+                self._groups[k] = q
+            else:
+                del self._groups[k]
         keys = list(self._groups.keys())
         now = time.perf_counter()
         ages = [
@@ -354,19 +363,18 @@ class DiffusionServer:
         ctx_cond, ctx_uncond = ctx[:b], ctx[b:]
 
         hint = np.stack([p.hint for p in batch])
-        # per-request x_T, exactly process()'s seeding (PRNGKey(seed) split)
-        keys = [jax.random.split(jax.random.PRNGKey(p.seed))
-                for p in batch]
-        x_T = jnp.concatenate([
-            jax.random.normal(sub, (1, h // f, w // f, 4), jnp.float32)
-            for _, sub in keys
-        ])
+        # per-request seeds: x_T AND in-loop eta-noise derive from each
+        # row's own seed IN-GRAPH (engine gen_xT="seeds"), so a request's
+        # output is bit-identical at batch 1 or inside any batch — incl.
+        # eta > 0 (round-2 limitation removed), and the per-request
+        # host-side x_T generation dispatches are gone
+        seeds = np.asarray([p.seed for p in batch], np.int32)
         scales = np.asarray([p.req.scale for p in batch], np.float32)
         strengths = np.asarray([p.req.strength for p in batch], np.float32)
 
         images_dev = rt.sample_decode(
-            r0.ddim_steps, x_T, jnp.asarray(hint), ctx_cond, ctx_uncond,
-            keys[0][0],
+            r0.ddim_steps, None, jnp.asarray(hint), ctx_cond, ctx_uncond,
+            None, seeds=seeds,
             guidance_scale=scales, strength=strengths, eta=r0.eta,
             guess_mode=r0.guess_mode, sampler=r0.sampler,
             encoder_cache_interval=r0.encoder_cache_interval,
@@ -392,7 +400,8 @@ class DiffusionServer:
                     self.stats.batch_hist[b] = (
                         self.stats.batch_hist.get(b, 0) + 1)
                 for i, p in enumerate(batch):
-                    p.future.set_result((p.detected_map, images[i]))
+                    if not p.future.done():  # skip cancelled-after-cut
+                        p.future.set_result((p.detected_map, images[i]))
             except Exception as e:  # noqa: BLE001
                 with self._lock:
                     self.stats.errors += len(batch)

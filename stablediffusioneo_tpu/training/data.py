@@ -108,6 +108,7 @@ class ImagePairLoader:
         self.shuffle = bool(shuffle)
         self.seed = int(seed)
         self._pos = 0  # python-backend global sample position
+        self._py_errors = 0  # python-backend decode failures (zero-filled)
         self._perm_cache: Tuple[int, np.ndarray] = (-1, None)
         if backend == "auto":
             backend = "native" if native_available() else "python"
@@ -171,7 +172,11 @@ class ImagePairLoader:
     def _decode_py(self, path: str) -> np.ndarray:
         from PIL import Image
 
-        img = np.asarray(Image.open(path).convert("RGB"))
+        try:
+            img = np.asarray(Image.open(path).convert("RGB"))
+        except Exception:  # noqa: BLE001 — mirror native: zero-fill + count
+            self._py_errors += 1
+            return np.zeros((self.res, self.res, 3), np.uint8)
         if img.shape[:2] != (self.res, self.res):
             import cv2
 
@@ -183,7 +188,7 @@ class ImagePairLoader:
     def error_count(self) -> int:
         if self.backend == "native" and self._handle:
             return int(_load_lib().sdeo_loader_error_count(self._handle))
-        return 0
+        return self._py_errors
 
     def close(self):
         if self.backend == "native" and self._handle:

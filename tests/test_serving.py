@@ -148,6 +148,43 @@ class TestDiffusionServer:
             frac_off = (np.abs(ref - got) > 1).mean()
             assert frac_off < 0.02, f"serving diverged from process(): {frac_off}"
 
+    def test_eta_batch_composition_reproducibility(self, tiny_server):
+        """eta > 0: a request's output must be identical whether it was cut
+        into a batch-4 or served alone — each row's x_T AND in-loop noise
+        derive from its own seed in-graph (engine gen_xT="seeds"), and must
+        also match the single-request process() path."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, pipe = tiny_server
+        server.drain(timeout=600)
+        server.stats.reset()
+        reqs = [
+            GenRequest(image=_img(70 + i), prompt="a bird",
+                       image_resolution=64, ddim_steps=3, seed=500 + i,
+                       eta=0.5, scale=7.0 + i)
+            for i in range(4)
+        ]
+        futures = [server.submit(r) for r in reqs]
+        batched = [f.result(timeout=600)[1] for f in futures]
+        assert 4 in server.stats.snapshot()["batch_hist"], (
+            "burst did not form a batch-4: "
+            f"{server.stats.snapshot()['batch_hist']}")
+
+        for r, got in zip(reqs, batched):
+            # batch-1 serving cut
+            _, single = server.generate(r, timeout=600)
+            server.drain(timeout=600)
+            # direct pipeline path
+            ref = pipe.process(
+                r.image, r.prompt, a_prompt=r.a_prompt, n_prompt=r.n_prompt,
+                num_samples=1, image_resolution=64, ddim_steps=3,
+                seed=r.seed, scale=r.scale, eta=0.5)[1]
+            for other, tag in ((single, "batch-1"), (ref, "process()")):
+                frac_off = (np.abs(got.astype(np.int16)
+                                   - other.astype(np.int16)) > 1).mean()
+                assert frac_off < 0.02, (
+                    f"batch-4 row diverged from {tag}: {frac_off}")
+
     def test_incompatible_requests_do_not_batch(self, tiny_server):
         from stablediffusioneo_tpu.serving import GenRequest
 
