@@ -86,6 +86,24 @@ def tokenize_windowed(
     return out
 
 
+def needed_windows(
+    tokenizer: CLIPTokenizer,
+    texts: List[str],
+    window_body: Optional[int] = None,
+    max_windows: int = 3,
+) -> int:
+    """Minimal shared window count for `texts`: ceil(longest/75), clamped
+    to [1, max_windows]. The single-window coverage gap of the two fixed
+    buckets (78-127-token prompts, the reference's onnx2trt_dynamic 1-128
+    profile range) lands in the 2-window ctx-154 bucket — CLIP's position
+    table is 77 entries, so >77 tokens in ONE window is architecturally
+    impossible for any implementation; windowing is the faithful analog."""
+    if window_body is None:
+        window_body = tokenizer.max_length - 2
+    longest = max(len(tokenizer.encode(t)) for t in texts)
+    return int(np.clip(-(-longest // window_body), 1, max_windows))
+
+
 def encode_prompt_windowed(
     params: dict,
     cfg: CLIPTextConfig,

@@ -53,13 +53,15 @@ class Canny2ImagePipeline:
         persistent_cache: bool = True,
         annotator=None,
         quantize_linears: bool = False,
+        mesh=None,
     ):
         self.cfg = cfg or sd15_pipeline()
         self.tokenizer = tokenizer
         self.apply_canny = annotator or CannyDetector()
         self.runtime = CNSDRuntime(params, self.cfg,
                                    persistent_cache=persistent_cache,
-                                   quantize_linears=quantize_linears)
+                                   quantize_linears=quantize_linears,
+                                   mesh=mesh)
         self.last_timings: Dict[str, float] = {}
 
     # -------------------------------------------------------------- bring-up
@@ -104,7 +106,7 @@ class Canny2ImagePipeline:
         sampler: str = "ddim",
         encoder_cache_interval: int = 1,
         clip_skip: int = 0,
-        long_prompt: bool = False,
+        long_prompt=False,  # False | True (3x77) | "auto" (minimal windows)
         granular_timings: bool = False,
     ) -> List[np.ndarray]:
         """Returns [detected_map] + generated uint8 HWC images
@@ -137,8 +139,11 @@ class Canny2ImagePipeline:
         # batched cond+uncond CLIP encode
         cond_text = prompt + ", " + a_prompt if a_prompt else prompt
         if long_prompt:
+            # True: fixed 3x77 (exact hack_everything parity). "auto":
+            # minimal window count — 78-127-token prompts use ctx 154
             ctx = self.runtime.encode_prompt_windowed(
-                self.tokenizer, [cond_text, n_prompt], clip_skip=clip_skip)
+                self.tokenizer, [cond_text, n_prompt], clip_skip=clip_skip,
+                windows="auto" if long_prompt == "auto" else 3)
         else:
             ids = self.tokenizer([cond_text, n_prompt])
             ctx = self.runtime.encode_prompt(ids, clip_skip=clip_skip)

@@ -134,6 +134,52 @@ class TestWindowedPrompt:
         # short prompt windows 2,3 are SOT+EOT+pad
         assert ids[1, 1, 1] == tok.eot
 
+    def test_needed_windows_buckets(self):
+        """The onnx2trt_dynamic 1-128 token range maps to fixed buckets:
+        <=75 -> 1 window (ctx 77), 76-150 -> 2 (ctx 154), more -> 3."""
+        from stablediffusioneo_tpu.models.text_encoding import needed_windows
+
+        tok = toy_tokenizer(max_length=77)
+        n = len(tok.encode("word and "))  # tokens per repeat
+        short = "word and " * (60 // n)          # well under 75
+        mid = "word and " * (100 // n + 1)       # 78-127 token range
+        long = "word and " * (200 // n + 1)
+        assert needed_windows(tok, [short]) == 1
+        assert needed_windows(tok, [mid]) == 2
+        assert needed_windows(tok, [long]) == 3
+        # shared count: cond long + uncond short -> cond decides
+        assert needed_windows(tok, [mid, "x"]) == 2
+
+    def test_encode_windowed_auto_runtime(self):
+        """runtime.encode_prompt_windowed(windows='auto'): a ~100-token
+        prompt encodes at ctx 154 (2-window bucket), not 231."""
+        from stablediffusioneo_tpu.config import tiny_pipeline
+        from stablediffusioneo_tpu.models import init_clip_text
+        from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
+
+        cfg = tiny_pipeline()
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        from stablediffusioneo_tpu.models import (
+            init_controlnet, init_unet, init_vae,
+        )
+
+        params = {
+            "unet": init_unet(ks[0], cfg.unet),
+            "controlnet": init_controlnet(ks[1], cfg.controlnet),
+            "vae": init_vae(ks[2], cfg.vae),
+            "clip": init_clip_text(ks[3], cfg.clip),
+        }
+        rt = CNSDRuntime(params, cfg, persistent_cache=False)
+        tok = toy_tokenizer(vocab_size=cfg.clip.vocab_size,
+                            max_length=cfg.clip.max_length)
+        body = tok.max_length - 2
+        n = len(tok.encode("word and "))
+        # token count in (body, 2*body]: exactly the 2-window bucket
+        mid = "word and " * (body // n + 1)
+        assert body < len(tok.encode(mid)) <= 2 * body
+        y = rt.encode_prompt_windowed(tok, [mid, "short"], windows="auto")
+        assert y.shape == (2, 2 * cfg.clip.max_length, cfg.clip.hidden_size)
+
     def test_encode_windowed_and_skip(self, rng):
         cfg = tiny_pipeline().clip
         from stablediffusioneo_tpu.models import init_clip_text
