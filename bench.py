@@ -25,6 +25,54 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _sub_bench(env_overrides, timeout=3000):
+    """Run one tracked config as a subprocess (fresh jax state; engine
+    compiles hit the persistent XLA cache) and parse its JSON line."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.update(env_overrides)
+    env["BENCH_TABLE"] = "0"  # no recursion
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=timeout)
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+        return {"error": f"no json (rc {out.returncode}): "
+                         f"{out.stderr.strip()[-300:]}"}
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout}s"}
+
+
+# the tracked configs of docs/performance.md, driver-visible (VERDICT r2 #3)
+_TABLE_CONFIGS = (
+    ("batch4", {"BENCH_MODE": "batch4"}),
+    ("multires", {"BENCH_MODE": "multires"}),
+    ("serving", {"BENCH_MODE": "serving"}),
+    ("annotators", {"BENCH_MODE": "annotators"}),
+    ("yolo", {"BENCH_MODE": "yolo"}),
+    ("train", {"BENCH_MODE": "train"}),
+    ("sd21", {"BENCH_FAMILY": "sd21"}),
+)
+
+
+def _config_table():
+    configs = {}
+    for name, env in _TABLE_CONFIGS:
+        t0 = time.perf_counter()
+        r = _sub_bench(env)
+        r = {k: r[k] for k in
+             ("metric", "value", "unit", "vs_baseline", "detail", "error")
+             if k in r}
+        log(f"[table] {name}: {r}  ({time.perf_counter()-t0:.0f}s)")
+        configs[name] = r
+    return configs
+
+
 def main():
     """Default: the flagship 512x512 20-step metric. BENCH_MODE selects the
     other BASELINE.md tracked configs:
@@ -250,6 +298,7 @@ def main():
             "value": round(worst, 4),
             "unit": "s",
             "vs_baseline": round(2.0 / worst, 3),  # 2 s north star
+            "detail": {k: round(v, 4) for k, v in p50s.items()},
         }), flush=True)
         return
 
@@ -349,6 +398,7 @@ def main():
             "value": round(p50, 4),
             "unit": "s",
             "vs_baseline": round(2.0 / p50, 3),
+            "detail": vals,
         }
     else:
         res, p50 = results[0]
@@ -363,6 +413,29 @@ def main():
             "unit": "s",
             "vs_baseline": round(2.0 / p50, 3),
         }
+        # device-time + MFU estimate (VERDICT r2 #3): one granular-timed
+        # call (hard sync between sample and decode) + the fused engine's
+        # XLA cost analysis; v5e peak 197 bf16 TFLOP/s
+        try:
+            pipe.process(img, "a bird", num_samples=batch,
+                         image_resolution=res, ddim_steps=steps,
+                         seed=2946901, sampler=sampler,
+                         encoder_cache_interval=enc_cache,
+                         granular_timings=True)
+            tm = pipe.last_timings
+            dev_ms = tm["sample_ms"] + tm["decode_ms"]
+            eng = pipe.runtime.sample_decode_engine(
+                steps, batch, res, res, sampler=sampler, hint_u8=True)
+            fl = eng.get_engine_infor().get("flops") or 0
+            result["device_ms_est"] = round(dev_ms, 1)
+            if fl:
+                result["mfu_est"] = round(fl / (dev_ms / 1e3) / 197e12, 4)
+            log(f"device-time est {dev_ms:.0f} ms "
+                f"({fl/1e12:.2f} TFLOP -> MFU {result.get('mfu_est')})")
+        except Exception as e:  # noqa: BLE001 — estimates must not sink the bench
+            log(f"device-time/MFU estimate failed: {e!r}")
+        if os.environ.get("BENCH_TABLE", "1") == "1":
+            result["configs"] = _config_table()
     print(json.dumps(result), flush=True)
 
 
