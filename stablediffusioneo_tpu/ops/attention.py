@@ -24,7 +24,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+import os
+
 from stablediffusioneo_tpu.ops.layers import matmul2d, mm_precision
+
+# Minimum query-token count for the Pallas kernels. 1024 is the measured
+# e2e winner on v5e (round 2: below it XLA keeps everything fused on-chip);
+# env-tunable for A/B experiments (SDEO_ATTN_MIN_TQ).
+_MIN_TQ = int(os.environ.get("SDEO_ATTN_MIN_TQ", "1024"))
 
 
 def _use_flash(q, k, mask) -> bool:
@@ -36,7 +43,7 @@ def _use_flash(q, k, mask) -> bool:
         and q.ndim == 4
         # measured on v5e: the kernel wins once logits would be HBM-sized;
         # below 1024 query tokens XLA keeps everything fused on-chip anyway
-        and q.shape[-2] >= 1024
+        and q.shape[-2] >= _MIN_TQ
         # NOTE kv is deliberately NOT gated: restricting the kernel to
         # long-KV self-attention (kv >= 1024) measured SLOWER e2e
         # (0.787 vs 0.750 s) — the kernel beats XLA even at kv=77 here
@@ -135,7 +142,7 @@ def multi_head_attention(
     )
 
     if (mask is None
-            and tq >= 1024
+            and tq >= _MIN_TQ
             and kernels_enabled("flash_attention")
             and fused_attention_packed_supported(
                 (b, tq, inner), tk, num_heads, q.dtype)):

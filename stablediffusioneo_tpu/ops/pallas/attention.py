@@ -48,17 +48,20 @@ _VMEM_BUDGET = 14 * 1024 * 1024
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
-def _compiler_params(batch: int = 1, head_dim: int = 40):
+def _compiler_params(batch: int = 1, head_dim: int = 40, itemsize: int = 2):
     """Raised scoped-vmem limit ONLY where Mosaic's stack accounting can
-    overflow the default 16M: batch > 2 (measured OOM at batch 8), or a
+    overflow the default 16M: batch > 2 (measured OOM at batch 8), a
     head dim outside SD-1.5's {40, 80, 160} (SD-2.x head-channel mode
     d=64 OOMs at compile: 18.57M needed for the (2,1024,640) h=10 site —
     Mosaic's per-head buffer liveness doesn't follow the naive estimate,
-    so this is keyed on the measured shape family, not a size model).
+    so this is keyed on the measured shape family, not a size model), or
+    f32 inputs (training-path VJP recompute at 384^2 measured 18.78M for
+    the (2,2304,320) f32 site under the 16M default).
     The raised limit is not free: unconditionally setting it changed
     Mosaic's scheduling and cost ~40 ms e2e on the batch-1 flagship
-    (0.688->0.725 s), so the measured SD-1.5 shapes keep the default."""
-    if ((batch > 2 or head_dim not in (40, 80, 160))
+    (0.688->0.725 s), so the measured bf16 SD-1.5 shapes keep the
+    default."""
+    if ((batch > 2 or head_dim not in (40, 80, 160) or itemsize > 2)
             and _HAS_PLTPU and hasattr(pltpu, "CompilerParams")):
         return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     return None
@@ -70,17 +73,18 @@ def fused_attention_supported(q_shape, kv_len: int, dtype) -> bool:
     b, h, tq, d = q_shape
     if tq % 128:
         return False
-    return _pick_block_q(tq, kv_len, d) > 0
+    return _pick_block_q(tq, kv_len, d, jnp.dtype(dtype).itemsize) > 0
 
 
-def _pick_block_q(tq: int, s: int, d: int) -> int:
-    # per-step VMEM: fp32 logits + bf16 exp weights (block_q, S) ~6 B/elem,
-    # K+V slabs (S, d) bf16, q/out tiles negligible
-    kv_bytes = 2 * s * d * 2
+def _pick_block_q(tq: int, s: int, d: int, itemsize: int = 2) -> int:
+    # per-step VMEM: fp32 logits + dtype exp weights (block_q, S), K+V
+    # slabs (S, d) in dtype, q/out tiles negligible. itemsize keeps the
+    # accounting honest for f32 inputs (training-path VJP recompute).
+    kv_bytes = 2 * s * d * itemsize
     for bq in (512, 256, 128):
         if tq % bq:
             continue
-        if bq * s * 6 + kv_bytes <= _VMEM_BUDGET:
+        if bq * s * (4 + itemsize) + kv_bytes <= _VMEM_BUDGET:
             return bq
     return 0
 
@@ -129,18 +133,21 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, heads: int):
     o_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
-def _pick_block_q_packed(tq: int, s: int, c: int, batch: int = 1) -> int:
+def _pick_block_q_packed(tq: int, s: int, c: int, batch: int = 1,
+                         itemsize: int = 2) -> int:
     # K+V slabs are full-C here; logits/p buffers are per-head (bq, S).
     # Block sizing targets the 14M working-set budget — measured FASTER
     # than maximizing block size (bq=512 at the 4096-token self-attn shape
     # benched 0.770 s e2e vs 0.683 s at bq=256). Mosaic double-buffering
     # can exceed the naive accounting (OOM at batch 8 under the default
     # 16M scoped limit); the raised vmem_limit_bytes absorbs that.
-    kv_bytes = 2 * s * c * 2
+    # itemsize keeps the accounting honest for f32 (training VJP) inputs.
+    kv_bytes = 2 * s * c * itemsize
     for bq in (512, 256, 128):
         if tq % bq:
             continue
-        if bq * s * 6 + kv_bytes + 2 * bq * c * 2 <= _VMEM_BUDGET:
+        if (bq * s * (4 + itemsize) + kv_bytes
+                + 2 * bq * c * itemsize <= _VMEM_BUDGET):
             return bq
     return 0
 
@@ -152,7 +159,8 @@ def fused_attention_packed_supported(q_shape, kv_len: int, heads: int,
     b, tq, c = q_shape
     if tq % 128 or c % heads:
         return False
-    return _pick_block_q_packed(tq, kv_len, c, b) > 0
+    return _pick_block_q_packed(tq, kv_len, c, b,
+                                jnp.dtype(dtype).itemsize) > 0
 
 
 def fused_attention_packed(
@@ -316,7 +324,8 @@ def _packed_call(
 ) -> jax.Array:
     b, tq, c = q.shape
     s = k.shape[1]
-    bq = _pick_block_q_packed(tq, s, c, b)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    bq = _pick_block_q_packed(tq, s, c, b, itemsize)
     assert bq > 0, f"unsupported packed attention shape {q.shape} x {k.shape}"
     q = q * jnp.asarray(scale, q.dtype)
 
@@ -329,7 +338,7 @@ def _packed_call(
         functools.partial(_attn_kernel_packed, heads=heads),
         grid=(b, tq // bq),
         compiler_params=(None if interpret
-                         else _compiler_params(b, c // heads)),
+                         else _compiler_params(b, c // heads, itemsize)),
         in_specs=[
             spec((1, bq, c), lambda bi, j: (bi, j, 0)),
             spec((1, s, c), lambda bi, j: (bi, 0, 0)),
@@ -397,7 +406,8 @@ def _split_call(
 ) -> jax.Array:
     b, h, tq, d = q.shape
     s = k.shape[2]
-    bq = _pick_block_q(tq, s, d)
+    itemsize = jnp.dtype(q.dtype).itemsize
+    bq = _pick_block_q(tq, s, d, itemsize)
     assert bq > 0, f"unsupported attention shape {q.shape} x {k.shape}"
     bh = b * h
     # scale q up front (bf16 q values ~O(1), scale ~1/sqrt(d): no range risk)
@@ -413,7 +423,8 @@ def _split_call(
     out = pl.pallas_call(
         _attn_kernel,
         grid=(bh, tq // bq),
-        compiler_params=None if interpret else _compiler_params(b, d),
+        compiler_params=(None if interpret
+                         else _compiler_params(b, d, itemsize)),
         in_specs=[
             spec((1, bq, d), lambda i, j: (i, j, 0)),
             spec((1, s, d), lambda i, j: (i, 0, 0)),
