@@ -218,3 +218,24 @@ class TestFusedAttention:
         assert fused_attention_packed_supported((2, 4096, 320), 77, 8, jnp.bfloat16)
         assert fused_attention_packed_supported((2, 1024, 640), 1024, 8, jnp.bfloat16)
         assert not fused_attention_packed_supported((2, 100, 320), 100, 8, jnp.bfloat16)
+
+    def test_block_picking_is_dtype_aware(self):
+        """f32 inputs (training-path VJP recompute) must be budgeted at
+        4 B/elem: the bf16 block choices stay identical, and the 384^2 f32
+        training shape (tq=2304, C=320) remains supported (it compiles
+        under the raised vmem limit — the round-3 fix that unblocked
+        384^2 training)."""
+        from stablediffusioneo_tpu.ops.pallas.attention import (
+            _compiler_params, _pick_block_q, _pick_block_q_packed,
+        )
+
+        # measured bf16 flagship shapes keep their round-2 block sizes
+        assert _pick_block_q_packed(4096, 4096, 320, 2, 2) == 256
+        assert _pick_block_q(4096, 4096, 40, 2) == 512
+        # f32 at the same shape budgets 2x the slab bytes
+        assert _pick_block_q_packed(4096, 4096, 320, 2, 4) <= 256
+        # the 384^2 training shape is supported in f32
+        assert _pick_block_q_packed(2304, 2304, 320, 2, 4) > 0
+        # f32 gets the raised scoped-vmem limit; measured bf16 does not
+        assert _compiler_params(2, 40, 4) is not None
+        assert _compiler_params(2, 40, 2) is None
