@@ -211,11 +211,9 @@ def main():
         )
 
         b = int(os.environ.get("BENCH_TRAIN_BATCH", "2"))
-        # default 256^2: the tunneled remote-compile helper dies on the
-        # full 512^2 train-step program (verified independent of the Pallas
-        # kernels / remat / batch size — an environment limit, not a model
-        # one; the 512^2 FORWARD compiles fine, and 256^2 training
-        # exercises the same flash-token-count attention VJP at ds=1)
+        # default 256^2 for speed; 384^2 and 512^2 compile and run since the
+        # round-3 dtype-aware kernel VMEM fix (ladder: 256^2 4.68 / 384^2
+        # 3.02 / 512^2 1.31 steps/s at batch 2 — docs/performance.md)
         res = int(os.environ.get("BENCH_RESOLUTION", "256"))
         f = cfg.vae.downsample_factor
         rng = np.random.default_rng(2946901)
@@ -417,16 +415,22 @@ def main():
         # call (hard sync between sample and decode) + the fused engine's
         # XLA cost analysis; v5e peak 197 bf16 TFLOP/s
         try:
-            pipe.process(img, "a bird", num_samples=batch,
-                         image_resolution=res, ddim_steps=steps,
-                         seed=2946901, sampler=sampler,
-                         encoder_cache_interval=enc_cache,
-                         granular_timings=True)
+            for _ in range(2):  # 1st call compiles the granular engines
+                pipe.process(img, "a bird", num_samples=batch,
+                             image_resolution=res, ddim_steps=steps,
+                             seed=2946901, sampler=sampler,
+                             encoder_cache_interval=enc_cache,
+                             granular_timings=True)
             tm = pipe.last_timings
             dev_ms = tm["sample_ms"] + tm["decode_ms"]
-            eng = pipe.runtime.sample_decode_engine(
+            # XLA cost analysis counts a while/scan body ONCE, so total
+            # program FLOPs = sampler-body flops x steps + decode flops
+            # (both engines were just compiled by the granular-timed call)
+            s_eng = pipe.runtime.sampler_engine(
                 steps, batch, res, res, sampler=sampler, hint_u8=True)
-            fl = eng.get_engine_infor().get("flops") or 0
+            d_eng = pipe.runtime.decoder_engine(batch, res, res)
+            fl = ((s_eng.get_engine_infor().get("flops") or 0) * steps
+                  + (d_eng.get_engine_infor().get("flops") or 0))
             result["device_ms_est"] = round(dev_ms, 1)
             if fl:
                 result["mfu_est"] = round(fl / (dev_ms / 1e3) / 197e12, 4)
@@ -435,7 +439,19 @@ def main():
         except Exception as e:  # noqa: BLE001 — estimates must not sink the bench
             log(f"device-time/MFU estimate failed: {e!r}")
         if os.environ.get("BENCH_TABLE", "1") == "1":
-            result["configs"] = _config_table()
+            # flagship line goes out FIRST so a driver-side timeout during
+            # the (compile-heavy) table never loses the headline number;
+            # the table follows as a second JSON line (VERDICT r2 #3)
+            print(json.dumps(result), flush=True)
+            print(json.dumps({
+                "metric": "tracked_configs",
+                "value": result["value"],
+                "unit": "s",
+                "vs_baseline": result["vs_baseline"],
+                "flagship": {k: v for k, v in result.items()},
+                "configs": _config_table(),
+            }), flush=True)
+            return
     print(json.dumps(result), flush=True)
 
 
