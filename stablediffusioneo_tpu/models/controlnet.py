@@ -88,6 +88,29 @@ def hint_block_apply(p_list: list, hint: jax.Array) -> jax.Array:
     return conv2d(h, p_list[-1], padding=1)
 
 
+def precompute_controlnet_context_kv(
+    params: dict, cfg: ControlNetConfig, context: jax.Array
+):
+    """Cross-attention (k, v) tree for controlnet_apply from the
+    step-invariant context: {"input": [site|None], "middle": site} — the
+    encoder+middle subset of unet.precompute_context_kv."""
+    from stablediffusioneo_tpu.ops.attention import context_kv as _ckv
+
+    def site(st):
+        return [
+            _ckv(context, blk["attn2"]["wk"]["w"], blk["attn2"]["wv"]["w"])
+            for blk in st["blocks"]
+        ]
+
+    return {
+        "input": [
+            site(p["attn"]) if "attn" in p else None
+            for p in params["input_blocks"]
+        ],
+        "middle": site(params["middle_block"]["attn"]),
+    }
+
+
 def controlnet_apply(
     params: dict,
     cfg: ControlNetConfig,
@@ -96,15 +119,18 @@ def controlnet_apply(
     timesteps: jax.Array,
     context: jax.Array,
     guided_hint: Optional[jax.Array] = None,
+    ctx_kv=None,
 ) -> List[jax.Array]:
     """ControlNet.forward (cldm/cldm.py:284-305) -> 13 NHWC tensors.
 
     x: (N, H/8, W/8, 4); hint: (N, H, W, 3) in [0,1]; context: (N, T, 768).
     guided_hint: optional precomputed hint_block output — it depends only on
     the hint, so samplers hoist it out of the denoise loop (an optimization
-    the reference's per-step TRT engine cannot make).
+    the reference's per-step TRT engine cannot make). ctx_kv: optional
+    precompute_controlnet_context_kv tree (hoisted context K/V).
     """
     ucfg = cfg.unet
+    kvs = ctx_kv["input"] if ctx_kv is not None else None
     emb = _embed_timesteps(params, ucfg, timesteps, x.dtype)
     if guided_hint is None:
         guided_hint = hint_block_apply(
@@ -114,9 +140,9 @@ def controlnet_apply(
     outs = []
     h = x
     first = True
-    for desc, p, zc in zip(
+    for i, (desc, p, zc) in enumerate(zip(
         encoder_plan(ucfg), params["input_blocks"], params["zero_convs"]
-    ):
+    )):
         if desc["kind"] == "conv":
             h = conv2d(h, p["conv"], padding=1)
         elif desc["kind"] == "down":
@@ -124,13 +150,17 @@ def controlnet_apply(
         else:
             h = resblock_apply(p["res"], ucfg, h, emb)
             if "attn" in p:
-                h = spatial_transformer_apply(p["attn"], ucfg, h, context)
+                h = spatial_transformer_apply(
+                    p["attn"], ucfg, h, context,
+                    ctx_kv=None if kvs is None else kvs[i],
+                )
         if first:
             h = h + guided_hint
             first = False
         outs.append(conv2d(h, zc, padding=0))
 
-    h = unet_middle(params, ucfg, h, emb, context)
+    h = unet_middle(params, ucfg, h, emb, context,
+                    ctx_kv=ctx_kv)
     outs.append(conv2d(h, params["middle_block_out"], padding=0))
     return outs
 
@@ -146,6 +176,8 @@ def controlled_unet_apply(
     control_scales: Optional[Sequence[float]] = None,
     only_mid_control: bool = False,
     guided_hint: Optional[jax.Array] = None,
+    unet_ctx_kv=None,
+    ctrl_ctx_kv=None,
 ) -> jax.Array:
     """ControlLDM.apply_model (cldm/cldm.py:328-341): ControlNet -> scaled
     13 taps -> UNet eps prediction.
@@ -153,18 +185,23 @@ def controlled_unet_apply(
     hint=None reproduces guess-mode's uncond branch (c_concat None,
     cldm.py:334-335): the UNet runs WITHOUT control (a distinct traced
     graph, as in the reference where it changes the ONNX graph).
+
+    unet_ctx_kv / ctrl_ctx_kv: optional hoisted context K/V trees
+    (precompute_context_kv / precompute_controlnet_context_kv).
     """
     if hint is None and guided_hint is None:
-        return unet_apply(unet_params, cfg.unet, x, timesteps, context, control=None)
+        return unet_apply(unet_params, cfg.unet, x, timesteps, context,
+                          control=None, ctx_kv=unet_ctx_kv)
     control = controlnet_apply(
         controlnet_params, cfg, x, hint, timesteps, context,
-        guided_hint=guided_hint,
+        guided_hint=guided_hint, ctx_kv=ctrl_ctx_kv,
     )
     if control_scales is not None:
         control = scale_control(control, control_scales)
     return unet_apply(
         unet_params, cfg.unet, x, timesteps, context,
         control=control, only_mid_control=only_mid_control,
+        ctx_kv=unet_ctx_kv,
     )
 
 

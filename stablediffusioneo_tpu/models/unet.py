@@ -260,8 +260,12 @@ def _resblock_apply(p: dict, cfg: UNetConfig, x, emb):
     return skip + h
 
 
-def transformer_block_apply(p: dict, cfg: UNetConfig, x, context):
-    """BasicTransformerBlock (attention.py:355-385): self-attn, cross-attn, GEGLU FF."""
+def transformer_block_apply(p: dict, cfg: UNetConfig, x, context, ctx_kv=None):
+    """BasicTransformerBlock (attention.py:355-385): self-attn, cross-attn, GEGLU FF.
+
+    ctx_kv: optional precomputed cross-attention (k, v) for this block (see
+    precompute_context_kv) — the context projection is step-invariant, so
+    samplers hoist it out of the denoise scan."""
     heads = cfg.heads_for(x.shape[-1])
     h = layer_norm(x, p["norm1"]["g"], p["norm1"]["b"], LN_EPS)
     x = x + multi_head_attention(
@@ -274,18 +278,19 @@ def transformer_block_apply(p: dict, cfg: UNetConfig, x, context):
         h, context,
         p["attn2"]["wq"]["w"], p["attn2"]["wk"]["w"], p["attn2"]["wv"]["w"],
         p["attn2"]["wo"]["w"], p["attn2"]["wo"].get("b"), heads,
+        kv=ctx_kv,
     )
     h = layer_norm(x, p["norm3"]["g"], p["norm3"]["b"], LN_EPS)
     x = x + linear(geglu(h, p["ff1"]), p["ff2"])
     return x
 
 
-def spatial_transformer_apply(p: dict, cfg: UNetConfig, x, context):
+def spatial_transformer_apply(p: dict, cfg: UNetConfig, x, context, ctx_kv=None):
     """SpatialTransformer (attention.py:388-450), conv proj flavor (SD1.5)."""
-    return _maybe_remat(_spatial_transformer_apply)(p, cfg, x, context)
+    return _maybe_remat(_spatial_transformer_apply)(p, cfg, x, context, ctx_kv)
 
 
-def _spatial_transformer_apply(p: dict, cfg: UNetConfig, x, context):
+def _spatial_transformer_apply(p: dict, cfg: UNetConfig, x, context, ctx_kv=None):
     n, h_, w_, c = x.shape
     residual = x
     h = group_norm(x, p["norm"]["g"], p["norm"]["b"], cfg.groups, ATTN_NORM_EPS)
@@ -296,11 +301,46 @@ def _spatial_transformer_apply(p: dict, cfg: UNetConfig, x, context):
     # crosses once per site instead of wrapping two convs in relayouts.
     h = h.reshape(n, h_ * w_, c)
     h = linear(h, _conv1x1_as_linear(p["proj_in"]))
-    for blk in p["blocks"]:
-        h = transformer_block_apply(blk, cfg, h, context)
+    for i, blk in enumerate(p["blocks"]):
+        h = transformer_block_apply(
+            blk, cfg, h, context,
+            ctx_kv=None if ctx_kv is None else ctx_kv[i],
+        )
     h = linear(h, _conv1x1_as_linear(p["proj_out"]))
     h = h.reshape(n, h_, w_, c)
     return h + residual
+
+
+def precompute_context_kv(params: dict, cfg: UNetConfig, context: jax.Array):
+    """Per-site cross-attention (k, v) from the step-invariant context.
+
+    Returns {"input": [site|None per input block], "middle": site,
+    "output": [site|None per output block]} where site is a per-depth list
+    of (k, v) pairs — the same tree shape unet_apply walks. Computed with
+    the identical fused K/V matmul the in-loop path uses (ops/attention.py
+    context_kv), so hoisting changes no numerics. The reference's per-step
+    TRT engines re-project the 77-token context through every
+    CrossAttention's to_k/to_v each step (ldm/modules/attention.py:176-180);
+    one compiled scan lets us lift all of it out of the loop."""
+    from stablediffusioneo_tpu.ops.attention import context_kv as _ckv
+
+    def site(st):
+        return [
+            _ckv(context, blk["attn2"]["wk"]["w"], blk["attn2"]["wv"]["w"])
+            for blk in st["blocks"]
+        ]
+
+    return {
+        "input": [
+            site(p["attn"]) if "attn" in p else None
+            for p in params["input_blocks"]
+        ],
+        "middle": site(params["middle_block"]["attn"]),
+        "output": [
+            site(p["attn"]) if "attn" in p else None
+            for p in params["output_blocks"]
+        ],
+    }
 
 
 def _conv1x1_as_linear(p: dict) -> dict:
@@ -323,11 +363,13 @@ def unet_encode(
     x: jax.Array,
     emb: jax.Array,
     context: jax.Array,
+    ctx_kv=None,
 ) -> Tuple[jax.Array, List[jax.Array]]:
     """Run input blocks; returns (h, skip stack hs). openaimodel.py:772-780."""
+    kvs = ctx_kv["input"] if ctx_kv is not None else None
     hs = []
     h = x
-    for desc, p in zip(encoder_plan(cfg), params["input_blocks"]):
+    for i, (desc, p) in enumerate(zip(encoder_plan(cfg), params["input_blocks"])):
         if desc["kind"] == "conv":
             h = conv2d(h, p["conv"], padding=1)
         elif desc["kind"] == "down":
@@ -335,15 +377,21 @@ def unet_encode(
         else:
             h = resblock_apply(p["res"], cfg, h, emb)
             if "attn" in p:
-                h = spatial_transformer_apply(p["attn"], cfg, h, context)
+                h = spatial_transformer_apply(
+                    p["attn"], cfg, h, context,
+                    ctx_kv=None if kvs is None else kvs[i],
+                )
         hs.append(h)
     return h, hs
 
 
-def unet_middle(params: dict, cfg: UNetConfig, h, emb, context):
+def unet_middle(params: dict, cfg: UNetConfig, h, emb, context, ctx_kv=None):
     p = params["middle_block"]
     h = resblock_apply(p["res1"], cfg, h, emb)
-    h = spatial_transformer_apply(p["attn"], cfg, h, context)
+    h = spatial_transformer_apply(
+        p["attn"], cfg, h, context,
+        ctx_kv=None if ctx_kv is None else ctx_kv["middle"],
+    )
     h = resblock_apply(p["res2"], cfg, h, emb)
     return h
 
@@ -357,18 +405,23 @@ def unet_decode(
     context: jax.Array,
     control: Optional[List[jax.Array]] = None,
     only_mid_control: bool = False,
+    ctx_kv=None,
 ):
     """Output blocks with optional ControlNet skip addition (cldm/cldm.py:33-41)."""
+    kvs = ctx_kv["output"] if ctx_kv is not None else None
     hs = list(hs)
     ctrl = list(control) if control is not None else None
-    for desc, p in zip(decoder_plan(cfg), params["output_blocks"]):
+    for i, (desc, p) in enumerate(zip(decoder_plan(cfg), params["output_blocks"])):
         skip = hs.pop()
         if ctrl is not None and not only_mid_control:
             skip = skip + ctrl.pop()
         h = jnp.concatenate([h, skip.astype(h.dtype)], axis=-1)
         h = resblock_apply(p["res"], cfg, h, emb)
         if "attn" in p:
-            h = spatial_transformer_apply(p["attn"], cfg, h, context)
+            h = spatial_transformer_apply(
+                p["attn"], cfg, h, context,
+                ctx_kv=None if kvs is None else kvs[i],
+            )
         if "up" in p:
             h = upsample_nearest_2x(h)
             h = conv2d(h, p["up"], padding=1)
@@ -391,21 +444,24 @@ def unet_apply(
     context: jax.Array,
     control: Optional[List[jax.Array]] = None,
     only_mid_control: bool = False,
+    ctx_kv=None,
 ) -> jax.Array:
     """Full UNet forward == ControlledUnetModel.forward (cldm/cldm.py:22-45).
 
     x: (N, H, W, 4) latent; timesteps: (N,); context: (N, T, context_dim);
     control: optional list of 13 NHWC tensors (12 skips + middle, in
     ControlNet output order — consumed from the END like the reference's
-    `control.pop()`).
+    `control.pop()`); ctx_kv: optional precompute_context_kv tree (samplers
+    hoist the step-invariant context K/V projections out of the scan).
     """
     emb = _embed_timesteps(params, cfg, timesteps, x.dtype)
-    h, hs = unet_encode(params, cfg, x, emb, context)
-    h = unet_middle(params, cfg, h, emb, context)
+    h, hs = unet_encode(params, cfg, x, emb, context, ctx_kv=ctx_kv)
+    h = unet_middle(params, cfg, h, emb, context, ctx_kv=ctx_kv)
     if control is not None:
         ctrl = list(control)
         h = h + ctrl.pop().astype(h.dtype)  # middle-block control
     else:
         ctrl = None
-    h = unet_decode(params, cfg, h, hs, emb, context, ctrl, only_mid_control)
+    h = unet_decode(params, cfg, h, hs, emb, context, ctrl, only_mid_control,
+                    ctx_kv=ctx_kv)
     return unet_out(params, cfg, h)

@@ -98,6 +98,23 @@ def attention(
     return out.astype(q.dtype)
 
 
+def context_kv(
+    context: jax.Array, wk: jax.Array, wv: jax.Array
+) -> tuple:
+    """Cross-attention K/V projection: (B, Tk, Ck) -> ((B, Tk, inner) x 2).
+
+    One fused matmul against the concatenated weights (same composition the
+    in-loop path uses, so hoisted and inline K/V are bit-identical). Samplers
+    call this ONCE per context outside the denoise scan — the context is
+    step-invariant, so re-projecting it every step (as the reference's
+    per-step engines must, cldm_trt/ddim_hacked.py:88-197) is pure waste.
+    """
+    wkv = jnp.concatenate([wk, wv], axis=1)  # (Ck, 2*inner)
+    kv = matmul2d(context, wkv)
+    k, v = jnp.split(kv, 2, axis=-1)
+    return k, v
+
+
 def multi_head_attention(
     x: jax.Array,
     context: Optional[jax.Array],
@@ -108,6 +125,7 @@ def multi_head_attention(
     bo: Optional[jax.Array],
     num_heads: int,
     mask: Optional[jax.Array] = None,
+    kv: Optional[tuple] = None,
 ) -> jax.Array:
     """Full (cross-)attention block: project, attend, merge heads, out-proj.
 
@@ -118,21 +136,26 @@ def multi_head_attention(
     For self-attention, q/k/v projections run as one fused matmul against the
     concatenated weights — the TPU-native form of the reference's fused-QKV
     export (export_onnx_attention.py:99-134): one MXU pass instead of three.
+
+    kv: optional precomputed (k, v) from `context_kv` — samplers hoist the
+    step-invariant context projection out of the denoise scan.
     """
     b, tq, _ = x.shape
     inner = wq.shape[1]
     head_dim = inner // num_heads
 
-    if context is None:
+    if kv is not None:
+        q = matmul2d(x, wq)
+        k, v = kv
+        tk = k.shape[1]
+    elif context is None:
         wqkv = jnp.concatenate([wq, wk, wv], axis=1)  # (C, 3*inner)
         qkv = matmul2d(x, wqkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         tk = tq
     else:
         q = matmul2d(x, wq)
-        wkv = jnp.concatenate([wk, wv], axis=1)  # (Ck, 2*inner)
-        kv = matmul2d(context, wkv)
-        k, v = jnp.split(kv, 2, axis=-1)
+        k, v = context_kv(context, wk, wv)
         tk = context.shape[1]
 
     from stablediffusioneo_tpu.ops.dispatch import kernels_enabled

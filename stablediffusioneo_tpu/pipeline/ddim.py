@@ -55,6 +55,7 @@ def _cfg_eval(
     ctx_uncond,
     control_scales,
     guess_mode: bool,
+    hoisted_kv=None,
 ):
     """One CFG step: returns (e_cond, e_uncond).
 
@@ -64,18 +65,24 @@ def _cfg_eval(
     (different graph, cldm/cldm.py:334-335).
 
     guided_hint is the PRECOMPUTED hint-block embedding (constant across
-    steps — hoisted out of the scan by the caller).
+    steps — hoisted out of the scan by the caller). hoisted_kv: optional
+    precomputed cross-attention K/V trees from _hoist_context_kv — like the
+    hint embedding, the context projections are step-invariant.
     """
     b = x.shape[0]
     if guess_mode:
+        ukv_c, ckv_c, ukv_u = hoisted_kv if hoisted_kv is not None else (None,) * 3
         e_cond = controlled_unet_apply(
             unet_params, controlnet_params, cfg, x, None, t, ctx_cond,
             control_scales=control_scales, guided_hint=guided_hint,
+            unet_ctx_kv=ukv_c, ctrl_ctx_kv=ckv_c,
         )
         e_uncond = controlled_unet_apply(
-            unet_params, controlnet_params, cfg, x, None, t, ctx_uncond
+            unet_params, controlnet_params, cfg, x, None, t, ctx_uncond,
+            unet_ctx_kv=ukv_u,
         )
         return e_cond, e_uncond
+    ukv2, ckv2 = hoisted_kv if hoisted_kv is not None else (None, None)
     x2 = jnp.concatenate([x, x], axis=0)
     gh2 = jnp.concatenate([guided_hint, guided_hint], axis=0)
     t2 = jnp.concatenate([t, t], axis=0)
@@ -83,8 +90,35 @@ def _cfg_eval(
     eps2 = controlled_unet_apply(
         unet_params, controlnet_params, cfg, x2, None, t2, ctx2,
         control_scales=_tile_cfg(control_scales), guided_hint=gh2,
+        unet_ctx_kv=ukv2, ctrl_ctx_kv=ckv2,
     )
     return eps2[:b], eps2[b:]
+
+
+def _hoist_context_kv(unet_params, controlnet_params, cfg: ControlNetConfig,
+                      ctx_cond, ctx_uncond, guess_mode: bool):
+    """Precompute every cross-attention K/V projection outside the denoise
+    scan (they depend only on the step-invariant context). Returns the
+    `hoisted_kv` structure _cfg_eval expects for the given mode:
+    normal -> (unet_kv, ctrl_kv) over the CFG batch-2 concat context;
+    guess -> (unet_kv_cond, ctrl_kv_cond, unet_kv_uncond)."""
+    from stablediffusioneo_tpu.models.controlnet import (
+        precompute_controlnet_context_kv,
+    )
+    from stablediffusioneo_tpu.models.unet import precompute_context_kv
+
+    ucfg = cfg.unet
+    if guess_mode:
+        return (
+            precompute_context_kv(unet_params, ucfg, ctx_cond),
+            precompute_controlnet_context_kv(controlnet_params, cfg, ctx_cond),
+            precompute_context_kv(unet_params, ucfg, ctx_uncond),
+        )
+    ctx2 = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
+    return (
+        precompute_context_kv(unet_params, ucfg, ctx2),
+        precompute_controlnet_context_kv(controlnet_params, cfg, ctx2),
+    )
 
 
 def _tile_cfg(control_scales):
@@ -135,6 +169,7 @@ def ddim_scan_step(
     control_scales,
     key,
     parameterization: str = "eps",
+    hoisted_kv=None,
 ):
     """One DDIM step (p_sample_ddim equivalent). step_consts =
     (t, a_t, a_prev, sigma_t, sqrt_one_minus_at, step_idx). guided_hint is
@@ -149,6 +184,7 @@ def ddim_scan_step(
     e_cond, e_uncond = _cfg_eval(
         unet_params, controlnet_params, cfg, x, guided_hint, tb,
         ctx_cond, ctx_uncond, control_scales, guess_mode,
+        hoisted_kv=hoisted_kv,
     )
     model_out = e_uncond + _bc_scale(scale, x) * (e_cond - e_uncond)
     # fp32 island for the state update: tiny per-step errors compound over
@@ -203,6 +239,11 @@ def ddim_sample_scan(
     guided_hint = hint_block_apply(
         controlnet_params["input_hint_block"], hint.astype(x_T.dtype)
     )
+    # likewise every cross-attention K/V projection of the step-invariant
+    # context — hoisted out of the loop (XLA's LICM does not lift dots)
+    hoisted_kv = _hoist_context_kv(
+        unet_params, controlnet_params, cfg, ctx_cond, ctx_uncond, guess_mode
+    )
 
     n_steps = len(schedule["timesteps"])
     consts = (
@@ -219,6 +260,7 @@ def ddim_sample_scan(
             unet_params, controlnet_params, cfg, consts, n_steps, x_T,
             guided_hint, ctx_cond, ctx_uncond, scale, control_scales, key,
             temperature, parameterization, encoder_cache_interval,
+            hoisted_kv,
         )
 
     def body(x, per_step):
@@ -226,6 +268,7 @@ def ddim_sample_scan(
             unet_params, controlnet_params, cfg, guess_mode, temperature,
             x, per_step, guided_hint, ctx_cond, ctx_uncond, scale,
             control_scales, key, parameterization=parameterization,
+            hoisted_kv=hoisted_kv,
         )
         return x_next, ()
 
@@ -253,7 +296,7 @@ def _ddim_update(x, model_out, per_step, key, temperature, parameterization):
 def _ddim_scan_enc_cached(
     unet_params, controlnet_params, cfg, consts, n_steps, x_T,
     guided_hint, ctx_cond, ctx_uncond, scale, control_scales, key,
-    temperature, parameterization, interval,
+    temperature, parameterization, interval, hoisted_kv=None,
 ):
     """Encoder-cached DDIM loop (arXiv:2312.09608): key steps run
     ControlNet + full UNet and refresh the cached control-merged features;
@@ -269,6 +312,7 @@ def _ddim_scan_enc_cached(
     x2_T = jnp.concatenate([x_T, x_T], axis=0)
     gh2 = jnp.concatenate([guided_hint, guided_hint], axis=0)
     ctx2 = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
+    ukv2, ckv2 = hoisted_kv if hoisted_kv is not None else (None, None)
 
     run_full = np.zeros(n_steps, bool)
     run_full[::interval] = True
@@ -278,18 +322,21 @@ def _ddim_scan_enc_cached(
     def full_parts(x2, t2):
         emb = _embed_timesteps(unet_params, ucfg, t2, x2.dtype)
         ctrl = controlnet_apply(
-            controlnet_params, cfg, x2, None, t2, ctx2, guided_hint=gh2
+            controlnet_params, cfg, x2, None, t2, ctx2, guided_hint=gh2,
+            ctx_kv=ckv2,
         )
         from stablediffusioneo_tpu.models.controlnet import scale_control
         ctrl = scale_control(ctrl, _tile_cfg(control_scales))
-        h, hs = unet_encode(unet_params, ucfg, x2, emb, ctx2)
-        h = unet_middle(unet_params, ucfg, h, emb, ctx2) + ctrl[-1].astype(x2.dtype)
+        h, hs = unet_encode(unet_params, ucfg, x2, emb, ctx2, ctx_kv=ukv2)
+        h = unet_middle(unet_params, ucfg, h, emb, ctx2,
+                        ctx_kv=ukv2) + ctrl[-1].astype(x2.dtype)
         merged = [s + c.astype(s.dtype) for s, c in zip(hs, ctrl[:-1])]
         return h, merged
 
     def decode_eps(h, merged, t2):
         emb = _embed_timesteps(unet_params, ucfg, t2, h.dtype)
-        out = unet_decode(unet_params, ucfg, h, merged, emb, ctx2)
+        out = unet_decode(unet_params, ucfg, h, merged, emb, ctx2,
+                          ctx_kv=ukv2)
         return unet_out(unet_params, ucfg, out)
 
     # initialize the carry cache with zeros of the right shapes/dtypes

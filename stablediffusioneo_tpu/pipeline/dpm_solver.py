@@ -27,7 +27,11 @@ import numpy as np
 from stablediffusioneo_tpu.config import ControlNetConfig
 from stablediffusioneo_tpu.models.controlnet import hint_block_apply
 from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
-from stablediffusioneo_tpu.pipeline.ddim import _bc_scale, _cfg_eval
+from stablediffusioneo_tpu.pipeline.ddim import (
+    _bc_scale,
+    _cfg_eval,
+    _hoist_context_kv,
+)
 
 
 def dpmpp_schedule(
@@ -67,6 +71,9 @@ def dpmpp_sample_scan(
     guided_hint = hint_block_apply(
         controlnet_params["input_hint_block"], hint.astype(x_T.dtype)
     )
+    hoisted_kv = _hoist_context_kv(
+        unet_params, controlnet_params, cfg, ctx_cond, ctx_uncond, guess_mode
+    )
     consts = jax.tree.map(jnp.asarray, sched)
 
     def x0_from_model(x, t, alpha, sigma):
@@ -75,6 +82,7 @@ def dpmpp_sample_scan(
         e_c, e_u = _cfg_eval(
             unet_params, controlnet_params, cfg, x, guided_hint, tb,
             ctx_cond, ctx_uncond, control_scales, guess_mode,
+            hoisted_kv=hoisted_kv,
         )
         m = (e_u + _bc_scale(scale, x) * (e_c - e_u)).astype(jnp.float32)
         xf = x.astype(jnp.float32)
