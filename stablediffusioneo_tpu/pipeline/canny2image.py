@@ -72,8 +72,8 @@ class Canny2ImagePipeline:
         self.runtime.warmup(warmup_resolution, warmup_steps)
         return self
 
-    def _annotate(self, img: np.ndarray, low: int, high: int) -> np.ndarray:
-        """Run the pluggable annotator; normalize its output to HWC3 uint8.
+    def _annotate(self, img: np.ndarray, low: int, high: int):
+        """Run the pluggable annotator; returns (HWC3 uint8 map, raw output).
         Canny consumes the thresholds, other detectors take just the image;
         multi-output detectors (e.g. MiDaS depth+normal) use the first."""
         try:
@@ -82,7 +82,27 @@ class Canny2ImagePipeline:
             out = self.apply_canny(img)
         if isinstance(out, tuple):
             out = out[0]
-        return HWC3(np.asarray(out))
+        out = np.asarray(out)
+        return HWC3(out), out
+
+    @staticmethod
+    def _pack_hint(detected_map: np.ndarray, raw: np.ndarray):
+        """Bit-pack a binary single-channel control map for upload.
+
+        Canny maps are {0, 255} grayscale: 1 bit/pixel instead of 24 is
+        lossless and cuts the per-call host->device hint transfer 24x
+        (~786 KB -> 98 KB at 512^2 — ~24 ms on the tunneled link). The
+        engine's packed-ingest variant unpacks to the exact {0., 1.}
+        values `detected / 255.0` would produce. Returns the packed
+        (H, W//8) array, or None when the map isn't binary gray (HED /
+        depth / pose maps take the plain uint8 path)."""
+        if raw.ndim != 2 or raw.dtype != np.uint8:
+            return None
+        if detected_map.shape[1] % 8:
+            return None
+        if not ((raw == 0) | (raw == 255)).all():
+            return None
+        return np.packbits(raw > 0, axis=-1)  # big-endian bit order
 
     # ---------------------------------------------------------------- process
 
@@ -123,12 +143,17 @@ class Canny2ImagePipeline:
         img = resize_image(HWC3(input_image), image_resolution)
         H, W = img.shape[:2]
 
-        detected_map = self._annotate(img, low_threshold, high_threshold)
+        detected_map, raw_map = self._annotate(img, low_threshold, high_threshold)
 
         # uint8 hint: normalized in-graph by the engine's uint8-ingest
         # variant (bit-identical to `detected / 255.0` here, 4x less
-        # host->device transfer)
-        hint = np.repeat(detected_map[None], num_samples, axis=0)  # (B,H,W,3)
+        # host->device transfer). Binary gray maps (canny) go further:
+        # bit-packed to (B, H, W//8) and unpacked in-graph (24x less).
+        packed = self._pack_hint(detected_map, raw_map)
+        if packed is not None:
+            hint = np.repeat(packed[None], num_samples, axis=0)  # (B,H,W//8)
+        else:
+            hint = np.repeat(detected_map[None], num_samples, axis=0)
 
         if seed == -1:
             seed = int(np.random.randint(0, 2**31 - 1))

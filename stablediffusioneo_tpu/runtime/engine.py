@@ -238,11 +238,32 @@ class CNSDRuntime:
 
         return run
 
+    def _with_packed_hint(self, fn):
+        """Wrap a sampler fn so the hint arg is BIT-PACKED binary pixels:
+        (B, H, W//8) uint8, np.packbits big-endian order. Canny hints are
+        {0, 255} on every channel, so 1 bit/pixel is lossless — 98 KB
+        instead of 786 KB of host->device transfer at 512^2 (the upload
+        rides a ~28 MB/s tunnel, so this is ~24 ms off the critical path).
+        In-graph unpack to {0., 1.} is bit-identical to the uint8 path's
+        `astype(f32) / 255` on {0, 255} inputs."""
+        dtype = self.dtype
+
+        def run(unet_p, ctrl_p, sched, x_T, hint_bits, *rest):
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+            bits = (hint_bits[..., None] >> shifts) & jnp.uint8(1)
+            b, h, wp, _ = bits.shape
+            hint = bits.reshape(b, h, wp * 8).astype(dtype)  # exact {0,1}
+            hint = jnp.broadcast_to(hint[..., None], (b, h, wp * 8, 3))
+            return fn(unet_p, ctrl_p, sched, x_T, hint, *rest)
+
+        return run
+
     def sample_decode_engine(
         self, num_steps: int, batch: int, h: int, w: int,
         guess_mode: bool = False, sampler: str = "ddim",
         encoder_cache_interval: int = 1, ctx_len: Optional[int] = None,
-        hint_u8: bool = False, gen_xT=False,  # False | True | "seeds"
+        hint_u8=False,  # False | True | "packed"
+        gen_xT=False,  # False | True | "seeds"
     ) -> Engine:
         """Sampler + VAE decode + uint8 denorm as ONE compiled program.
 
@@ -250,7 +271,10 @@ class CNSDRuntime:
         latent->pixels pipeline. On the tunneled single-chip setup this
         saves two host<->device round-trips (~30 ms each) vs
         sampler_engine + decoder_engine; it also lets XLA schedule the
-        decode immediately after the scan with no host in the loop."""
+        decode immediately after the scan with no host in the loop.
+
+        hint_u8="packed": the hint is bit-packed binary (B, H, W//8) uint8
+        (see _with_packed_hint) — the canny production path."""
         ctx_len = ctx_len or self.cfg.clip.max_length
         key_t = ("sample_decode", sampler, num_steps, batch, h, w, guess_mode,
                  encoder_cache_interval, ctx_len, hint_u8, gen_xT)
@@ -258,7 +282,12 @@ class CNSDRuntime:
             return self._engines[key_t]
         base = self._sampler_fn(num_steps, guess_mode, sampler,
                                 encoder_cache_interval)
-        sfn = self._with_u8_hint(base) if hint_u8 else base
+        if hint_u8 == "packed":
+            sfn = self._with_packed_hint(base)
+        elif hint_u8:
+            sfn = self._with_u8_hint(base)
+        else:
+            sfn = base
         cfg = self.cfg
         f_ds = cfg.vae.downsample_factor
         lat_shape = (batch, h // f_ds, w // f_ds, 4)
@@ -295,6 +324,7 @@ class CNSDRuntime:
 
         eng = Engine(run, name=f"{sampler}+decode_{num_steps}x{batch}x{h}x{w}"
                      + ("_guess" if guess_mode else "")
+                     + ("_bithint" if hint_u8 == "packed" else "")
                      + (f"_genxT{'-seeds' if gen_xT == 'seeds' else ''}"
                         if gen_xT else ""),
                      donate_argnums=() if gen_xT else (4,))  # donate x_T
@@ -308,8 +338,11 @@ class CNSDRuntime:
             lat = self._abs_rep((2,), jnp.uint32)
         else:
             lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
-        hint = self._abs_data((batch, h, w, 3),
-                              jnp.uint8 if hint_u8 else self.dtype)
+        if hint_u8 == "packed":
+            hint = self._abs_data((batch, h, w // 8), jnp.uint8)
+        else:
+            hint = self._abs_data((batch, h, w, 3),
+                                  jnp.uint8 if hint_u8 else self.dtype)
         ctx = self._abs_data(
             (batch, ctx_len, self.cfg.unet.context_dim), self.dtype)
         scale = self._abs_data((batch,), jnp.float32)
@@ -343,8 +376,11 @@ class CNSDRuntime:
         """Fused sample+decode: returns uint8 (B, H, W, 3) ON DEVICE.
 
         A uint8 `hint` selects the uint8-ingest engine variant (normalize
-        in-graph — 4x less host->device transfer); float hints keep the
-        float variant. x_T=None selects the gen_xT variant: `key` is
+        in-graph — 4x less host->device transfer); a RANK-3 uint8 hint
+        (B, H, W//8) selects the bit-packed binary variant (np.packbits
+        big-endian — 24x less transfer, canny hints are {0,255}); float
+        hints keep the float variant. x_T=None selects the gen_xT variant:
+        `key` is
         treated as the ROOT key and the engine reproduces
         `key, sub = split(root); x_T = normal(sub, ...)` in-graph —
         identical bits to the host-side sequence, minus two tiny device
@@ -355,11 +391,15 @@ class CNSDRuntime:
         seed in-graph, so a request reproduces bit-identically regardless
         of which batch it was cut into (`key` is then ignored)."""
         b = hint.shape[0]
-        h, w = hint.shape[1], hint.shape[2]
+        packed = hint.ndim == 3
+        h = hint.shape[1]
+        w = hint.shape[2] * 8 if packed else hint.shape[2]
         if seeds is not None and x_T is not None:
             raise ValueError("seeds requires x_T=None (in-graph generation)")
         gen_xT = "seeds" if seeds is not None else x_T is None
-        hint_u8 = hint.dtype == jnp.uint8
+        if packed and hint.dtype != jnp.uint8:
+            raise ValueError("rank-3 (packed) hint must be uint8")
+        hint_u8 = "packed" if packed else hint.dtype == jnp.uint8
         eng = self.sample_decode_engine(
             num_steps, b, h, w, guess_mode, sampler,
             encoder_cache_interval, ctx_len=ctx_cond.shape[1],
@@ -414,7 +454,7 @@ class CNSDRuntime:
         self, num_steps: int, batch: int, h: int, w: int,
         guess_mode: bool = False, sampler: str = "ddim",
         encoder_cache_interval: int = 1, ctx_len: Optional[int] = None,
-        hint_u8: bool = False,
+        hint_u8=False,  # False | True | "packed"
     ) -> Engine:
         """Compiled denoise loop for (steps, batch, HxW). H,W are image-space
         (latent is H/8 x W/8). sampler: "ddim" | "dpmpp". ctx_len: context
@@ -431,7 +471,12 @@ class CNSDRuntime:
             return self._engines[key_t]
         sfn = self._sampler_fn(num_steps, guess_mode, sampler,
                                encoder_cache_interval)
-        fn = self._with_u8_hint(sfn) if hint_u8 else sfn
+        if hint_u8 == "packed":
+            fn = self._with_packed_hint(sfn)
+        elif hint_u8:
+            fn = self._with_u8_hint(sfn)
+        else:
+            fn = sfn
         eng = Engine(fn, name=f"{sampler}_{num_steps}x{batch}x{h}x{w}"
                      + ("_guess" if guess_mode else "")
                      + (f"_ctx{ctx_len}" if ctx_len != self.cfg.clip.max_length
@@ -441,8 +486,11 @@ class CNSDRuntime:
         sched_abs = {k: self._abs_rep(v.shape, v.dtype) for k, v in sched.items()}
         f = self.cfg.vae.downsample_factor
         lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
-        hint = self._abs_data((batch, h, w, 3),
-                              jnp.uint8 if hint_u8 else self.dtype)
+        if hint_u8 == "packed":
+            hint = self._abs_data((batch, h, w // 8), jnp.uint8)
+        else:
+            hint = self._abs_data((batch, h, w, 3),
+                                  jnp.uint8 if hint_u8 else self.dtype)
         ctx = self._abs_data(
             (batch, ctx_len, self.cfg.unet.context_dim), self.dtype
         )
@@ -658,7 +706,10 @@ class CNSDRuntime:
     ) -> jax.Array:
         b, lh, lw, _ = x_T.shape
         f = self.cfg.vae.downsample_factor
-        hint_u8 = hint.dtype == jnp.uint8
+        if hint.ndim == 3:  # bit-packed binary hint (B, H, W//8)
+            hint_u8 = "packed"
+        else:
+            hint_u8 = hint.dtype == jnp.uint8
         eng = self.sampler_engine(num_steps, b, lh * f, lw * f, guess_mode,
                                   sampler, encoder_cache_interval,
                                   ctx_len=ctx_cond.shape[1],

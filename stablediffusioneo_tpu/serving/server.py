@@ -80,7 +80,8 @@ class _Pending:
     future: Future
     t_submit: float
     detected_map: np.ndarray = None
-    hint: np.ndarray = None            # (H, W, 3) uint8 (in-graph /255)
+    hint: np.ndarray = None            # (H, W, 3) uint8 (in-graph /255) or
+                                       # (H, W//8) bit-packed binary
     ids: np.ndarray = None             # (2, 77) cond/uncond token ids
     hw: Tuple[int, int] = (0, 0)
     seed: int = 0                      # resolved per submission (-1 drawn)
@@ -206,11 +207,17 @@ class DiffusionServer:
     def warmup(self, resolutions=(256,), steps=20, sampler="ddim"):
         """Precompile the sample_decode + CLIP engines for every
         (batch bucket, resolution) pair (the reference's warm_up analog)."""
+        from stablediffusioneo_tpu.annotators.canny import CannyDetector
+
         rt = self.pipe.runtime
+        # canny produces binary maps -> requests arrive bit-packed
+        hint_mode = ("packed"
+                     if isinstance(self.pipe.apply_canny, CannyDetector)
+                     else True)
         for res in resolutions:
             for b in self.buckets:
                 rt.sample_decode_engine(steps, b, res, res, sampler=sampler,
-                                        hint_u8=True, gen_xT="seeds")
+                                        hint_u8=hint_mode, gen_xT="seeds")
                 rt.clip_engine(2 * b)
         return self
 
@@ -227,9 +234,13 @@ class DiffusionServer:
         p = _Pending(req=req, future=Future(), t_submit=time.perf_counter())
         img = resize_image(HWC3(req.image), req.image_resolution)
         p.hw = img.shape[:2]
-        p.detected_map = self.pipe._annotate(
+        p.detected_map, raw_map = self.pipe._annotate(
             img, req.low_threshold, req.high_threshold)
-        p.hint = p.detected_map  # uint8; engines normalize in-graph
+        # binary gray maps (canny) upload bit-packed (24x less transfer);
+        # others as uint8 pixels — engines normalize/unpack in-graph.
+        # Packedness is part of the batch key, so batches stay uniform.
+        packed = self.pipe._pack_hint(p.detected_map, raw_map)
+        p.hint = packed if packed is not None else p.detected_map
         cond_text = (req.prompt + ", " + req.a_prompt
                      if req.a_prompt else req.prompt)
         p.ids = np.asarray(self.pipe.tokenizer([cond_text, req.n_prompt]))
@@ -252,7 +263,8 @@ class DiffusionServer:
     def _key(self, p: _Pending) -> Tuple:
         r = p.req
         return (p.hw, r.ddim_steps, r.sampler, r.guess_mode, r.eta,
-                r.encoder_cache_interval, r.clip_skip, p.ids.shape[-1])
+                r.encoder_cache_interval, r.clip_skip, p.ids.shape[-1],
+                p.hint.ndim)  # 2 = bit-packed binary, 3 = uint8 pixels
 
     def _cut_batch(self) -> Optional[List[_Pending]]:
         """Called under the lock. Returns the batch to run now, or None.

@@ -201,6 +201,71 @@ class TestCanny2Image:
         assert not np.array_equal(a, c)
 
 
+class TestPackedHint:
+    """Bit-packed binary hint upload (1 bit/pixel for canny's {0,255} maps —
+    24x less host->device transfer; engine unpacks in-graph)."""
+
+    def test_pack_hint_detection(self, rng):
+        pack = Canny2ImagePipeline._pack_hint
+        det = np.zeros((64, 64, 3), np.uint8)
+        binary = (rng.random((64, 64)) > 0.5).astype(np.uint8) * 255
+        p = pack(det, binary)
+        assert p is not None and p.shape == (64, 8)
+        np.testing.assert_array_equal(np.unpackbits(p, axis=-1) * 255, binary)
+        # grayscale (non-binary) map: plain uint8 path
+        gray = (rng.random((64, 64)) * 255).astype(np.uint8)
+        gray[0, 0] = 7
+        assert pack(det, gray) is None
+        # RGB raw output (pose/seg maps): plain uint8 path
+        assert pack(det, np.zeros((64, 64, 3), np.uint8)) is None
+        # non-/8 width: plain path
+        assert pack(np.zeros((60, 60, 3), np.uint8),
+                    np.zeros((60, 60), np.uint8)) is None
+
+    def test_packed_engine_matches_u8_engine(self, tiny_params, rng):
+        """The packed-ingest engine variant must be BIT-identical to the
+        uint8 variant on binary hints (unpack -> {0.,1.} == {0,255}/255)."""
+        import jax.numpy as jnp
+
+        rt = CNSDRuntime(tiny_params, CFG, persistent_cache=False)
+        b, res = 1, 64
+        binary = (rng.random((res, res)) > 0.5).astype(np.uint8) * 255
+        hint_u8 = np.repeat(
+            np.repeat(binary[..., None], 3, axis=-1)[None], b, axis=0)
+        hint_packed = np.repeat(np.packbits(binary > 0, axis=-1)[None],
+                                b, axis=0)
+        f = CFG.vae.downsample_factor
+        x_T = rng.standard_normal((b, res // f, res // f, 4)).astype(np.float32)
+        ctx = rng.standard_normal(
+            (b, CFG.clip.max_length, CFG.unet.context_dim)).astype(np.float32)
+        key = jax.random.PRNGKey(3)
+        img_u8 = np.asarray(rt.sample_decode(
+            2, jnp.asarray(x_T), jnp.asarray(hint_u8),
+            jnp.asarray(ctx), jnp.asarray(ctx), key))
+        img_packed = np.asarray(rt.sample_decode(
+            2, jnp.asarray(x_T), jnp.asarray(hint_packed),
+            jnp.asarray(ctx), jnp.asarray(ctx), key))
+        np.testing.assert_array_equal(img_u8, img_packed)
+
+    def test_process_uses_packed_hint_for_canny(self, tiny_params, rng,
+                                                monkeypatch):
+        """process() must route canny (binary) hints through the packed
+        engine variant and produce identical images either way."""
+        pipe = Canny2ImagePipeline(
+            tiny_params, toy_tokenizer(max_length=CFG.clip.max_length), CFG,
+            persistent_cache=False,
+        )
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        kwargs = dict(num_samples=1, image_resolution=64, ddim_steps=1, seed=7)
+        out_packed = pipe.process(img, "a bird", **kwargs)[1]
+        assert any("_bithint" in k.name for k in pipe.runtime._engines.values())
+        # force the plain path: make the binary check fail
+        monkeypatch.setattr(Canny2ImagePipeline, "_pack_hint",
+                            staticmethod(lambda det, raw: None))
+        out_plain = pipe.process(img, "a bird", **kwargs)[1]
+        np.testing.assert_array_equal(out_packed, out_plain)
+
+
 class TestMultiAnnotator:
     def test_hed_conditioning(self, tiny_params, rng, monkeypatch):
         """Pluggable annotator (BASELINE tracked config 4): HED hint."""
