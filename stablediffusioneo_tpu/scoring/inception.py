@@ -139,8 +139,15 @@ def inception_features(params: Dict, x: jax.Array) -> jax.Array:
 
 
 def convert_inception(sd: Dict[str, np.ndarray], bn_eps: float = 1e-3) -> Dict:
-    """torchvision/pt_inception state dict -> folded-BN NHWC tree."""
-    modules = sorted({k.split(".conv.")[0] for k in sd if ".conv.weight" in k})
+    """torchvision/pt_inception state dict -> folded-BN NHWC tree.
+
+    AuxLogits.* (the training-time auxiliary classifier, present in full
+    torchvision checkpoints) is excluded: the FID feature tower stops at
+    the global pool."""
+    modules = sorted({
+        k.split(".conv.")[0] for k in sd
+        if ".conv.weight" in k and not k.startswith("AuxLogits.")
+    })
     out: Dict = {}
     for mod in modules:
         w = sd[f"{mod}.conv.weight"]
@@ -166,11 +173,24 @@ class InceptionFeatureExtractor:
 
     def __init__(self, params: Optional[Dict] = None, ckpt_path: Optional[str] = None):
         if params is None and ckpt_path is not None:
+            from stablediffusioneo_tpu.checkpoint.accounting import account
             from stablediffusioneo_tpu.checkpoint.torch_reader import (
                 load_torch_state_dict,
             )
 
-            params = convert_inception(load_torch_state_dict(ckpt_path))
+            # strict key accounting, like every other converter: a real
+            # pt_inception/torchvision file either maps 100% (BN momentum
+            # counters aside) or fails naming the orphan keys
+            rep = account(
+                convert_inception, load_torch_state_dict(ckpt_path),
+                ignore=(r".*\.bn\.num_batches_tracked",
+                        # torchvision's full inception_v3 carries the
+                        # aux-logits head and fc classifier; the FID
+                        # feature tower stops at the global pool
+                        r"AuxLogits\..*", r"fc\.(weight|bias)"),
+            )
+            rep.assert_complete("inception")
+            params = rep.tree
         assert params is not None, "provide params or ckpt_path"
         self.params = params
         self._apply = jax.jit(inception_features)
