@@ -311,11 +311,14 @@ def main():
         # (measured: 300 ms + depth-2 dispatch -> all-full batch hist,
         # 2.15 img/s vs 1.73 at 100 ms)
         wait_ms = float(os.environ.get("BENCH_SERVING_WAIT_MS", "300"))
-        server = DiffusionServer(pipe, batch_buckets=(1, 2, 4),
+        bucket_spec = os.environ.get("BENCH_SERVING_BUCKETS", "1,2,4")
+        buckets = tuple(int(b) for b in bucket_spec.split(","))
+        server = DiffusionServer(pipe, batch_buckets=buckets,
                                  max_wait_ms=wait_ms).start()
         t0 = time.perf_counter()
         server.warmup(resolutions=(res,), steps=steps)
-        log(f"[serving] warmup (3 batch buckets): {time.perf_counter()-t0:.1f}s")
+        log(f"[serving] warmup ({len(buckets)} batch buckets): "
+            f"{time.perf_counter()-t0:.1f}s")
         prompts = ["a bird", "a dog on grass", "an oil painting of a ship",
                    "a red sports car"]
 
