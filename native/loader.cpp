@@ -158,6 +158,7 @@ struct Loader {
   int64_t consumed = 0;         // delivered to the consumer
   std::atomic<int64_t> errors{0};
   std::atomic<bool> stop{false};
+  std::atomic<int> active_consumers{0};  // in-flight sdeo_loader_next calls
   std::vector<std::thread> workers;
 
   // per-epoch permutation cache
@@ -263,6 +264,20 @@ void* sdeo_loader_create(const char** src_paths, const char** tgt_paths,
 long long sdeo_loader_next(void* handle, uint8_t* src_out, uint8_t* tgt_out,
                            int32_t* idx_out) {
   auto* L = (Loader*)handle;
+  // registered consumer: destroy() drains this count before deleting L,
+  // so the copy-out below never reads freed slot memory. (Calling next()
+  // after destroy() has RETURNED is still user error, as for any handle.)
+  L->active_consumers.fetch_add(1);
+  struct Guard {
+    Loader* L;
+    ~Guard() {  // decrement under mu: destroy()'s drain-wait predicate
+      {       // must not miss the wakeup (runs after any inner lock scope)
+        std::lock_guard<std::mutex> g(L->mu);
+        L->active_consumers.fetch_sub(1);
+      }
+      L->cv_free.notify_all();
+    }
+  } guard{L};
   int64_t t = L->consumed;
   Slot* slot = &L->slots[t % L->depth];
   {
@@ -273,7 +288,7 @@ long long sdeo_loader_next(void* handle, uint8_t* src_out, uint8_t* tgt_out,
     L->cv_ready.wait(lk, [&] {
       return (slot->ticket == t && slot->ready) || L->stop.load();
     });
-    if (L->stop.load() && !(slot->ticket == t && slot->ready)) return -1;
+    if (L->stop.load()) return -1;  // buffers untouched; destroy may proceed
   }
   const size_t bytes = size_t(L->batch) * L->h * L->w * 3;
   std::memcpy(src_out, slot->src.data(), bytes);
@@ -300,6 +315,12 @@ void sdeo_loader_destroy(void* handle) {
   L->cv_free.notify_all();
   L->cv_ready.notify_all();
   for (auto& th : L->workers) th.join();
+  {
+    // drain in-flight consumers (woken above via stop) before freeing:
+    // one may still be between its wait and its copy-out/return
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_free.wait(lk, [&] { return L->active_consumers.load() == 0; });
+  }
   delete L;
 }
 

@@ -30,8 +30,13 @@ from stablediffusioneo_tpu.ops.layers import matmul2d, mm_precision
 
 # Minimum query-token count for the Pallas kernels. 1024 is the measured
 # e2e winner on v5e (round 2: below it XLA keeps everything fused on-chip);
-# env-tunable for A/B experiments (SDEO_ATTN_MIN_TQ).
-_MIN_TQ = int(os.environ.get("SDEO_ATTN_MIN_TQ", "1024"))
+# env-tunable for A/B experiments (SDEO_ATTN_MIN_TQ). Read at call time so
+# a monkeypatch.setenv after import still takes effect (traces are cached
+# per call site anyway, so the per-call getenv is trace-time only).
+
+
+def _min_tq() -> int:
+    return int(os.environ.get("SDEO_ATTN_MIN_TQ", "1024"))
 
 
 def _use_flash(q, k, mask) -> bool:
@@ -43,7 +48,7 @@ def _use_flash(q, k, mask) -> bool:
         and q.ndim == 4
         # measured on v5e: the kernel wins once logits would be HBM-sized;
         # below 1024 query tokens XLA keeps everything fused on-chip anyway
-        and q.shape[-2] >= _MIN_TQ
+        and q.shape[-2] >= _min_tq()
         # NOTE kv is deliberately NOT gated: restricting the kernel to
         # long-KV self-attention (kv >= 1024) measured SLOWER e2e
         # (0.787 vs 0.750 s) — the kernel beats XLA even at kv=77 here
@@ -165,7 +170,7 @@ def multi_head_attention(
     )
 
     if (mask is None
-            and tq >= _MIN_TQ
+            and tq >= _min_tq()
             and kernels_enabled("flash_attention")
             and fused_attention_packed_supported(
                 (b, tq, inner), tk, num_heads, q.dtype)):

@@ -800,6 +800,17 @@ class CNSDRuntime:
             raise RuntimeError(
                 f"warmup self-test: fused sample_decode shape "
                 f"{img_fused.shape} != granular path {img.shape}")
+        # bit-packed binary hint (B, H, W//8): the canny production variant
+        # — a packed-path AOT regression must surface here, not on the
+        # first real request
+        packed = jnp.zeros((batch, h, w // 8), jnp.uint8)
+        img_packed = np.asarray(self.sample_decode(
+            num_steps, None, packed, ctx, ctx, key))
+        if not np.array_equal(img_packed, img_fused):
+            raise RuntimeError(
+                "warmup self-test: packed-hint engine output differs from "
+                "the uint8-hint engine on the all-zero hint (must be "
+                "bit-identical)")
         if self.mesh is None and not allow_fallback:
             fell_back = [
                 (eng.name, eng.load_error)

@@ -35,7 +35,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -46,6 +46,25 @@ from stablediffusioneo_tpu.serving.scheduler import (
     next_deadline_ms,
     pick_group,
 )
+
+
+def _resolve(fut: Future, result=None, exc=None) -> bool:
+    """Resolve a request future, tolerating a concurrent cancel().
+
+    An HTTP-timeout `cancel()` can land between a `done()` check and the
+    set — set_result/set_exception then raise InvalidStateError, and (when
+    raised inside the batch completion loop) would spuriously fail every
+    co-batched request. Cancellation simply wins instead."""
+    try:
+        if fut.done():
+            return False
+        if exc is not None:
+            fut.set_exception(exc)
+        else:
+            fut.set_result(result)
+        return True
+    except InvalidStateError:
+        return False
 
 
 @dataclass
@@ -340,8 +359,7 @@ class DiffusionServer:
                 self._dispatch_batch(batch)
             except Exception as e:  # noqa: BLE001 — fail the requests, not the server
                 for p in batch:
-                    if not p.future.done():
-                        p.future.set_exception(e)
+                    _resolve(p.future, exc=e)
                 with self._wake:
                     self.stats.errors += len(batch)
                     done = {p.future for p in batch}
@@ -412,14 +430,12 @@ class DiffusionServer:
                     self.stats.batch_hist[b] = (
                         self.stats.batch_hist.get(b, 0) + 1)
                 for i, p in enumerate(batch):
-                    if not p.future.done():  # skip cancelled-after-cut
-                        p.future.set_result((p.detected_map, images[i]))
+                    _resolve(p.future, (p.detected_map, images[i]))
             except Exception as e:  # noqa: BLE001
                 with self._lock:
                     self.stats.errors += len(batch)
                 for p in batch:
-                    if not p.future.done():
-                        p.future.set_exception(e)
+                    _resolve(p.future, exc=e)
             finally:
                 with self._wake:
                     done = {p.future for p in batch}

@@ -143,11 +143,13 @@ class ImagePairLoader:
             src = np.empty((self.batch, self.res, self.res, 3), np.uint8)
             tgt = np.empty((self.batch, self.res, self.res, 3), np.uint8)
             idx = np.empty((self.batch,), np.int32)
-            lib.sdeo_loader_next(
+            rc = lib.sdeo_loader_next(
                 self._handle,
                 src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 tgt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+            if rc < 0:  # destroy() raced the wait: buffers are untouched
+                raise RuntimeError("loader closed while waiting for a batch")
             return {"source": src, "target": tgt, "indices": idx}
         return self._next_python()
 
