@@ -14,6 +14,29 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # --------------------------------------------------------------- policy core
 
 
+class TestResolveRace:
+    def test_resolve_tolerates_concurrent_cancel(self):
+        """An HTTP-timeout cancel() between done() and set_result must not
+        raise (it would fail every co-batched request)."""
+        from concurrent.futures import Future
+
+        from stablediffusioneo_tpu.serving.server import _resolve
+
+        fut = Future()
+        fut.cancel()
+        assert _resolve(fut, ("d", "img")) is False  # no InvalidStateError
+        assert _resolve(fut, exc=RuntimeError("x")) is False
+
+        ok = Future()
+        assert _resolve(ok, ("d", "img")) is True
+        assert ok.result() == ("d", "img")
+
+        err = Future()
+        assert _resolve(err, exc=RuntimeError("boom")) is True
+        with pytest.raises(RuntimeError):
+            err.result()
+
+
 class TestBatchCutPolicy:
     def test_empty_and_tiny_queues(self):
         from stablediffusioneo_tpu.serving import decide_cut
