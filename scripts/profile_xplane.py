@@ -49,9 +49,11 @@ def capture(outdir: str):
     rng = np.random.default_rng(0)
     img = (rng.random((512, 512, 3)) * 255).astype(np.uint8)
 
+    batch = int(os.environ.get("PROFILE_BATCH", "1"))
+
     def run():
-        return pipe.process(img, "a bird", num_samples=1, image_resolution=512,
-                            ddim_steps=20, seed=1)
+        return pipe.process(img, "a bird", num_samples=batch,
+                            image_resolution=512, ddim_steps=20, seed=1)
 
     print("warmup (compile)...", flush=True)
     run()
