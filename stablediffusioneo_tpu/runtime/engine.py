@@ -181,6 +181,7 @@ class CNSDRuntime:
                 cast[name], n_q = quantize_linear_tree(cast[name])
                 log.info("int8 weight-only: %d linears quantized in %s",
                          n_q, name)
+        self.quantized = quantize_linears
         if mesh is not None:
             from stablediffusioneo_tpu.parallel.mesh import shard_params
 
@@ -194,6 +195,32 @@ class CNSDRuntime:
         self.n_taps = len(encoder_plan(cfg.unet)) + 1
         self._engines: Dict[Tuple, Engine] = {}
         self._sched_cache: Dict[Tuple, dict] = {}
+
+    def apply_lora(self, lora: Dict, scale: float = 1.0,
+                   on: str = "unet") -> int:
+        """Merge a LoRA adapter tree (training/lora.py) into the resident
+        `on` param tree. Shapes/dtypes are unchanged, so every compiled
+        engine stays valid — the next call simply streams the merged
+        weights. One-way: re-load the checkpoint to remove an adapter.
+        Returns the number of merged sites."""
+        from stablediffusioneo_tpu.training.lora import merge_lora, n_sites
+
+        if self.quantized:
+            raise ValueError(
+                "apply_lora on an int8-quantized runtime: merge before "
+                "quantization (construct with quantize_linears=False, "
+                "apply, then quantize)")
+        if on not in self.params:
+            raise KeyError(f"apply_lora: no {on!r} tree in runtime params")
+        merged = merge_lora(self.params[on], lora, scale)
+        if self.mesh is not None:
+            from stablediffusioneo_tpu.parallel.mesh import shard_params
+
+            merged = shard_params(merged, self.mesh)
+        else:
+            merged = jax.device_put(merged)
+        self.params = {**self.params, on: merged}
+        return n_sites(lora)
 
     # ------------------------------------------------------------- engines
 

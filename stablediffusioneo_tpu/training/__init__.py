@@ -14,6 +14,14 @@ from stablediffusioneo_tpu.training.trainer import (
     diffusion_loss,
 )
 from stablediffusioneo_tpu.training.ema import ema_init, ema_update
+from stablediffusioneo_tpu.training.lora import (
+    init_lora,
+    load_lora,
+    lora_sites,
+    lora_train_step,
+    merge_lora,
+    save_lora,
+)
 
 __all__ = [
     "TrainState",
@@ -22,4 +30,10 @@ __all__ = [
     "diffusion_loss",
     "ema_init",
     "ema_update",
+    "init_lora",
+    "lora_sites",
+    "lora_train_step",
+    "merge_lora",
+    "save_lora",
+    "load_lora",
 ]

@@ -1,0 +1,201 @@
+"""LoRA adapter tests: site discovery, merge semantics, identity at init,
+frozen-base training, save/load accounting, runtime apply.
+
+Beyond-reference feature (the reference fine-tunes the full ControlNet
+branch, cldm/cldm.py:416-423); semantics follow arXiv:2106.09685."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stablediffusioneo_tpu.config import tiny_pipeline
+from stablediffusioneo_tpu.models import init_controlnet, init_unet
+from stablediffusioneo_tpu.training.lora import (
+    count_params,
+    init_lora,
+    load_lora,
+    lora_sites,
+    lora_train_step,
+    merge_lora,
+    n_sites,
+    save_lora,
+)
+
+CFG = tiny_pipeline()
+
+
+@pytest.fixture(scope="module")
+def base():
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    return {
+        "unet": init_unet(ks[0], CFG.unet),
+        "controlnet": init_controlnet(ks[1], CFG.controlnet),
+    }
+
+
+class TestLoraTree:
+    def test_sites_are_attention_and_mlp_linears(self, base):
+        paths = lora_sites(base["unet"])
+        assert paths, "no sites found"
+        leaves = {p[-1] for p in paths}
+        assert leaves <= {"wq", "wk", "wv", "wo", "ff1", "ff2"}
+        # every transformer block contributes both attentions + the MLP
+        assert any(p[-1] == "ff1" for p in paths)
+        assert any("attn2" in p for p in paths)
+
+    def test_rank_and_footprint(self, base):
+        lora = init_lora(jax.random.PRNGKey(1), base["unet"], rank=4)
+        for leaf in jax.tree.leaves(lora):
+            assert 4 in leaf.shape
+        # the whole point: adapters are orders of magnitude smaller
+        assert count_params(lora) < count_params(base["unet"]) / 10
+        assert n_sites(lora) == len(lora_sites(base["unet"]))
+
+    def test_merge_identity_at_init(self, base):
+        lora = init_lora(jax.random.PRNGKey(1), base["unet"], rank=4)
+        merged = merge_lora(base["unet"], lora, scale=1.0)
+        # b = 0 at init => w' == w exactly
+        jax.tree.map(np.testing.assert_array_equal, base["unet"], merged)
+
+    def test_merge_math_single_site(self, base):
+        lora = init_lora(jax.random.PRNGKey(1), base["unet"], rank=4)
+        path = lora_sites(base["unet"])[0]
+        site = lora
+        wsite = base["unet"]
+        for k in path:
+            site, wsite = site[k], wsite[k]
+        site["b"] = jax.random.normal(
+            jax.random.PRNGKey(2), site["b"].shape, site["b"].dtype)
+        merged = merge_lora(base["unet"], lora, scale=0.5)
+        msite = merged
+        for k in path:
+            msite = msite[k]
+        want = wsite["w"] + 0.5 * (site["a"] @ site["b"])
+        np.testing.assert_allclose(np.asarray(msite["w"]),
+                                   np.asarray(want), rtol=1e-6)
+        # untargeted leaves are untouched (same buffer)
+        flat_b = dict(jax.tree_util.tree_flatten_with_path(base["unet"])[0])
+        flat_m = dict(jax.tree_util.tree_flatten_with_path(merged)[0])
+        conv_paths = [p for p, v in flat_b.items() if v.ndim == 4]
+        assert conv_paths
+        for p in conv_paths:
+            assert flat_m[p] is flat_b[p]
+
+
+class TestSaveLoad:
+    def test_roundtrip(self, base, tmp_path):
+        lora = init_lora(jax.random.PRNGKey(1), base["controlnet"], rank=8)
+        p = str(tmp_path / "adapter.npz")
+        save_lora(p, lora, alpha=16.0, on="controlnet")
+        tree, meta = load_lora(p)
+        assert meta["alpha"] == 16.0 and meta["rank"] == 8
+        assert meta["on"] == "controlnet"
+        jax.tree.map(np.testing.assert_array_equal, lora, tree)
+
+    def test_rejects_foreign_and_incomplete_files(self, base, tmp_path):
+        p = str(tmp_path / "foreign.npz")
+        np.savez(p, some_weight=np.zeros(3))
+        with pytest.raises(ValueError, match="__meta__"):
+            load_lora(p)
+        # an 'a' without its 'b' fails accounting
+        lora = init_lora(jax.random.PRNGKey(1), base["controlnet"], rank=2)
+        path = lora_sites(base["controlnet"])[0]
+        node = lora
+        for k in path:
+            node = node[k]
+        del node["b"]
+        p2 = str(tmp_path / "incomplete.npz")
+        save_lora(p2, lora, alpha=2.0)
+        with pytest.raises(ValueError, match="incomplete"):
+            load_lora(p2)
+
+
+@pytest.mark.slow
+class TestLoraTraining:
+    def test_train_step_moves_only_adapters(self, base):
+        import functools
+
+        from stablediffusioneo_tpu.training.trainer import (
+            create_train_state, make_schedule_buffers,
+        )
+
+        lora = init_lora(jax.random.PRNGKey(1), base["controlnet"], rank=4)
+        state, tx = create_train_state(lora, learning_rate=1e-3)
+        sqrt_a, sqrt_1ma = make_schedule_buffers(CFG)
+        rng = np.random.default_rng(0)
+        batch = {
+            "x0": rng.standard_normal((2, 8, 8, 4)).astype(np.float32),
+            "hint": rng.random((2, 64, 64, 3)).astype(np.float32),
+            "ctx": rng.standard_normal(
+                (2, 5, CFG.unet.context_dim)).astype(np.float32),
+        }
+        step = jax.jit(functools.partial(
+            lora_train_step, tx=tx, cfg=CFG, on="controlnet", scale=1.0))
+        losses = []
+        for i in range(8):
+            state, loss = step(state, frozen=base,
+                               sqrt_abar=sqrt_a, sqrt_one_minus_abar=sqrt_1ma,
+                               batch=batch, key=jax.random.PRNGKey(3))
+            losses.append(float(loss))
+        # same (t, noise) draw each step (key + step folding is
+        # deterministic per step index, but the fixed batch still gives a
+        # decreasing trend over a short horizon)
+        assert losses[-1] < losses[0], losses
+        # adapters moved; the frozen trees were never touched by reference
+        moved = jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), lora, state.params))
+        assert max(moved) > 0
+
+    def test_runtime_apply_lora_changes_outputs(self, base):
+        from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
+        from stablediffusioneo_tpu.models import init_clip_text, init_vae
+
+        ks = jax.random.split(jax.random.PRNGKey(9), 3)
+        params = dict(base)
+        params["vae"] = init_vae(ks[0], CFG.vae)
+        params["clip"] = init_clip_text(ks[1], CFG.clip)
+        # The SD UNet zero-initializes every block's output projection
+        # (the reference's zero_module: out head, ResBlock out conv,
+        # SpatialTransformer proj_out), so at random init eps_hat is
+        # INDEPENDENT of the attention weights LoRA adapts. Re-randomize
+        # the whole tree so the output actually depends on them.
+        cnt = iter(jax.random.split(ks[2], 4096))
+        params["unet"] = jax.tree.map(
+            lambda x: jax.random.normal(next(cnt), x.shape, x.dtype) * 0.05,
+            base["unet"])
+        rt = CNSDRuntime(params, CFG, persistent_cache=False)
+        ids = np.zeros((1, CFG.clip.max_length), np.int32)
+        ctx = rt.encode_prompt(ids)
+        x_T = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4), rt.dtype)
+        hint = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+        key = jax.random.PRNGKey(2)
+        img0 = np.asarray(rt.sample_decode(2, x_T, hint, ctx, ctx, key))
+
+        lora = init_lora(jax.random.PRNGKey(4), base["unet"], rank=4,
+                         dtype=rt.dtype)
+        # non-trivial b so the merge actually changes the weights
+        lora = jax.tree_util.tree_map_with_path(
+            lambda p, x: x if p[-1].key != "b" else
+            jax.random.normal(jax.random.PRNGKey(5), x.shape, x.dtype) * 0.1,
+            lora)
+        n = rt.apply_lora(lora, scale=1.0, on="unet")
+        assert n == n_sites(lora)
+        img1 = np.asarray(rt.sample_decode(2, x_T, hint, ctx, ctx, key))
+        assert img0.shape == img1.shape
+        assert np.any(img0 != img1), "merged adapters had no effect"
+
+    def test_runtime_apply_lora_rejects_quantized(self, base):
+        from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
+        from stablediffusioneo_tpu.models import init_clip_text, init_vae
+
+        ks = jax.random.split(jax.random.PRNGKey(9), 2)
+        params = dict(base)
+        params["vae"] = init_vae(ks[0], CFG.vae)
+        params["clip"] = init_clip_text(ks[1], CFG.clip)
+        rt = CNSDRuntime(params, CFG, persistent_cache=False,
+                         quantize_linears=True)
+        lora = init_lora(jax.random.PRNGKey(4), base["unet"], rank=2)
+        with pytest.raises(ValueError, match="quantized"):
+            rt.apply_lora(lora)
