@@ -7,6 +7,8 @@ greenfield and idiomatic: a `jax.sharding.Mesh` with
   - `dp` (data/batch) sharding for independent images — replaces the
     batch-2 engines and multi-process fan-out,
   - `tp` (tensor) sharding of attention heads / MLP channels over ICI,
+  - FSDP (ZeRO-3) sharding of params/grads/optimizer state over `dp`
+    for training (fsdp_shard_params),
 with XLA GSPMD inserting the collectives.
 """
 
@@ -16,6 +18,8 @@ from stablediffusioneo_tpu.parallel.mesh import (
     replicate,
     unet_param_sharding_rules,
     shard_params,
+    fsdp_param_sharding_rules,
+    fsdp_shard_params,
 )
 
 __all__ = [
@@ -24,4 +28,6 @@ __all__ = [
     "replicate",
     "unet_param_sharding_rules",
     "shard_params",
+    "fsdp_param_sharding_rules",
+    "fsdp_shard_params",
 ]

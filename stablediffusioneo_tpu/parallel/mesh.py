@@ -87,6 +87,22 @@ def _spec_for_path(path: Tuple[str, ...], ndim: int) -> P:
     return P()
 
 
+def _tp_spec(path, leaf, tp: int) -> P:
+    """TP spec for one leaf, including the GEGLU ff1 guard: ff1 concatenates
+    [value; gate] along its output dim, so shard it only when each half
+    divides the tp extent cleanly — no device shard may straddle the
+    value/gate boundary (a straddling shard is still correct under GSPMD
+    but forces a reshard at the split). GEGLU lives only in UNet blocks;
+    CLIP fc1 is plain GELU."""
+    spec = _spec_for_path(path, getattr(leaf, "ndim", 0))
+    names = [getattr(p, "key", None) for p in path]
+    if "ff1" in names:
+        out_dim = leaf.shape[-1] if getattr(leaf, "ndim", 0) else 0
+        if out_dim % (2 * tp) != 0:
+            spec = P()
+    return spec
+
+
 def unet_param_sharding_rules(mesh: Mesh, params) -> Dict:
     """NamedSharding tree for a UNet/CLIP-style param tree (TP on attention
     and MLP, everything else replicated)."""
@@ -94,17 +110,7 @@ def unet_param_sharding_rules(mesh: Mesh, params) -> Dict:
     tp = mesh.shape.get("tp", 1)
 
     def to_sharding(path, leaf):
-        spec = _spec_for_path(path, getattr(leaf, "ndim", 0))
-        # GEGLU ff1 concatenates [value; gate] along its output dim; shard it
-        # only when each half divides the tp extent cleanly, so no device
-        # shard straddles the value/gate boundary (a straddling shard is
-        # still correct under GSPMD but forces a reshard at the split).
-        names = [getattr(p, "key", None) for p in path]
-        if "ff1" in names:  # GEGLU lives only in UNet blocks; CLIP fc1 is plain GELU
-            out_dim = leaf.shape[-1] if getattr(leaf, "ndim", 0) else 0
-            if out_dim % (2 * tp) != 0:
-                spec = P()
-        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, _tp_spec(path, leaf, tp))
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
@@ -113,3 +119,45 @@ def shard_params(params, mesh: Mesh):
     """device_put the tree with its TP sharding rules applied."""
     shardings = unet_param_sharding_rules(mesh, params)
     return jax.device_put(params, shardings)
+
+
+# ----------------------------------------------------------------- FSDP
+
+
+def fsdp_param_sharding_rules(
+    mesh: Mesh, params, min_size: int = 1 << 14
+) -> Dict:
+    """ZeRO-3-style sharding: every large param leaf is sharded over the
+    "dp" axis (on TOP of its TP spec), so params + grads + AdamW moments
+    each hold 1/dp of the tree per device. GSPMD inserts the all-gather at
+    use and the reduce-scatter on the grads — the How-to-Scale FSDP recipe,
+    no manual collectives.
+
+    Per leaf: pick the largest dim that (a) isn't already taken by tp and
+    (b) divides the dp extent; leaves smaller than `min_size` elements stay
+    replicated (gather latency beats the memory win for norm scales and
+    biases)."""
+    dp = mesh.shape.get("dp", 1)
+
+    tp = mesh.shape.get("tp", 1)
+
+    def to_sharding(path, leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        spec = list(_tp_spec(path, leaf, tp)) if ndim else []
+        spec += [None] * (ndim - len(spec))
+        shape = getattr(leaf, "shape", ())
+        if dp > 1 and int(np.prod(shape or (0,))) >= min_size:
+            # largest free dim that divides dp
+            cands = [i for i in range(ndim)
+                     if spec[i] is None and shape[i] % dp == 0]
+            if cands:
+                i = max(cands, key=lambda i: shape[i])
+                spec[i] = "dp"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def fsdp_shard_params(params, mesh: Mesh):
+    """device_put the tree with FSDP(+TP) shardings applied."""
+    return jax.device_put(params, fsdp_param_sharding_rules(mesh, params))

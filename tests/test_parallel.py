@@ -178,3 +178,91 @@ class TestMeshRuntime:
         # params actually sharded over tp
         blk = next(b for b in rt.params["unet"]["input_blocks"] if "attn" in b)
         assert "tp" in str(blk["attn"]["blocks"][0]["attn1"]["wq"]["w"].sharding.spec)
+
+
+class TestFSDP:
+    def test_fsdp_train_step_matches_replicated(self, rng):
+        """ZeRO-3 sharded training == replicated training, with params,
+        grads, and AdamW moments each holding ~1/dp per device."""
+        import functools
+
+        from stablediffusioneo_tpu.parallel.mesh import fsdp_shard_params
+        from stablediffusioneo_tpu.training.trainer import (
+            create_train_state, make_schedule_buffers, train_step,
+        )
+
+        ks = jax.random.split(jax.random.PRNGKey(3), 2)
+        up = init_unet(ks[0], CFG.unet)
+        cp = init_controlnet(ks[1], CFG.controlnet)
+        sqrt_a, sqrt_1ma = make_schedule_buffers(CFG)
+        b = 8
+        batch_h = {
+            "x0": rng.standard_normal((b, 8, 8, 4)).astype(np.float32),
+            "hint": rng.random((b, 64, 64, 3)).astype(np.float32),
+            "ctx": rng.standard_normal(
+                (b, 5, CFG.unet.context_dim)).astype(np.float32),
+        }
+        key = jax.random.PRNGKey(7)
+
+        # reference: replicated single-device step
+        state_r, tx = create_train_state(cp, learning_rate=1e-3)
+        step = functools.partial(train_step, tx=tx, cfg=CFG)
+        new_r, loss_r = jax.jit(step)(
+            state_r, unet_params=up, sqrt_abar=sqrt_a,
+            sqrt_one_minus_abar=sqrt_1ma,
+            batch={k: jnp.asarray(v) for k, v in batch_h.items()}, key=key)
+
+        # FSDP over an 8-way dp mesh: params/moments sharded, batch dp-split
+        mesh = make_mesh(dp=8, tp=1)
+        up_f = fsdp_shard_params(up, mesh)
+        cp_f = fsdp_shard_params(cp, mesh)
+        state_f, tx_f = create_train_state(cp_f, learning_rate=1e-3)
+        batch_f = {k: jax.device_put(v, data_sharding(mesh, v.ndim))
+                   for k, v in batch_h.items()}
+        step_f = functools.partial(train_step, tx=tx_f, cfg=CFG)
+        with mesh:
+            new_f, loss_f = jax.jit(step_f)(
+                state_f, unet_params=up_f, sqrt_abar=sqrt_a,
+                sqrt_one_minus_abar=sqrt_1ma, batch=batch_f, key=key)
+
+        np.testing.assert_allclose(float(loss_r), float(loss_f),
+                                   rtol=1e-5, atol=1e-6)
+        for a, c in zip(jax.tree.leaves(new_r.params),
+                        jax.tree.leaves(new_f.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-4, atol=1e-6)
+
+        # memory accounting: every large leaf holds 1/8 per device, and the
+        # AdamW moments inherited the same shardings via zeros_like
+        def shard_ratio(tree):
+            big = [x for x in jax.tree.leaves(tree) if x.size >= (1 << 14)]
+            assert big, "tiny config produced no large leaves"
+            return (sum(x.addressable_shards[0].data.size for x in big)
+                    / sum(x.size for x in big))
+
+        assert shard_ratio(state_f.params) <= 1 / 4, "params not sharded"
+        moments = [x for x in jax.tree.leaves(state_f.opt_state)
+                   if getattr(x, "size", 0) >= (1 << 14)]
+        assert moments
+        assert (sum(x.addressable_shards[0].data.size for x in moments)
+                / sum(x.size for x in moments)) <= 1 / 4, \
+            "optimizer moments not sharded"
+
+    def test_fsdp_composes_with_tp(self):
+        """On a dp=4 x tp=2 mesh a TP-sharded attention weight picks up a
+        dp shard on its other dim; conv kernels shard their largest dim."""
+        from stablediffusioneo_tpu.parallel.mesh import (
+            fsdp_param_sharding_rules,
+        )
+
+        mesh = make_mesh(dp=4, tp=2)
+        up = init_unet(jax.random.PRNGKey(0), CFG.unet)
+        rules = fsdp_param_sharding_rules(mesh, up, min_size=0)
+        blk = next(i for i, b in enumerate(up["input_blocks"]) if "attn" in b)
+        wq_rule = rules["input_blocks"][blk]["attn"]["blocks"][0][
+            "attn1"]["wq"]["w"].spec
+        assert "tp" in wq_rule and "dp" in wq_rule, wq_rule
+        conv = up["input_blocks"][0]["conv"]["w"]
+        conv_rule = rules["input_blocks"][0]["conv"]["w"].spec
+        dims = [d for d, n in zip(conv.shape, conv_rule) if n == "dp"]
+        assert dims and dims[0] % 4 == 0, (conv.shape, conv_rule)
