@@ -128,9 +128,16 @@ class Canny2ImagePipeline:
         clip_skip: int = 0,
         long_prompt=False,  # False | True (3x77) | "auto" (minimal windows)
         granular_timings: bool = False,
+        inpaint_image: Optional[np.ndarray] = None,
+        inpaint_mask: Optional[np.ndarray] = None,
     ) -> List[np.ndarray]:
         """Returns [detected_map] + generated uint8 HWC images
         (canny2image gradio convention).
+
+        inpaint_image + inpaint_mask (uint8 HxW or HxWx1; nonzero = region
+        to REGENERATE) enable blended-latent inpainting (beyond the
+        reference): the kept region is VAE-encoded and re-imposed at every
+        DDIM step's noise level (pipeline/ddim.py). DDIM sampler only.
 
         clip_skip: k>1 takes the -(k)th CLIP hidden state through the final
         LayerNorm (cldm/hack.py:40-44). long_prompt=True routes the prompt
@@ -199,6 +206,31 @@ class Canny2ImagePipeline:
             sampler=sampler,
             encoder_cache_interval=encoder_cache_interval,
         )
+        if inpaint_image is not None:
+            if inpaint_mask is None:
+                raise ValueError("inpaint_image requires inpaint_mask")
+            if granular_timings:
+                raise ValueError("inpainting is unsupported on the "
+                                 "granular-timings diagnostic path")
+            import cv2
+
+            src = cv2.resize(HWC3(inpaint_image), (W, H),
+                             interpolation=cv2.INTER_AREA)
+            key, ke = jax.random.split(key)
+            src_f = (src.astype(np.float32) / 127.5 - 1.0)[None]
+            lat = self.runtime.encode_image(
+                jnp.asarray(np.repeat(src_f, num_samples, axis=0)), ke)
+            m = np.asarray(inpaint_mask)
+            if m.ndim == 3:
+                m = m[..., 0]
+            m = m.astype(np.float32)
+            if m.max() > 1.0:
+                m = m / 255.0
+            m = cv2.resize(m, (W // f, H // f),
+                           interpolation=cv2.INTER_AREA)[..., None]
+            run_kwargs["inpaint_latent"] = lat
+            run_kwargs["inpaint_mask"] = jnp.asarray(
+                np.repeat(m[None], num_samples, axis=0))
         from stablediffusioneo_tpu.runtime.profiling import _hard_sync
 
         if granular_timings:

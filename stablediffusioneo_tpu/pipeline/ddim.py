@@ -220,10 +220,20 @@ def ddim_sample_scan(
     temperature: float = 1.0,
     parameterization: str = "eps",
     encoder_cache_interval: int = 1,
+    inpaint_latent: Optional[jax.Array] = None,
+    inpaint_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full DDIM sampling loop as one lax.scan. Returns x_0 latents.
 
     schedule: dict from DiffusionSchedule.ddim() (already in sampling order).
+
+    inpaint_latent/inpaint_mask enable blended-latent inpainting (beyond
+    the reference; Avrahami et al., arXiv:2206.02779): after every DDIM
+    update the kept region (mask == 0) is replaced by the original latent
+    forward-diffused to the step's noise level, and the final x_0 blends
+    the clean original back in. mask is (B, h, w, 1) in [0, 1] with 1 =
+    generate; with mask == 1 everywhere the output is bit-identical to
+    plain sampling. Not supported together with encoder_cache_interval.
 
     encoder_cache_interval > 1 enables encoder-feature caching ("Faster
     Diffusion", Li et al. 2023, arXiv:2312.09608): the UNet encoder +
@@ -255,6 +265,11 @@ def ddim_sample_scan(
         jnp.arange(n_steps, dtype=jnp.int32),
     )
 
+    if inpaint_latent is not None and encoder_cache_interval > 1:
+        raise ValueError("inpainting + encoder caching is unsupported "
+                         "(the cached-step features would mix blended and "
+                         "unblended latents)")
+
     if encoder_cache_interval > 1 and not guess_mode:
         return _ddim_scan_enc_cached(
             unet_params, controlnet_params, cfg, consts, n_steps, x_T,
@@ -263,6 +278,11 @@ def ddim_sample_scan(
             hoisted_kv,
         )
 
+    # per-step forward-diffusion noise for the kept region derives from a
+    # key decorrelated from the eta noise (distinct fold tag)
+    ikey = jax.random.fold_in(key, 0x1B9A1) if inpaint_latent is not None \
+        else None
+
     def body(x, per_step):
         x_next, _ = ddim_scan_step(
             unet_params, controlnet_params, cfg, guess_mode, temperature,
@@ -270,9 +290,23 @@ def ddim_sample_scan(
             control_scales, key, parameterization=parameterization,
             hoisted_kv=hoisted_kv,
         )
+        if inpaint_latent is not None:
+            a_prev, step_idx = per_step[2], per_step[5]
+            noised = (jnp.sqrt(a_prev)
+                      * inpaint_latent.astype(jnp.float32)
+                      + jnp.sqrt(1.0 - a_prev)
+                      * _step_noise(ikey, step_idx, x_next.shape))
+            m = inpaint_mask.astype(jnp.float32)
+            x_next = (m * x_next.astype(jnp.float32)
+                      + (1.0 - m) * noised).astype(x_next.dtype)
         return x_next, ()
 
     x0, _ = jax.lax.scan(body, x_T, consts)
+    if inpaint_latent is not None:
+        m = inpaint_mask.astype(jnp.float32)
+        x0 = (m * x0.astype(jnp.float32)
+              + (1.0 - m) * inpaint_latent.astype(jnp.float32)
+              ).astype(x0.dtype)
     return x0
 
 

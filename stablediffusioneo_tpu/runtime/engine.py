@@ -225,11 +225,15 @@ class CNSDRuntime:
     # ------------------------------------------------------------- engines
 
     def _sampler_fn(self, num_steps: int, guess_mode: bool, sampler: str,
-                    encoder_cache_interval: int = 1):
+                    encoder_cache_interval: int = 1, inpaint: bool = False):
         cfg = self.cfg
 
         if sampler == "dpmpp":
             from stablediffusioneo_tpu.pipeline.dpm_solver import dpmpp_sample_scan
+
+            if inpaint:
+                raise ValueError("inpainting is a DDIM-path feature "
+                                 "(sampler='ddim')")
 
             def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale, cscales, key):
                 return dpmpp_sample_scan(
@@ -237,6 +241,22 @@ class CNSDRuntime:
                     x_T, hint, ctx_c, ctx_u, scale, cscales,
                     guess_mode=guess_mode,
                     parameterization=cfg.diffusion.parameterization,
+                )
+
+            return run
+
+        if inpaint:
+            # trailing (inpaint_latent, inpaint_mask) args — the hint-variant
+            # wrappers pass them through their *rest tail untouched
+            def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale,
+                    cscales, key, ilat, imask):
+                return ddim_sample_scan(
+                    unet_p, ctrl_p, cfg.controlnet, sched,
+                    x_T, hint, ctx_c, ctx_u, scale, cscales, key,
+                    guess_mode=guess_mode,
+                    parameterization=cfg.diffusion.parameterization,
+                    encoder_cache_interval=encoder_cache_interval,
+                    inpaint_latent=ilat, inpaint_mask=imask,
                 )
 
             return run
@@ -291,6 +311,7 @@ class CNSDRuntime:
         encoder_cache_interval: int = 1, ctx_len: Optional[int] = None,
         hint_u8=False,  # False | True | "packed"
         gen_xT=False,  # False | True | "seeds"
+        inpaint: bool = False,
     ) -> Engine:
         """Sampler + VAE decode + uint8 denorm as ONE compiled program.
 
@@ -304,11 +325,11 @@ class CNSDRuntime:
         (see _with_packed_hint) — the canny production path."""
         ctx_len = ctx_len or self.cfg.clip.max_length
         key_t = ("sample_decode", sampler, num_steps, batch, h, w, guess_mode,
-                 encoder_cache_interval, ctx_len, hint_u8, gen_xT)
+                 encoder_cache_interval, ctx_len, hint_u8, gen_xT, inpaint)
         if key_t in self._engines:
             return self._engines[key_t]
         base = self._sampler_fn(num_steps, guess_mode, sampler,
-                                encoder_cache_interval)
+                                encoder_cache_interval, inpaint=inpaint)
         if hint_u8 == "packed":
             sfn = self._with_packed_hint(base)
         elif hint_u8:
@@ -321,7 +342,7 @@ class CNSDRuntime:
         dtype = self.dtype
 
         def run(unet_p, ctrl_p, vae_p, sched, x_T, hint, ctx_c, ctx_u,
-                scale, cscales, key):
+                scale, cscales, key, *inpaint_args):
             if gen_xT == "seeds":
                 # x_T carries PER-REQUEST int32 seeds (B,): derive each
                 # request's root key, x_T rows, and in-loop noise keys from
@@ -344,7 +365,7 @@ class CNSDRuntime:
             else:
                 x_T_v = x_T
             z = sfn(unet_p, ctrl_p, sched, x_T_v, hint, ctx_c, ctx_u,
-                    scale, cscales, key)
+                    scale, cscales, key, *inpaint_args)
             img = vae_decode(vae_p, cfg.vae, z, scaled=True)
             img = jnp.clip(img.astype(jnp.float32) * 127.5 + 127.5, 0, 255)
             return img.astype(jnp.uint8)
@@ -353,7 +374,8 @@ class CNSDRuntime:
                      + ("_guess" if guess_mode else "")
                      + ("_bithint" if hint_u8 == "packed" else "")
                      + (f"_genxT{'-seeds' if gen_xT == 'seeds' else ''}"
-                        if gen_xT else ""),
+                        if gen_xT else "")
+                     + ("_inpaint" if inpaint else ""),
                      donate_argnums=() if gen_xT else (4,))  # donate x_T
         sched = self._make_schedule(num_steps, sampler)
         sched_abs = {k: self._abs_rep(v.shape, v.dtype)
@@ -375,12 +397,16 @@ class CNSDRuntime:
         scale = self._abs_data((batch,), jnp.float32)
         cscales = self._abs_data((batch, self.n_taps), jnp.float32)
         key = self._abs_rep((2,), jnp.uint32)
+        extra = ()
+        if inpaint:
+            extra = (self._abs_data((batch, h // f, w // f, 4), self.dtype),
+                     self._abs_data((batch, h // f, w // f, 1), self.dtype))
         params_abs = self._abs_tree(
             (self.params["unet"], self.params["controlnet"],
              self.params["vae"]))
         if self._aot_ready(batch):
             eng.load(params_abs[0], params_abs[1], params_abs[2], sched_abs,
-                     lat, hint, ctx, ctx, scale, cscales, key)
+                     lat, hint, ctx, ctx, scale, cscales, key, *extra)
         self._engines[key_t] = eng
         return eng
 
@@ -399,8 +425,14 @@ class CNSDRuntime:
         sampler: str = "ddim",
         encoder_cache_interval: int = 1,
         seeds=None,
+        inpaint_latent: Optional[jax.Array] = None,
+        inpaint_mask: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Fused sample+decode: returns uint8 (B, H, W, 3) ON DEVICE.
+
+        inpaint_latent (B, h, w, 4) + inpaint_mask (B, h, w, 1; 1 =
+        generate) select the blended-latent inpainting engine variant
+        (pipeline/ddim.py) — DDIM only, no encoder caching.
 
         A uint8 `hint` selects the uint8-ingest engine variant (normalize
         in-graph — 4x less host->device transfer); a RANK-3 uint8 hint
@@ -427,10 +459,13 @@ class CNSDRuntime:
         if packed and hint.dtype != jnp.uint8:
             raise ValueError("rank-3 (packed) hint must be uint8")
         hint_u8 = "packed" if packed else hint.dtype == jnp.uint8
+        inpaint = inpaint_latent is not None
+        if inpaint and inpaint_mask is None:
+            raise ValueError("inpaint_latent requires inpaint_mask")
         eng = self.sample_decode_engine(
             num_steps, b, h, w, guess_mode, sampler,
             encoder_cache_interval, ctx_len=ctx_cond.shape[1],
-            hint_u8=hint_u8, gen_xT=gen_xT)
+            hint_u8=hint_u8, gen_xT=gen_xT, inpaint=inpaint)
         sched = self._sched_device(num_steps, sampler, eta)
         scale_v, cscales = self._per_sample_scales(
             b, guidance_scale, strength, guess_mode)
@@ -444,6 +479,10 @@ class CNSDRuntime:
             if isinstance(x_T, jax.Array) and x_T.dtype == self.dtype:
                 x_T = jnp.copy(x_T)  # donated below; see sample()
             x_T_arg = self._put_batch(x_T.astype(self.dtype))
+        extra = ()
+        if inpaint:
+            extra = (self._put_batch(inpaint_latent.astype(self.dtype)),
+                     self._put_batch(inpaint_mask.astype(self.dtype)))
         return eng(
             self.params["unet"], self.params["controlnet"],
             self.params["vae"], sched,
@@ -453,6 +492,7 @@ class CNSDRuntime:
             self._put_batch(ctx_uncond.astype(self.dtype)),
             self._put_batch(scale_v),
             self._put_batch(cscales), self._put_rep(key),
+            *extra,
         )
 
     def _sched_device(self, num_steps: int, sampler: str, eta: float):
