@@ -279,9 +279,13 @@ def ddim_sample_scan(
         )
 
     # per-step forward-diffusion noise for the kept region derives from a
-    # key decorrelated from the eta noise (distinct fold tag)
-    ikey = jax.random.fold_in(key, 0x1B9A1) if inpaint_latent is not None \
-        else None
+    # key decorrelated from the eta noise (distinct fold tag); key may be
+    # one PRNGKey (2,) or (B, 2) per-sample keys (the seeds engine variant)
+    if inpaint_latent is not None:
+        ikey = (jax.vmap(lambda k: jax.random.fold_in(k, 0x1B9A1))(key)
+                if key.ndim == 2 else jax.random.fold_in(key, 0x1B9A1))
+    else:
+        ikey = None
 
     def body(x, per_step):
         x_next, _ = ddim_scan_step(

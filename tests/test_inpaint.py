@@ -135,6 +135,39 @@ class TestInpaintRuntime:
         np.testing.assert_allclose(out.astype(np.int32)[0],
                                    ref.astype(np.int32)[0], atol=1)
 
+    def test_inpaint_with_seeds_variant_reproducible(self, rng):
+        """Per-request seeds compose with inpainting: a request's output is
+        identical at batch 1 and inside a batch (the serving contract)."""
+        from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
+        from stablediffusioneo_tpu.models import init_clip_text, init_vae
+
+        ks = jax.random.split(jax.random.PRNGKey(7), 4)
+        params = {
+            "unet": init_unet(ks[0], CFG.unet),
+            "controlnet": init_controlnet(ks[1], CFG.controlnet),
+            "vae": init_vae(ks[2], CFG.vae),
+            "clip": init_clip_text(ks[3], CFG.clip),
+        }
+        rt = CNSDRuntime(params, CFG, persistent_cache=False)
+        ids = np.zeros((1, CFG.clip.max_length), np.int32)
+        ctx1 = rt.encode_prompt(ids)
+        ctx2 = jnp.repeat(ctx1, 2, axis=0)
+        hint1 = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+        hint2 = jnp.zeros((2, 64, 64, 3), jnp.uint8)
+        lat1 = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+        lat2 = jnp.repeat(lat1, 2, axis=0)
+        m = np.zeros((1, 8, 8, 1), np.float32)
+        m[:, :, 4:] = 1.0
+        m1, m2 = jnp.asarray(m), jnp.asarray(np.repeat(m, 2, axis=0))
+        kw = dict(eta=0.5, key=None)
+        one = np.asarray(rt.sample_decode(
+            2, None, hint1, ctx1, ctx1, seeds=[11],
+            inpaint_latent=lat1, inpaint_mask=m1, **kw))
+        two = np.asarray(rt.sample_decode(
+            2, None, hint2, ctx2, ctx2, seeds=[7, 11],
+            inpaint_latent=lat2, inpaint_mask=m2, **kw))
+        np.testing.assert_array_equal(one[0], two[1])
+
     def test_rejects_dpmpp(self, rng):
         from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
         from stablediffusioneo_tpu.models import init_clip_text, init_vae
