@@ -77,7 +77,8 @@ def main():
     """Default: the flagship 512x512 20-step metric. BENCH_MODE selects the
     other BASELINE.md tracked configs:
       batch4     — batch-4 throughput at 512x512 (images/sec/chip)
-      multires   — 384/512/640 bucket sweep (the onnx2trt_dynamic analog)
+      multires   — batch-4 384/512/768 bucket sweep (tracked config 3,
+        the onnx2trt_dynamic analog; BENCH_MULTIRES_BUCKETS overrides)
       serving    — DiffusionServer cross-request batching throughput
         (BENCH_CONCURRENCY requests, mixed prompts/scales/seeds)
       annotators — tracked config 4: canny/HED/MiDaS/OpenPose conditioning,
@@ -88,16 +89,29 @@ def main():
     mode = os.environ.get("BENCH_MODE", "default")
     resolution = int(os.environ.get("BENCH_RESOLUTION", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
-    batch = int(os.environ.get("BENCH_BATCH", "4" if mode == "batch4" else "1"))
+    iters = int(os.environ.get(
+        "BENCH_ITERS", "3" if mode == "multires" else "5"))
+    # BASELINE.json tracked config 3 is literally "batch 4 with 384/512/768
+    # shape buckets" — multires therefore defaults to batch 4
+    batch = int(os.environ.get(
+        "BENCH_BATCH", "4" if mode in ("batch4", "multires") else "1"))
+    resolutions = (
+        tuple(int(r) for r in os.environ.get(
+            "BENCH_MULTIRES_BUCKETS", "384,512,768").split(","))
+        if mode == "multires" else (resolution,)
+    )
     sampler = os.environ.get("BENCH_SAMPLER", "ddim")
     enc_cache = int(os.environ.get("BENCH_ENC_CACHE", "1"))
-    resolutions = (
-        (384, 512, 640) if mode == "multires" else (resolution,)
-    )
 
     import numpy as np
     import jax
+
+    # Honor an explicit JAX_PLATFORMS=cpu (CPU smoke runs of the harness):
+    # the axon TPU plugin's sitecustomize force-sets jax_platforms via
+    # jax.config, overriding the env var — override it back.
+    if os.environ.get("JAX_PLATFORMS") == "cpu" \
+            and jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     log(f"devices: {jax.devices()}")
 
@@ -395,13 +409,19 @@ def main():
         }
     elif mode == "multires":
         vals = {f"{r}px_p50_s": round(p, 4) for r, p in results}
+        vals.update({f"{r}px_imgs_per_sec": round(batch / p, 3)
+                     for r, p in results})
         log(f"multires: {vals}")
-        res, p50 = results[1]  # 512 is the headline
+        mid = min(range(len(results)),
+                  key=lambda i: abs(results[i][0] - 512))
+        res, p50 = results[mid]  # 512 bucket is the headline
+        ips = batch / p50
         result = {
-            "metric": f"canny2image_multires_{steps}step_bf16_512_e2e_p50",
-            "value": round(p50, 4),
-            "unit": "s",
-            "vs_baseline": round(2.0 / p50, 3),
+            "metric": (f"canny2image_multires_b{batch}_{steps}step_bf16_"
+                       f"{res}_imgs_per_sec"),
+            "value": round(ips, 4),
+            "unit": "img/s",
+            "vs_baseline": round(ips / 0.5, 3),  # target: 0.5 img/s/chip
             "detail": vals,
         }
     else:
