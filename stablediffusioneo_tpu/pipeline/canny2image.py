@@ -216,10 +216,13 @@ class Canny2ImagePipeline:
 
             src = cv2.resize(HWC3(inpaint_image), (W, H),
                              interpolation=cv2.INTER_AREA)
-            key, ke = jax.random.split(key)
             src_f = (src.astype(np.float32) / 127.5 - 1.0)[None]
+            # posterior MODE (deterministic): the kept region is a pure
+            # function of the source image, and the serving path (batched
+            # deterministic encode) reproduces process() bit-for-bit
             lat = self.runtime.encode_image(
-                jnp.asarray(np.repeat(src_f, num_samples, axis=0)), ke)
+                jnp.asarray(np.repeat(src_f, num_samples, axis=0)),
+                deterministic=True)
             m = np.asarray(inpaint_mask)
             if m.ndim == 3:
                 m = m[..., 0]

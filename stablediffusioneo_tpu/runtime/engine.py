@@ -620,20 +620,25 @@ class CNSDRuntime:
         self._engines[key_t] = eng
         return eng
 
-    def encoder_engine(self, batch: int, h: int, w: int) -> Engine:
+    def encoder_engine(self, batch: int, h: int, w: int,
+                       deterministic: bool = False) -> Engine:
         """VAE encoder (img2img parity; the reference exports but never wires
-        the decoder engine — we wire BOTH, SURVEY §3.3 note)."""
-        key_t = ("encoder", batch, h, w)
+        the decoder engine — we wire BOTH, SURVEY §3.3 note).
+
+        deterministic=True takes the posterior mode instead of a sample —
+        batch-composition-independent, the serving inpaint path's choice."""
+        key_t = ("encoder", batch, h, w, deterministic)
         if key_t in self._engines:
             return self._engines[key_t]
         cfg = self.cfg
 
         def run(vae_p, img, key):
             dist = vae_encode(vae_p, cfg.vae, img)
-            z = dist.sample(key) * jnp.asarray(cfg.vae.scale_factor, img.dtype)
-            return z
+            z = dist.mode() if deterministic else dist.sample(key)
+            return z * jnp.asarray(cfg.vae.scale_factor, img.dtype)
 
-        eng = Engine(run, name=f"encoder_b{batch}_{h}x{w}")
+        eng = Engine(run, name=f"encoder_b{batch}_{h}x{w}"
+                     + ("_det" if deterministic else ""))
         img = self._abs_data((batch, h, w, 3), self.dtype)
         key = self._abs_rep((2,), jnp.uint32)
         params_abs = self._abs_tree(self.params["vae"])
@@ -810,12 +815,20 @@ class CNSDRuntime:
     def decode_latent(self, z: jax.Array) -> np.ndarray:
         return np.asarray(self.decode_latent_device(z))
 
-    def encode_image(self, img: jax.Array, key: jax.Array) -> jax.Array:
+    def encode_image(self, img: jax.Array, key: Optional[jax.Array] = None,
+                     deterministic: bool = False) -> jax.Array:
+        """VAE-encode pixels in [-1, 1] to scaled latents. deterministic
+        takes the posterior mode (key ignored); otherwise key is required
+        for the posterior sample."""
+        if not deterministic and key is None:
+            raise ValueError("encode_image: key required unless "
+                             "deterministic=True")
         b, h, w, _ = img.shape
-        eng = self.encoder_engine(b, h, w)
+        eng = self.encoder_engine(b, h, w, deterministic=deterministic)
         return eng(self.params["vae"],
                    self._put_batch(img.astype(self.dtype)),
-                   self._put_rep(key))
+                   self._put_rep(key if key is not None
+                                 else jax.random.PRNGKey(0)))
 
     def report(self) -> str:
         """Engine census: one line per compiled engine with FLOPs/memory

@@ -90,6 +90,12 @@ class _Handler(BaseHTTPRequestHandler):
             payload = json.loads(self.rfile.read(length) or b"{}")
             image = _decode_image(payload["image_b64"])
             kwargs = {k: payload[k] for k in _REQ_FIELDS if k in payload}
+            # blended-latent inpainting over the wire: source + mask images
+            if "inpaint_image_b64" in payload:
+                kwargs["inpaint_image"] = _decode_image(
+                    payload["inpaint_image_b64"])
+                kwargs["inpaint_mask"] = _decode_image(
+                    payload["inpaint_mask_b64"])
             req = GenRequest(image=image, **kwargs)
         except (KeyError, ValueError, TypeError, OSError,
                 json.JSONDecodeError) as e:

@@ -91,6 +91,12 @@ class GenRequest:
     sampler: str = "ddim"
     encoder_cache_interval: int = 1
     clip_skip: int = 0
+    # blended-latent inpainting (pipeline/ddim.py): source image + mask
+    # (nonzero = region to REGENERATE). The source is VAE-encoded with the
+    # posterior MODE (deterministic), so a request's output stays
+    # bit-identical regardless of batch composition.
+    inpaint_image: Optional[np.ndarray] = None
+    inpaint_mask: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -104,6 +110,8 @@ class _Pending:
     ids: np.ndarray = None             # (2, 77) cond/uncond token ids
     hw: Tuple[int, int] = (0, 0)
     seed: int = 0                      # resolved per submission (-1 drawn)
+    inpaint_src: np.ndarray = None     # (H, W, 3) f32 in [-1, 1]
+    inpaint_mask: np.ndarray = None    # (h, w, 1) f32 latent-res, 1=generate
 
 
 @dataclass
@@ -267,6 +275,25 @@ class DiffusionServer:
         # request object (a reused GenRequest must draw fresh seeds)
         p.seed = (int(np.random.randint(0, 2 ** 31 - 1))
                   if req.seed == -1 else int(req.seed))
+        if req.inpaint_image is not None:
+            if req.inpaint_mask is None:
+                raise ValueError("inpaint_image requires inpaint_mask")
+            import cv2
+
+            H, W = p.hw
+            f = self.pipe.cfg.vae.downsample_factor
+            src = cv2.resize(HWC3(req.inpaint_image), (W, H),
+                             interpolation=cv2.INTER_AREA)
+            p.inpaint_src = src.astype(np.float32) / 127.5 - 1.0
+            m = np.asarray(req.inpaint_mask)
+            if m.ndim == 3:
+                m = m[..., 0]
+            m = m.astype(np.float32)
+            if m.max() > 1.0:
+                m = m / 255.0
+            p.inpaint_mask = cv2.resize(
+                m, (W // f, H // f),
+                interpolation=cv2.INTER_AREA)[..., None]
         with self._wake:
             self._groups.setdefault(self._key(p), []).append(p)
             self.stats.requests += 1
@@ -283,7 +310,8 @@ class DiffusionServer:
         r = p.req
         return (p.hw, r.ddim_steps, r.sampler, r.guess_mode, r.eta,
                 r.encoder_cache_interval, r.clip_skip, p.ids.shape[-1],
-                p.hint.ndim)  # 2 = bit-packed binary, 3 = uint8 pixels
+                p.hint.ndim,  # 2 = bit-packed binary, 3 = uint8 pixels
+                p.inpaint_src is not None)  # inpaint = own engine variant
 
     def _cut_batch(self) -> Optional[List[_Pending]]:
         """Called under the lock. Returns the batch to run now, or None.
@@ -402,12 +430,25 @@ class DiffusionServer:
         scales = np.asarray([p.req.scale for p in batch], np.float32)
         strengths = np.asarray([p.req.strength for p in batch], np.float32)
 
+        inpaint_kw = {}
+        if batch[0].inpaint_src is not None:
+            # one batched deterministic VAE encode (posterior mode — no
+            # batch-position-dependent noise, so outputs stay per-request
+            # reproducible)
+            src = jnp.asarray(np.stack([p.inpaint_src for p in batch]))
+            inpaint_kw = dict(
+                inpaint_latent=rt.encode_image(src, deterministic=True),
+                inpaint_mask=jnp.asarray(
+                    np.stack([p.inpaint_mask for p in batch])),
+            )
+
         images_dev = rt.sample_decode(
             r0.ddim_steps, None, jnp.asarray(hint), ctx_cond, ctx_uncond,
             None, seeds=seeds,
             guidance_scale=scales, strength=strengths, eta=r0.eta,
             guess_mode=r0.guess_mode, sampler=r0.sampler,
             encoder_cache_interval=r0.encoder_cache_interval,
+            **inpaint_kw,
         )
         self._done_q.put((batch, images_dev, t0))
 

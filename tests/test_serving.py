@@ -246,6 +246,40 @@ class TestDiffusionServer:
         assert outs[1][1].shape == (128, 128, 3)
         assert server.stats.batches - b0 == 2  # never co-batched
 
+    def test_inpaint_requests_batch_and_match_process(self, tiny_server):
+        """Inpaint requests form their own group (engine variant), batch
+        together, and reproduce the single-request process() path (both
+        sides use the deterministic posterior-mode encode)."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, pipe = tiny_server
+        src = _img(40)
+        mask = np.zeros((64, 64), np.uint8)
+        mask[:, 32:] = 255
+        b0 = server.stats.batches
+        reqs = [
+            GenRequest(image=_img(41), prompt="a bird", image_resolution=64,
+                       ddim_steps=2, seed=77, inpaint_image=src,
+                       inpaint_mask=mask),
+            GenRequest(image=_img(42), prompt="a dog", image_resolution=64,
+                       ddim_steps=2, seed=88, inpaint_image=src,
+                       inpaint_mask=mask),
+            GenRequest(image=_img(43), prompt="a cat", image_resolution=64,
+                       ddim_steps=2, seed=99),  # plain -> separate group
+        ]
+        futures = [server.submit(r) for r in reqs]
+        results = [f.result(timeout=900) for f in futures]
+        assert server.stats.batches - b0 >= 2  # inpaint never co-batched
+        for r, (det, im) in zip(reqs[:2], results[:2]):
+            outs = pipe.process(
+                r.image, r.prompt, a_prompt=r.a_prompt, n_prompt=r.n_prompt,
+                num_samples=1, image_resolution=64, ddim_steps=2,
+                seed=r.seed, inpaint_image=src, inpaint_mask=mask)
+            np.testing.assert_array_equal(det, outs[0])
+            frac_off = (np.abs(outs[1].astype(np.int16)
+                               - im.astype(np.int16)) > 1).mean()
+            assert frac_off < 0.02, f"inpaint serving diverged: {frac_off}"
+
     def test_drain_covers_inflight_batches(self, tiny_server):
         """drain() must wait for batches already cut and dispatched (in
         flight on the completion thread), not just queued ones."""
