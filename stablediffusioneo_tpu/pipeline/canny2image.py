@@ -212,25 +212,16 @@ class Canny2ImagePipeline:
             if granular_timings:
                 raise ValueError("inpainting is unsupported on the "
                                  "granular-timings diagnostic path")
-            import cv2
+            from stablediffusioneo_tpu.pipeline.inpaint import prepare_inpaint
 
-            src = cv2.resize(HWC3(inpaint_image), (W, H),
-                             interpolation=cv2.INTER_AREA)
-            src_f = (src.astype(np.float32) / 127.5 - 1.0)[None]
+            src_f, m = prepare_inpaint(inpaint_image, inpaint_mask, H, W, f)
             # posterior MODE (deterministic): the kept region is a pure
             # function of the source image, and the serving path (batched
-            # deterministic encode) reproduces process() bit-for-bit
+            # deterministic encode) matches process() to batch-fusion
+            # tolerance (1 uint8 LSB; asserted in tests/test_serving.py)
             lat = self.runtime.encode_image(
-                jnp.asarray(np.repeat(src_f, num_samples, axis=0)),
+                jnp.asarray(np.repeat(src_f[None], num_samples, axis=0)),
                 deterministic=True)
-            m = np.asarray(inpaint_mask)
-            if m.ndim == 3:
-                m = m[..., 0]
-            m = m.astype(np.float32)
-            if m.max() > 1.0:
-                m = m / 255.0
-            m = cv2.resize(m, (W // f, H // f),
-                           interpolation=cv2.INTER_AREA)[..., None]
             run_kwargs["inpaint_latent"] = lat
             run_kwargs["inpaint_mask"] = jnp.asarray(
                 np.repeat(m[None], num_samples, axis=0))

@@ -632,18 +632,26 @@ class CNSDRuntime:
             return self._engines[key_t]
         cfg = self.cfg
 
-        def run(vae_p, img, key):
-            dist = vae_encode(vae_p, cfg.vae, img)
-            z = dist.mode() if deterministic else dist.sample(key)
-            return z * jnp.asarray(cfg.vae.scale_factor, img.dtype)
+        if deterministic:
+            def run(vae_p, img):
+                dist = vae_encode(vae_p, cfg.vae, img)
+                return dist.mode() * jnp.asarray(cfg.vae.scale_factor,
+                                                 img.dtype)
+        else:
+            def run(vae_p, img, key):
+                dist = vae_encode(vae_p, cfg.vae, img)
+                return dist.sample(key) * jnp.asarray(cfg.vae.scale_factor,
+                                                      img.dtype)
 
         eng = Engine(run, name=f"encoder_b{batch}_{h}x{w}"
                      + ("_det" if deterministic else ""))
         img = self._abs_data((batch, h, w, 3), self.dtype)
-        key = self._abs_rep((2,), jnp.uint32)
         params_abs = self._abs_tree(self.params["vae"])
         if self._aot_ready(batch):
-            eng.load(params_abs, img, key)
+            if deterministic:
+                eng.load(params_abs, img)
+            else:
+                eng.load(params_abs, img, self._abs_rep((2,), jnp.uint32))
         self._engines[key_t] = eng
         return eng
 
@@ -825,10 +833,10 @@ class CNSDRuntime:
                              "deterministic=True")
         b, h, w, _ = img.shape
         eng = self.encoder_engine(b, h, w, deterministic=deterministic)
-        return eng(self.params["vae"],
-                   self._put_batch(img.astype(self.dtype)),
-                   self._put_rep(key if key is not None
-                                 else jax.random.PRNGKey(0)))
+        img_dev = self._put_batch(img.astype(self.dtype))
+        if deterministic:
+            return eng(self.params["vae"], img_dev)
+        return eng(self.params["vae"], img_dev, self._put_rep(key))
 
     def report(self) -> str:
         """Engine census: one line per compiled engine with FLOPs/memory

@@ -91,6 +91,13 @@ class _Handler(BaseHTTPRequestHandler):
             image = _decode_image(payload["image_b64"])
             kwargs = {k: payload[k] for k in _REQ_FIELDS if k in payload}
             # blended-latent inpainting over the wire: source + mask images
+            if "inpaint_image" in payload or "inpaint_mask" in payload:
+                # GenRequest's ndarray field names don't travel as JSON —
+                # reject loudly instead of silently running plain generation
+                return self._json(400, {
+                    "error": "use inpaint_image_b64/inpaint_mask_b64 "
+                             "(base64 images), not inpaint_image/"
+                             "inpaint_mask"})
             if "inpaint_image_b64" in payload:
                 kwargs["inpaint_image"] = _decode_image(
                     payload["inpaint_image_b64"])

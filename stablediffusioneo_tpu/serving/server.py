@@ -93,8 +93,9 @@ class GenRequest:
     clip_skip: int = 0
     # blended-latent inpainting (pipeline/ddim.py): source image + mask
     # (nonzero = region to REGENERATE). The source is VAE-encoded with the
-    # posterior MODE (deterministic), so a request's output stays
-    # bit-identical regardless of batch composition.
+    # posterior MODE (no batch-position-dependent noise); outputs match the
+    # single-request process() path to batch-fusion tolerance (1 uint8 LSB
+    # on a small pixel tail — XLA reduction order varies with batch size).
     inpaint_image: Optional[np.ndarray] = None
     inpaint_mask: Optional[np.ndarray] = None
 
@@ -278,22 +279,12 @@ class DiffusionServer:
         if req.inpaint_image is not None:
             if req.inpaint_mask is None:
                 raise ValueError("inpaint_image requires inpaint_mask")
-            import cv2
+            from stablediffusioneo_tpu.pipeline.inpaint import prepare_inpaint
 
             H, W = p.hw
-            f = self.pipe.cfg.vae.downsample_factor
-            src = cv2.resize(HWC3(req.inpaint_image), (W, H),
-                             interpolation=cv2.INTER_AREA)
-            p.inpaint_src = src.astype(np.float32) / 127.5 - 1.0
-            m = np.asarray(req.inpaint_mask)
-            if m.ndim == 3:
-                m = m[..., 0]
-            m = m.astype(np.float32)
-            if m.max() > 1.0:
-                m = m / 255.0
-            p.inpaint_mask = cv2.resize(
-                m, (W // f, H // f),
-                interpolation=cv2.INTER_AREA)[..., None]
+            p.inpaint_src, p.inpaint_mask = prepare_inpaint(
+                req.inpaint_image, req.inpaint_mask, H, W,
+                self.pipe.cfg.vae.downsample_factor)
         with self._wake:
             self._groups.setdefault(self._key(p), []).append(p)
             self.stats.requests += 1

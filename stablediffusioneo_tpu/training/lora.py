@@ -105,20 +105,43 @@ def merge_lora(params: Dict, lora: Dict, scale: float = 1.0) -> Dict:
 
     The outer product accumulates in f32 and casts back to the base
     weight's dtype; non-adapted leaves are returned by reference (no
-    copy)."""
+    copy). Strict accounting: every adapter site must land on a matching
+    linear in `params` — a mismatched tree (e.g. a controlnet adapter
+    merged into the unet) fails loudly naming the orphan sites instead of
+    silently part-merging."""
+    merged_paths = set()
 
-    def walk(p, l):
+    def walk(p, l, path):
         if isinstance(p, (list, tuple)):
             return type(p)(
-                walk(v, l[i]) if i in l else v for i, v in enumerate(p))
+                walk(v, l[i], path + (i,)) if i in l else v
+                for i, v in enumerate(p))
         if "a" in l and "b" in l and not isinstance(l["a"], dict):
+            if not (isinstance(p, dict) and "w" in p
+                    and getattr(p["w"], "ndim", 0) == 2
+                    and p["w"].shape == (l["a"].shape[0], l["b"].shape[1])):
+                raise ValueError(
+                    f"merge_lora: adapter site {'/'.join(map(str, path))} "
+                    "does not match a linear of the right shape in the "
+                    "target tree")
+            merged_paths.add(path)
             delta = (l["a"].astype(jnp.float32)
                      @ l["b"].astype(jnp.float32)) * scale
             return {**p, "w": (p["w"].astype(jnp.float32)
                                + delta).astype(p["w"].dtype)}
-        return {k: walk(p[k], l[k]) if k in l else p[k] for k in p}
+        return {k: walk(p[k], l[k], path + (k,)) if k in l else p[k]
+                for k in p}
 
-    return walk(params, lora)
+    out = walk(params, lora, ())
+    orphans = [
+        "/".join(map(str, q)) for q in _site_paths(lora)
+        if q not in merged_paths
+    ]
+    if orphans:
+        raise ValueError(
+            f"merge_lora: {len(orphans)} adapter site(s) have no matching "
+            f"path in the target tree (wrong 'on' tree?): {orphans[:5]}")
+    return out
 
 
 def count_params(tree: Dict) -> int:

@@ -84,6 +84,43 @@ class TestLoraTree:
             assert flat_m[p] is flat_b[p]
 
 
+class TestMergeAccounting:
+    def test_wrong_target_tree_raises(self, base):
+        """A unet adapter merged into the controlnet must fail loudly, not
+        silently part-merge — the decoder (output_blocks) sites have no
+        matching controlnet path. (The reverse direction is structurally
+        valid: the ControlNet IS a UNet-encoder copy, so its adapter paths
+        all exist in the UNet — accounting can only catch path orphans.)"""
+        lora = init_lora(jax.random.PRNGKey(1), base["unet"], rank=2)
+        with pytest.raises(ValueError,
+                           match="no matching path|does not match"):
+            merge_lora(base["controlnet"], lora)
+
+    def test_shape_mismatch_raises(self, base):
+        lora = init_lora(jax.random.PRNGKey(1), base["unet"], rank=2)
+        path = lora_sites(base["unet"])[0]
+        node = lora
+        for k in path[:-1]:
+            node = node[k]
+        site = node[path[-1]]
+        site["a"] = jnp.zeros((site["a"].shape[0] + 1, 2), site["a"].dtype)
+        with pytest.raises(ValueError, match="does not match"):
+            merge_lora(base["unet"], lora)
+
+    def test_runtime_apply_wrong_on_raises(self, base):
+        from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
+        from stablediffusioneo_tpu.models import init_clip_text, init_vae
+
+        ks = jax.random.split(jax.random.PRNGKey(9), 2)
+        params = dict(base)
+        params["vae"] = init_vae(ks[0], CFG.vae)
+        params["clip"] = init_clip_text(ks[1], CFG.clip)
+        rt = CNSDRuntime(params, CFG, persistent_cache=False)
+        lora = init_lora(jax.random.PRNGKey(1), base["unet"], rank=2)
+        with pytest.raises(ValueError):
+            rt.apply_lora(lora, on="controlnet")
+
+
 class TestSaveLoad:
     def test_roundtrip(self, base, tmp_path):
         lora = init_lora(jax.random.PRNGKey(1), base["controlnet"], rank=8)
