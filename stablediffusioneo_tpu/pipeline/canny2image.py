@@ -130,6 +130,8 @@ class Canny2ImagePipeline:
         granular_timings: bool = False,
         inpaint_image: Optional[np.ndarray] = None,
         inpaint_mask: Optional[np.ndarray] = None,
+        init_image: Optional[np.ndarray] = None,
+        denoise_strength: float = 0.75,
     ) -> List[np.ndarray]:
         """Returns [detected_map] + generated uint8 HWC images
         (canny2image gradio convention).
@@ -138,6 +140,12 @@ class Canny2ImagePipeline:
         to REGENERATE) enable blended-latent inpainting (beyond the
         reference): the kept region is VAE-encoded and re-imposed at every
         DDIM step's noise level (pipeline/ddim.py). DDIM sampler only.
+
+        init_image + denoise_strength enable img2img (DDIMSampler.encode/
+        decode semantics, ddim_hacked.py:233-317): the source is
+        VAE-encoded (posterior mode), re-noised in-graph to step
+        round(denoise_strength * ddim_steps) of the schedule, and only the
+        remaining steps run. DDIM sampler only.
 
         clip_skip: k>1 takes the -(k)th CLIP hidden state through the final
         LayerNorm (cldm/hack.py:40-44). long_prompt=True routes the prompt
@@ -225,6 +233,23 @@ class Canny2ImagePipeline:
             run_kwargs["inpaint_latent"] = lat
             run_kwargs["inpaint_mask"] = jnp.asarray(
                 np.repeat(m[None], num_samples, axis=0))
+        if init_image is not None:
+            if granular_timings:
+                raise ValueError("img2img is unsupported on the "
+                                 "granular-timings diagnostic path")
+            if x_T is not None:
+                raise ValueError("init_image and x_T are mutually exclusive")
+            import cv2
+
+            src = cv2.resize(HWC3(init_image), (W, H),
+                             interpolation=cv2.INTER_AREA)
+            src_f = (src.astype(np.float32) / 127.5 - 1.0)[None]
+            run_kwargs["init_latent"] = self.runtime.encode_image(
+                jnp.asarray(np.repeat(src_f, num_samples, axis=0)),
+                deterministic=True)
+            run_kwargs["t_enc"] = max(
+                1, min(ddim_steps, int(round(denoise_strength * ddim_steps))))
+            x_T_arr = None
         from stablediffusioneo_tpu.runtime.profiling import _hard_sync
 
         if granular_timings:

@@ -355,6 +355,16 @@ class CNSDRuntime:
                 x_T_v = jax.vmap(
                     lambda k: jax.random.normal(k, lat_shape[1:], jnp.float32)
                 )(ks[:, 1]).astype(dtype)
+            elif gen_xT == "img2img":
+                # x_T carries the INIT LATENT; re-noise it to the entry
+                # step's level in-graph, mirroring DDIMSampler.img2img's
+                # host sequence bit-for-bit (ddim.py: key, kn = split(key);
+                # stochastic_encode(lat, alphas[0], kn); scan gets key)
+                key, kn = jax.random.split(key)
+                a0 = sched["alphas"][0].astype(jnp.float32)
+                noise = jax.random.normal(kn, lat_shape, jnp.float32)
+                x_T_v = (jnp.sqrt(a0) * x_T.astype(jnp.float32)
+                         + jnp.sqrt(1.0 - a0) * noise).astype(dtype)
             elif gen_xT:
                 # x_T carries the ROOT key (2,) uint32; reproduce exactly
                 # the host-side `key, sub = split(root); normal(sub, ...)`
@@ -373,8 +383,8 @@ class CNSDRuntime:
         eng = Engine(run, name=f"{sampler}+decode_{num_steps}x{batch}x{h}x{w}"
                      + ("_guess" if guess_mode else "")
                      + ("_bithint" if hint_u8 == "packed" else "")
-                     + (f"_genxT{'-seeds' if gen_xT == 'seeds' else ''}"
-                        if gen_xT else "")
+                     + (f"_genxT-{gen_xT}" if isinstance(gen_xT, str)
+                        else ("_genxT" if gen_xT else ""))
                      + ("_inpaint" if inpaint else ""),
                      donate_argnums=() if gen_xT else (4,))  # donate x_T
         sched = self._make_schedule(num_steps, sampler)
@@ -383,6 +393,8 @@ class CNSDRuntime:
         f = self.cfg.vae.downsample_factor
         if gen_xT == "seeds":
             lat = self._abs_data((batch,), jnp.int32)
+        elif gen_xT == "img2img":
+            lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
         elif gen_xT:
             lat = self._abs_rep((2,), jnp.uint32)
         else:
@@ -427,12 +439,20 @@ class CNSDRuntime:
         seeds=None,
         inpaint_latent: Optional[jax.Array] = None,
         inpaint_mask: Optional[jax.Array] = None,
+        init_latent: Optional[jax.Array] = None,
+        t_enc: Optional[int] = None,
     ) -> jax.Array:
         """Fused sample+decode: returns uint8 (B, H, W, 3) ON DEVICE.
 
         inpaint_latent (B, h, w, 4) + inpaint_mask (B, h, w, 1; 1 =
         generate) select the blended-latent inpainting engine variant
         (pipeline/ddim.py) — DDIM only, no encoder caching.
+
+        init_latent + t_enc (img2img, DDIMSampler.encode/decode semantics):
+        the init latent rides the x_T slot, is re-noised in-graph to the
+        entry step of the num_steps discretization, and a t_enc-step
+        engine runs the remaining schedule tail. Requires x_T=None and no
+        seeds; num_steps stays the FULL discretization count.
 
         A uint8 `hint` selects the uint8-ingest engine variant (normalize
         in-graph — 4x less host->device transfer); a RANK-3 uint8 hint
@@ -455,7 +475,15 @@ class CNSDRuntime:
         w = hint.shape[2] * 8 if packed else hint.shape[2]
         if seeds is not None and x_T is not None:
             raise ValueError("seeds requires x_T=None (in-graph generation)")
-        gen_xT = "seeds" if seeds is not None else x_T is None
+        if init_latent is not None:
+            if x_T is not None or seeds is not None:
+                raise ValueError("img2img (init_latent) requires x_T=None "
+                                 "and no seeds")
+            if t_enc is None or not (1 <= t_enc <= num_steps):
+                raise ValueError(f"img2img needs 1 <= t_enc <= {num_steps}")
+            gen_xT = "img2img"
+        else:
+            gen_xT = "seeds" if seeds is not None else x_T is None
         if packed and hint.dtype != jnp.uint8:
             raise ValueError("rank-3 (packed) hint must be uint8")
         hint_u8 = "packed" if packed else hint.dtype == jnp.uint8
@@ -463,16 +491,21 @@ class CNSDRuntime:
         if inpaint and inpaint_mask is None:
             raise ValueError("inpaint_latent requires inpaint_mask")
         eng = self.sample_decode_engine(
-            num_steps, b, h, w, guess_mode, sampler,
+            t_enc if gen_xT == "img2img" else num_steps, b, h, w,
+            guess_mode, sampler,
             encoder_cache_interval, ctx_len=ctx_cond.shape[1],
             hint_u8=hint_u8, gen_xT=gen_xT, inpaint=inpaint)
-        sched = self._sched_device(num_steps, sampler, eta)
+        sched = self._sched_device(
+            num_steps, sampler, eta,
+            t_enc=t_enc if gen_xT == "img2img" else None)
         scale_v, cscales = self._per_sample_scales(
             b, guidance_scale, strength, guess_mode)
         if gen_xT == "seeds":
             x_T_arg = self._put_batch(np.asarray(seeds, np.int32))
             if key is None:
                 key = jax.random.PRNGKey(0)  # ignored by the seeds variant
+        elif gen_xT == "img2img":
+            x_T_arg = self._put_batch(init_latent.astype(self.dtype))
         elif gen_xT:
             x_T_arg = self._put_rep(key)  # root key rides the x_T slot
         else:
@@ -495,14 +528,22 @@ class CNSDRuntime:
             *extra,
         )
 
-    def _sched_device(self, num_steps: int, sampler: str, eta: float):
+    def _sched_device(self, num_steps: int, sampler: str, eta: float,
+                      t_enc: Optional[int] = None):
         """Device-resident schedule constants, cached per (sampler, steps,
         eta) — re-uploading the ~10 small schedule arrays on every call
-        costs a handful of tunneled transfers each."""
-        ck = (sampler, num_steps, float(eta))
+        costs a handful of tunneled transfers each.
+
+        t_enc (img2img): the LAST t_enc entries of the num_steps
+        discretization (sampling order) — the entry point of
+        DDIMSampler.img2img; a t_enc-step engine consumes it directly
+        since schedules are engine inputs, not baked constants."""
+        ck = (sampler, num_steps, float(eta), t_enc)
         cached = self._sched_cache.get(ck)
         if cached is None:
             sched = self._make_schedule(num_steps, sampler, eta=eta)
+            if t_enc is not None:
+                sched = {k: v[num_steps - t_enc:] for k, v in sched.items()}
             cached = {k: self._put_rep(v) for k, v in sched.items()}
             self._sched_cache[ck] = cached
         return cached
