@@ -365,6 +365,20 @@ class CNSDRuntime:
                 noise = jax.random.normal(kn, lat_shape, jnp.float32)
                 x_T_v = (jnp.sqrt(a0) * x_T.astype(jnp.float32)
                          + jnp.sqrt(1.0 - a0) * noise).astype(dtype)
+            elif gen_xT == "img2img-seeds":
+                # serving img2img: x_T carries the init latents, the key
+                # slot carries PER-REQUEST int32 seeds — each row's
+                # re-noise AND in-loop eta-noise derive from its own seed,
+                # row-for-row the batch-1 img2img sequence (normal() bits
+                # depend on element count, not leading batch dims)
+                ks = jax.vmap(
+                    lambda s: jax.random.split(jax.random.PRNGKey(s)))(key)
+                a0 = sched["alphas"][0].astype(jnp.float32)
+                noise = jax.vmap(lambda k: jax.random.normal(
+                    k, lat_shape[1:], jnp.float32))(ks[:, 1])
+                x_T_v = (jnp.sqrt(a0) * x_T.astype(jnp.float32)
+                         + jnp.sqrt(1.0 - a0) * noise).astype(dtype)
+                key = ks[:, 0]  # (B, 2) per-sample scan noise keys
             elif gen_xT:
                 # x_T carries the ROOT key (2,) uint32; reproduce exactly
                 # the host-side `key, sub = split(root); normal(sub, ...)`
@@ -393,7 +407,7 @@ class CNSDRuntime:
         f = self.cfg.vae.downsample_factor
         if gen_xT == "seeds":
             lat = self._abs_data((batch,), jnp.int32)
-        elif gen_xT == "img2img":
+        elif gen_xT in ("img2img", "img2img-seeds"):
             lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
         elif gen_xT:
             lat = self._abs_rep((2,), jnp.uint32)
@@ -408,7 +422,9 @@ class CNSDRuntime:
             (batch, ctx_len, self.cfg.unet.context_dim), self.dtype)
         scale = self._abs_data((batch,), jnp.float32)
         cscales = self._abs_data((batch, self.n_taps), jnp.float32)
-        key = self._abs_rep((2,), jnp.uint32)
+        key = (self._abs_data((batch,), jnp.int32)
+               if gen_xT == "img2img-seeds"
+               else self._abs_rep((2,), jnp.uint32))
         extra = ()
         if inpaint:
             extra = (self._abs_data((batch, h // f, w // f, 4), self.dtype),
@@ -476,12 +492,11 @@ class CNSDRuntime:
         if seeds is not None and x_T is not None:
             raise ValueError("seeds requires x_T=None (in-graph generation)")
         if init_latent is not None:
-            if x_T is not None or seeds is not None:
-                raise ValueError("img2img (init_latent) requires x_T=None "
-                                 "and no seeds")
+            if x_T is not None:
+                raise ValueError("img2img (init_latent) requires x_T=None")
             if t_enc is None or not (1 <= t_enc <= num_steps):
                 raise ValueError(f"img2img needs 1 <= t_enc <= {num_steps}")
-            gen_xT = "img2img"
+            gen_xT = "img2img-seeds" if seeds is not None else "img2img"
         else:
             gen_xT = "seeds" if seeds is not None else x_T is None
         if packed and hint.dtype != jnp.uint8:
@@ -490,20 +505,24 @@ class CNSDRuntime:
         inpaint = inpaint_latent is not None
         if inpaint and inpaint_mask is None:
             raise ValueError("inpaint_latent requires inpaint_mask")
+        img2img = gen_xT in ("img2img", "img2img-seeds")
         eng = self.sample_decode_engine(
-            t_enc if gen_xT == "img2img" else num_steps, b, h, w,
+            t_enc if img2img else num_steps, b, h, w,
             guess_mode, sampler,
             encoder_cache_interval, ctx_len=ctx_cond.shape[1],
             hint_u8=hint_u8, gen_xT=gen_xT, inpaint=inpaint)
         sched = self._sched_device(
-            num_steps, sampler, eta,
-            t_enc=t_enc if gen_xT == "img2img" else None)
+            num_steps, sampler, eta, t_enc=t_enc if img2img else None)
         scale_v, cscales = self._per_sample_scales(
             b, guidance_scale, strength, guess_mode)
         if gen_xT == "seeds":
             x_T_arg = self._put_batch(np.asarray(seeds, np.int32))
             if key is None:
                 key = jax.random.PRNGKey(0)  # ignored by the seeds variant
+        elif gen_xT == "img2img-seeds":
+            x_T_arg = self._put_batch(init_latent.astype(self.dtype))
+            # per-request seeds ride the KEY slot for this variant
+            key = np.asarray(seeds, np.int32)
         elif gen_xT == "img2img":
             x_T_arg = self._put_batch(init_latent.astype(self.dtype))
         elif gen_xT:
@@ -524,7 +543,9 @@ class CNSDRuntime:
             self._put_batch(ctx_cond.astype(self.dtype)),
             self._put_batch(ctx_uncond.astype(self.dtype)),
             self._put_batch(scale_v),
-            self._put_batch(cscales), self._put_rep(key),
+            self._put_batch(cscales),
+            (self._put_batch(jnp.asarray(key)) if gen_xT == "img2img-seeds"
+             else self._put_rep(key)),
             *extra,
         )
 

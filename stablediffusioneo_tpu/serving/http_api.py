@@ -35,6 +35,7 @@ _REQ_FIELDS = (
     "prompt", "a_prompt", "n_prompt", "image_resolution", "ddim_steps",
     "guess_mode", "strength", "scale", "seed", "eta", "low_threshold",
     "high_threshold", "sampler", "encoder_cache_interval", "clip_skip",
+    "denoise_strength",
 )
 
 
@@ -103,6 +104,13 @@ class _Handler(BaseHTTPRequestHandler):
                     payload["inpaint_image_b64"])
                 kwargs["inpaint_mask"] = _decode_image(
                     payload["inpaint_mask_b64"])
+            if "init_image" in payload:
+                return self._json(400, {
+                    "error": "use init_image_b64 (base64 image), "
+                             "not init_image"})
+            if "init_image_b64" in payload:  # img2img over the wire
+                kwargs["init_image"] = _decode_image(
+                    payload["init_image_b64"])
             req = GenRequest(image=image, **kwargs)
         except (KeyError, ValueError, TypeError, OSError,
                 json.JSONDecodeError) as e:

@@ -98,6 +98,10 @@ class GenRequest:
     # on a small pixel tail — XLA reduction order varies with batch size).
     inpaint_image: Optional[np.ndarray] = None
     inpaint_mask: Optional[np.ndarray] = None
+    # img2img (process(init_image=, denoise_strength=)): same deterministic
+    # encode; requests batch only with matching t_enc (engine depth)
+    init_image: Optional[np.ndarray] = None
+    denoise_strength: float = 0.75
 
 
 @dataclass
@@ -113,6 +117,8 @@ class _Pending:
     seed: int = 0                      # resolved per submission (-1 drawn)
     inpaint_src: np.ndarray = None     # (H, W, 3) f32 in [-1, 1]
     inpaint_mask: np.ndarray = None    # (h, w, 1) f32 latent-res, 1=generate
+    init_src: np.ndarray = None        # (H, W, 3) f32 in [-1, 1] (img2img)
+    t_enc: int = 0                     # img2img entry step (0 = off)
 
 
 @dataclass
@@ -285,6 +291,15 @@ class DiffusionServer:
             p.inpaint_src, p.inpaint_mask = prepare_inpaint(
                 req.inpaint_image, req.inpaint_mask, H, W,
                 self.pipe.cfg.vae.downsample_factor)
+        if req.init_image is not None:
+            import cv2
+
+            H, W = p.hw
+            src = cv2.resize(HWC3(req.init_image), (W, H),
+                             interpolation=cv2.INTER_AREA)
+            p.init_src = src.astype(np.float32) / 127.5 - 1.0
+            p.t_enc = max(1, min(req.ddim_steps, int(round(
+                req.denoise_strength * req.ddim_steps))))
         with self._wake:
             self._groups.setdefault(self._key(p), []).append(p)
             self.stats.requests += 1
@@ -302,7 +317,8 @@ class DiffusionServer:
         return (p.hw, r.ddim_steps, r.sampler, r.guess_mode, r.eta,
                 r.encoder_cache_interval, r.clip_skip, p.ids.shape[-1],
                 p.hint.ndim,  # 2 = bit-packed binary, 3 = uint8 pixels
-                p.inpaint_src is not None)  # inpaint = own engine variant
+                p.inpaint_src is not None,  # inpaint = own engine variant
+                p.t_enc)  # img2img entry step = own engine depth (0 = off)
 
     def _cut_batch(self) -> Optional[List[_Pending]]:
         """Called under the lock. Returns the batch to run now, or None.
@@ -421,16 +437,25 @@ class DiffusionServer:
         scales = np.asarray([p.req.scale for p in batch], np.float32)
         strengths = np.asarray([p.req.strength for p in batch], np.float32)
 
-        inpaint_kw = {}
+        extra_kw = {}
         if batch[0].inpaint_src is not None:
             # one batched deterministic VAE encode (posterior mode — no
             # batch-position-dependent noise, so outputs stay per-request
             # reproducible)
             src = jnp.asarray(np.stack([p.inpaint_src for p in batch]))
-            inpaint_kw = dict(
+            extra_kw.update(
                 inpaint_latent=rt.encode_image(src, deterministic=True),
                 inpaint_mask=jnp.asarray(
                     np.stack([p.inpaint_mask for p in batch])),
+            )
+        if batch[0].t_enc:
+            # img2img: same batched deterministic encode; the per-request
+            # seeds ride into the img2img-seeds engine variant (each row's
+            # re-noise + eta-noise derive from its own seed)
+            src = jnp.asarray(np.stack([p.init_src for p in batch]))
+            extra_kw.update(
+                init_latent=rt.encode_image(src, deterministic=True),
+                t_enc=batch[0].t_enc,
             )
 
         images_dev = rt.sample_decode(
@@ -439,7 +464,7 @@ class DiffusionServer:
             guidance_scale=scales, strength=strengths, eta=r0.eta,
             guess_mode=r0.guess_mode, sampler=r0.sampler,
             encoder_cache_interval=r0.encoder_cache_interval,
-            **inpaint_kw,
+            **extra_kw,
         )
         self._done_q.put((batch, images_dev, t0))
 

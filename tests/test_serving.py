@@ -280,6 +280,35 @@ class TestDiffusionServer:
                                - im.astype(np.int16)) > 1).mean()
             assert frac_off < 0.02, f"inpaint serving diverged: {frac_off}"
 
+    def test_img2img_requests_batch_and_match_process(self, tiny_server):
+        """img2img requests with the same t_enc batch together (per-request
+        seeds ride the img2img-seeds engine variant) and reproduce the
+        single-request process() path."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, pipe = tiny_server
+        src = _img(50)
+        b0 = server.stats.batches
+        reqs = [
+            GenRequest(image=_img(51), prompt="a bird", image_resolution=64,
+                       ddim_steps=2, seed=31, init_image=src,
+                       denoise_strength=0.5),
+            GenRequest(image=_img(52), prompt="a dog", image_resolution=64,
+                       ddim_steps=2, seed=32, init_image=src,
+                       denoise_strength=0.5),
+        ]
+        futures = [server.submit(r) for r in reqs]
+        results = [f.result(timeout=900) for f in futures]
+        assert server.stats.batches - b0 >= 1
+        for r, (det, im) in zip(reqs, results):
+            outs = pipe.process(
+                r.image, r.prompt, a_prompt=r.a_prompt, n_prompt=r.n_prompt,
+                num_samples=1, image_resolution=64, ddim_steps=2,
+                seed=r.seed, init_image=src, denoise_strength=0.5)
+            frac_off = (np.abs(outs[1].astype(np.int16)
+                               - im.astype(np.int16)) > 1).mean()
+            assert frac_off < 0.02, f"img2img serving diverged: {frac_off}"
+
     def test_drain_covers_inflight_batches(self, tiny_server):
         """drain() must wait for batches already cut and dispatched (in
         flight on the completion thread), not just queued ones."""
