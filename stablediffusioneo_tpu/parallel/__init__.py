@@ -10,6 +10,13 @@ greenfield and idiomatic: a `jax.sharding.Mesh` with
   - FSDP (ZeRO-3) sharding of params/grads/optimizer state over `dp`
     for training (fsdp_shard_params),
 with XLA GSPMD inserting the collectives.
+
+Pipeline parallelism is deliberately absent: SD-1.5's full bf16 pipeline
+(~1.7 GB weights + peak activations at 512^2) fits one TPU chip with
+room to spare, so pp would only add bubble overhead to a 20-step scan of
+small per-step graphs; scaling wants MORE IMAGES per step (dp), faster
+steps (tp over ICI), or bigger trainable state (FSDP) — never model
+splitting. Expert parallelism has no target (no MoE in the SD family).
 """
 
 from stablediffusioneo_tpu.parallel.mesh import (

@@ -45,6 +45,19 @@ class TestLoraTree:
         assert any(p[-1] == "ff1" for p in paths)
         assert any("attn2" in p for p in paths)
 
+    def test_clip_tower_sites(self):
+        """The CLIP text tower's q/k/v/out + fc1/fc2 naming is targeted too
+        (text-encoder LoRA, the usual companion of a UNet adapter)."""
+        from stablediffusioneo_tpu.models import init_clip_text
+
+        clip = init_clip_text(jax.random.PRNGKey(0), CFG.clip)
+        paths = lora_sites(clip)
+        leaves = {p[-1] for p in paths}
+        assert {"q", "k", "v", "out", "fc1", "fc2"} <= leaves, leaves
+        lora = init_lora(jax.random.PRNGKey(1), clip, rank=2)
+        merged = merge_lora(clip, lora)  # identity at init, full accounting
+        jax.tree.map(np.testing.assert_array_equal, clip, merged)
+
     def test_rank_and_footprint(self, base):
         lora = init_lora(jax.random.PRNGKey(1), base["unet"], rank=4)
         for leaf in jax.tree.leaves(lora):
