@@ -81,19 +81,45 @@ def train(
     ckpt_every: int = 1000,
     image_logger: Optional[ImageLogger] = None,
     metrics_path: Optional[str] = "train_metrics.jsonl",
+    lora_rank: Optional[int] = None,
+    lora_scale: float = 1.0,
+    fsdp: bool = False,
 ) -> TrainState:
     """Run `num_steps` of ControlNet fine-tuning. data_iter yields
-    {x0: (B,h,w,4), hint: (B,H,W,3), ctx: (B,T,768)} host batches."""
+    {x0: (B,h,w,4), hint: (B,H,W,3), ctx: (B,T,768)} host batches.
+
+    lora_rank: train rank-r LoRA adapters on the (frozen) ControlNet
+    branch instead of the full branch (training/lora.py); the returned
+    state's params are the adapter tree — `merge_lora` / `save_lora` it.
+    fsdp: ZeRO-3-shard params/grads/optimizer moments over the dp axis
+    (parallel/mesh.py) for widths where replicated training state does
+    not fit per chip."""
+    from stablediffusioneo_tpu.parallel.mesh import fsdp_shard_params
+
     mesh = make_mesh(dp=dp, tp=tp)
-    unet_params = shard_params(unet_params, mesh)
-    controlnet_params = shard_params(controlnet_params, mesh)
-    state, tx = create_train_state(controlnet_params, learning_rate)
+    shard = fsdp_shard_params if fsdp else shard_params
+    unet_params = shard(unet_params, mesh)
+    controlnet_params = shard(controlnet_params, mesh)
     sqrt_a, sqrt_1ma = make_schedule_buffers(cfg)
+    if lora_rank:
+        from stablediffusioneo_tpu.training.lora import (
+            init_lora, lora_train_step,
+        )
+
+        lora = init_lora(jax.random.PRNGKey(seed + 1), controlnet_params,
+                         rank=lora_rank)
+        state, tx = create_train_state(lora, learning_rate)
+        frozen = {"unet": unet_params, "controlnet": controlnet_params}
+        step_fn = jax.jit(functools.partial(
+            lora_train_step, tx=tx, cfg=cfg, frozen=frozen,
+            on="controlnet", scale=lora_scale))
+    else:
+        state, tx = create_train_state(controlnet_params, learning_rate)
+        step_fn = jax.jit(functools.partial(train_step, tx=tx, cfg=cfg,
+                                            unet_params=unet_params))
     ema_state = ema_init(state.params) if ema_decay else None
     metrics = MetricsLogger(metrics_path) if metrics_path else None
     key = jax.random.PRNGKey(seed)
-
-    step_fn = jax.jit(functools.partial(train_step, tx=tx, cfg=cfg))
 
     with mesh:
         for step in range(num_steps):
@@ -104,7 +130,6 @@ def train(
             }
             state, loss = step_fn(
                 state,
-                unet_params=unet_params,
                 sqrt_abar=sqrt_a,
                 sqrt_one_minus_abar=sqrt_1ma,
                 batch=batch,

@@ -236,6 +236,34 @@ class TestLoraTraining:
         assert img0.shape == img1.shape
         assert np.any(img0 != img1), "merged adapters had no effect"
 
+    def test_loop_driver_lora_and_fsdp(self, base):
+        """train(lora_rank=..., fsdp=True) runs end to end and returns the
+        adapter tree (not full-branch params)."""
+        from stablediffusioneo_tpu.training.loop import train
+        from stablediffusioneo_tpu.training.lora import merge_lora
+
+        rng = np.random.default_rng(0)
+
+        def data_iter():
+            while True:
+                yield {
+                    "x0": rng.standard_normal((8, 8, 8, 4)).astype(np.float32),
+                    "hint": rng.random((8, 64, 64, 3)).astype(np.float32),
+                    "ctx": rng.standard_normal(
+                        (8, 5, CFG.unet.context_dim)).astype(np.float32),
+                }
+
+        state = train(CFG, base["unet"], base["controlnet"], data_iter(),
+                      num_steps=2, dp=8, tp=1, lora_rank=4, fsdp=True,
+                      ema_decay=None, metrics_path=None)
+        assert int(state.step) == 2
+        assert count_params(state.params) < count_params(
+            base["controlnet"]) / 10
+        # the adapters merge back onto the frozen branch cleanly
+        merged = merge_lora(base["controlnet"], jax.device_get(state.params))
+        assert jax.tree.structure(merged) == jax.tree.structure(
+            base["controlnet"])
+
     def test_runtime_apply_lora_rejects_quantized(self, base):
         from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
         from stablediffusioneo_tpu.models import init_clip_text, init_vae
