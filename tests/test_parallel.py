@@ -180,6 +180,41 @@ class TestMeshRuntime:
         assert "tp" in str(blk["attn"]["blocks"][0]["attn1"]["wq"]["w"].sharding.spec)
 
 
+class TestMeshVariants:
+    def test_inpaint_and_img2img_engines_on_mesh(self, rng, mesh_and_params):
+        """The round-3 engine variants (inpaint blend, img2img-seeds) run
+        over a dp x tp mesh: batch-sharded latents/masks/seeds, AOT
+        compiled, correct output shapes."""
+        from stablediffusioneo_tpu.models import init_clip_text, init_vae
+        from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
+
+        mesh, up, cp = mesh_and_params
+        ks = jax.random.split(jax.random.PRNGKey(9), 2)
+        params = {
+            "unet": up, "controlnet": cp,
+            "vae": init_vae(ks[0], CFG.vae),
+            "clip": init_clip_text(ks[1], CFG.clip),
+        }
+        rt = CNSDRuntime(params, CFG, persistent_cache=False, mesh=mesh)
+        b = 4
+        ids = np.zeros((b, CFG.clip.max_length), np.int32)
+        ctx = rt.encode_prompt(ids)
+        hint = jnp.zeros((b, 64, 64, 3), jnp.uint8)
+        lat = jnp.asarray(rng.standard_normal((b, 8, 8, 4)).astype(np.float32))
+        mask = jnp.ones((b, 8, 8, 1), jnp.float32)
+        out = np.asarray(rt.sample_decode(
+            2, None, hint, ctx, ctx, jax.random.PRNGKey(0),
+            inpaint_latent=lat, inpaint_mask=mask))
+        assert out.shape == (b, 64, 64, 3) and out.dtype == np.uint8
+        out2 = np.asarray(rt.sample_decode(
+            2, None, hint, ctx, ctx, None, seeds=[1, 2, 3, 4],
+            init_latent=lat, t_enc=1))
+        assert out2.shape == (b, 64, 64, 3)
+        fell_back = [e.name for e in rt._engines.values()
+                     if not e.get_engine_infor().get("compiled")]
+        assert not fell_back, f"mesh engines fell back: {fell_back}"
+
+
 class TestFSDP:
     def test_fsdp_train_step_matches_replicated(self, rng):
         """ZeRO-3 sharded training == replicated training, with params,

@@ -382,12 +382,59 @@ class TestDiffusionServer:
                 st = json.loads(r.read())
             assert st["requests"] >= 2
 
+            # inpaint + img2img over the wire (b64 fields)
+            buf_s, buf_m = io.BytesIO(), io.BytesIO()
+            Image.fromarray(_img(53)).save(buf_s, format="PNG")
+            m = np.zeros((64, 64), np.uint8)
+            m[:, 32:] = 255
+            Image.fromarray(m).save(buf_m, format="PNG")
+            body = json.dumps({
+                "image_b64": base64.b64encode(buf_s.getvalue()).decode(),
+                "inpaint_image_b64":
+                    base64.b64encode(buf_s.getvalue()).decode(),
+                "inpaint_mask_b64":
+                    base64.b64encode(buf_m.getvalue()).decode(),
+                "prompt": "a bird", "image_resolution": 64,
+                "ddim_steps": 2, "seed": 7}).encode()
+            req = urllib.request.Request(
+                base + "/generate", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                out = json.loads(r.read())
+            img = np.asarray(Image.open(io.BytesIO(
+                base64.b64decode(out["image_b64"]))))
+            assert img.shape == (64, 64, 3)
+            body = json.dumps({
+                "image_b64": base64.b64encode(buf_s.getvalue()).decode(),
+                "init_image_b64":
+                    base64.b64encode(buf_s.getvalue()).decode(),
+                "denoise_strength": 0.5,
+                "prompt": "a bird", "image_resolution": 64,
+                "ddim_steps": 2, "seed": 7}).encode()
+            req = urllib.request.Request(
+                base + "/generate", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                assert "image_b64" in json.loads(r.read())
+
             # bad request -> 400; unknown route -> 404
             import urllib.error
             bad = urllib.request.Request(
                 base + "/generate", data=b'{"prompt": "no image"}')
             with pytest.raises(urllib.error.HTTPError) as ei:
                 urllib.request.urlopen(bad, timeout=30)
+            assert ei.value.code == 400
+            # raw ndarray field names -> explicit 400, not silent plain gen
+            buf = io.BytesIO()
+            Image.fromarray(_img(54)).save(buf, format="PNG")
+            raw = urllib.request.Request(
+                base + "/generate", data=json.dumps({
+                    "image_b64": base64.b64encode(buf.getvalue()).decode(),
+                    "inpaint_image": [[0]], "inpaint_mask": [[0]],
+                    "prompt": "x"}).encode(),
+                headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(raw, timeout=30)
             assert ei.value.code == 400
             with pytest.raises(urllib.error.HTTPError) as ei:
                 urllib.request.urlopen(base + "/nope", timeout=30)
