@@ -14,6 +14,11 @@ from stablediffusioneo_tpu.checkpoint.convert import (
     convert_clip,
     load_controlnet_pipeline,
 )
+from stablediffusioneo_tpu.checkpoint.textual_inversion import (
+    add_concepts,
+    apply_textual_inversion,
+    load_concept,
+)
 
 __all__ = [
     "load_torch_state_dict",
@@ -22,4 +27,7 @@ __all__ = [
     "convert_vae",
     "convert_clip",
     "load_controlnet_pipeline",
+    "load_concept",
+    "add_concepts",
+    "apply_textual_inversion",
 ]

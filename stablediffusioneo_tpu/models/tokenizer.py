@@ -89,6 +89,17 @@ class CLIPTokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
+        # textual-inversion placeholders: literal word -> id run (a k-vector
+        # concept occupies k consecutive ids past the base vocab)
+        self.added_tokens: Dict[str, List[int]] = {}
+
+    def add_placeholder(self, word: str, ids: List[int]) -> None:
+        """Register a placeholder word that tokenizes to a fixed id run
+        (checkpoint/textual_inversion.py). Matched case-insensitively as a
+        whole word before BPE."""
+        self.added_tokens[word.lower()] = list(ids)
+        self._added_re = re.compile(
+            "(" + "|".join(re.escape(w) for w in self.added_tokens) + ")")
 
     # ------------------------------------------------------------ BPE core
 
@@ -129,8 +140,19 @@ class CLIPTokenizer:
         return out
 
     def encode(self, text: str) -> List[int]:
-        bpe_tokens: List[int] = []
         text = _whitespace_clean(_basic_clean(text)).lower()
+        if self.added_tokens:
+            out: List[int] = []
+            for part in self._added_re.split(text):
+                if part in self.added_tokens:
+                    out.extend(self.added_tokens[part])
+                elif part:
+                    out.extend(self._encode_bpe(part))
+            return out
+        return self._encode_bpe(text)
+
+    def _encode_bpe(self, text: str) -> List[int]:
+        bpe_tokens: List[int] = []
         for token in re.findall(_TOKEN_PATTERN, text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             bpe_tokens.extend(
