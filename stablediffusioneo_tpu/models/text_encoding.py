@@ -118,3 +118,111 @@ def encode_prompt_windowed(
     feed = jnp.asarray(ids.reshape(b * f, l))
     y = clip_text_apply_skip(params, cfg, feed, clip_skip=clip_skip)
     return y.reshape(b, f * l, -1)
+
+
+# ------------------------------------------------------- prompt emphasis
+
+# A1111-style attention syntax (beyond the reference): "(x)" scales the
+# fragment's conditioning by 1.1, "[x]" by 1/1.1, "(x:1.5)" by 1.5;
+# groups nest multiplicatively; "\(" / "\[" are literals.
+_EMPH_TOKEN = None  # lazy-compiled regex
+
+
+def parse_prompt_attention(text: str):
+    """-> [(fragment, weight)] with adjacent equal-weight fragments merged.
+
+    Implements the emphasis grammar by scanning with a multiplier stack:
+    '(' pushes x1.1, '[' pushes x(1/1.1), ':w)' rewrites the enclosing
+    '(' group's multiplier to w, ')' / ']' pop. Escapes: '\\(' etc. emit
+    the literal character."""
+    import re as _re
+
+    global _EMPH_TOKEN
+    if _EMPH_TOKEN is None:
+        _EMPH_TOKEN = _re.compile(
+            r"\\[\\()\[\]]|\(|\)|\[|\]|:\s*([+-]?[\d.]+)\s*\)|[^\\()\[\]:]+|:")
+    out = []          # [(fragment, weight)]
+    stack = []        # (index into out at group start, kind)
+    weight = 1.0
+
+    def emit(s, w):
+        if s:
+            out.append([s, w])
+
+    def rescale(start, factor):
+        for item in out[start:]:
+            item[1] *= factor
+
+    for m in _EMPH_TOKEN.finditer(text):
+        tok = m.group(0)
+        if tok.startswith("\\"):
+            emit(tok[1:], weight)
+        elif tok == "(":
+            stack.append((len(out), "("))
+            weight *= 1.1
+        elif tok == "[":
+            stack.append((len(out), "["))
+            weight /= 1.1
+        elif m.group(1) is not None:  # ":w)" — explicit weight close
+            if stack and stack[-1][1] == "(":
+                start, _ = stack.pop()
+                w = float(m.group(1))
+                rescale(start, w / 1.1)  # replace the provisional 1.1
+                weight /= 1.1  # group closed; outer weight restored
+            else:
+                emit(tok, weight)
+        elif tok == ")":
+            if stack and stack[-1][1] == "(":
+                stack.pop()
+                weight /= 1.1
+            else:
+                emit(tok, weight)
+        elif tok == "]":
+            if stack and stack[-1][1] == "[":
+                stack.pop()
+                weight *= 1.1
+            else:
+                emit(tok, weight)
+        else:
+            emit(tok, weight)
+    # unclosed groups: keep their provisional multiplier (A1111 behavior)
+    merged = []
+    for s, w in out:
+        if merged and abs(merged[-1][1] - w) < 1e-9:
+            merged[-1][0] += s
+        else:
+            merged.append([s, w])
+    return [(s, w) for s, w in merged] or [("", 1.0)]
+
+
+def tokenize_weighted(tokenizer: CLIPTokenizer, texts: List[str]):
+    """-> (ids (B, L) int32, weights (B, L) f32): per-token emphasis
+    weights aligned with the padded token grid (SOT/EOT/pad = 1.0)."""
+    L = tokenizer.max_length
+    ids = np.full((len(texts), L), tokenizer.eot, np.int32)
+    weights = np.ones((len(texts), L), np.float32)
+    for i, text in enumerate(texts):
+        toks, ws = [], []
+        for frag, w in parse_prompt_attention(text):
+            t = tokenizer.encode(frag)
+            toks.extend(t)
+            ws.extend([w] * len(t))
+        toks, ws = toks[: L - 2], ws[: L - 2]
+        ids[i, 0] = tokenizer.sot
+        ids[i, 1:1 + len(toks)] = toks
+        ids[i, 1 + len(toks)] = tokenizer.eot
+        weights[i, 1:1 + len(ws)] = ws
+    return ids, weights
+
+
+def apply_emphasis(ctx: jax.Array, weights: np.ndarray) -> jax.Array:
+    """Scale hidden states by per-token weights, then restore each row's
+    original mean (the A1111 recipe: emphasis shifts direction, not the
+    overall conditioning magnitude). weights == 1 is an exact no-op."""
+    if np.allclose(weights, 1.0):
+        return ctx
+    w = jnp.asarray(weights)[..., None]
+    orig_mean = jnp.mean(ctx.astype(jnp.float32), axis=(1, 2), keepdims=True)
+    z = ctx.astype(jnp.float32) * w
+    new_mean = jnp.mean(z, axis=(1, 2), keepdims=True)
+    return (z * (orig_mean / new_mean)).astype(ctx.dtype)

@@ -132,6 +132,7 @@ class Canny2ImagePipeline:
         inpaint_mask: Optional[np.ndarray] = None,
         init_image: Optional[np.ndarray] = None,
         denoise_strength: float = 0.75,
+        prompt_emphasis: bool = False,
     ) -> List[np.ndarray]:
         """Returns [detected_map] + generated uint8 HWC images
         (canny2image gradio convention).
@@ -178,7 +179,22 @@ class Canny2ImagePipeline:
 
         # batched cond+uncond CLIP encode
         cond_text = prompt + ", " + a_prompt if a_prompt else prompt
-        if long_prompt:
+        if prompt_emphasis:
+            # A1111-style "(word:1.3)" emphasis (beyond the reference):
+            # per-token weights scale the hidden states, row mean restored
+            if long_prompt:
+                raise ValueError("prompt_emphasis + long_prompt is "
+                                 "unsupported (pick one encoder path)")
+            from stablediffusioneo_tpu.models.text_encoding import (
+                apply_emphasis, tokenize_weighted,
+            )
+
+            ids, weights = tokenize_weighted(
+                self.tokenizer, [cond_text, n_prompt])
+            ctx = apply_emphasis(
+                self.runtime.encode_prompt(ids, clip_skip=clip_skip),
+                weights)
+        elif long_prompt:
             # True: fixed 3x77 (exact hack_everything parity). "auto":
             # minimal window count — 78-127-token prompts use ctx 154
             ctx = self.runtime.encode_prompt_windowed(
