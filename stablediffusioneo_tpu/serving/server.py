@@ -102,6 +102,8 @@ class GenRequest:
     # encode; requests batch only with matching t_enc (engine depth)
     init_image: Optional[np.ndarray] = None
     denoise_strength: float = 0.75
+    # A1111-style "(word:1.3)" emphasis (models/text_encoding.py)
+    prompt_emphasis: bool = False
 
 
 @dataclass
@@ -119,6 +121,7 @@ class _Pending:
     inpaint_mask: np.ndarray = None    # (h, w, 1) f32 latent-res, 1=generate
     init_src: np.ndarray = None        # (H, W, 3) f32 in [-1, 1] (img2img)
     t_enc: int = 0                     # img2img entry step (0 = off)
+    weights: np.ndarray = None         # (2, 77) emphasis weights (or None)
 
 
 @dataclass
@@ -277,7 +280,16 @@ class DiffusionServer:
         p.hint = packed if packed is not None else p.detected_map
         cond_text = (req.prompt + ", " + req.a_prompt
                      if req.a_prompt else req.prompt)
-        p.ids = np.asarray(self.pipe.tokenizer([cond_text, req.n_prompt]))
+        if req.prompt_emphasis:
+            from stablediffusioneo_tpu.models.text_encoding import (
+                tokenize_weighted,
+            )
+
+            p.ids, p.weights = tokenize_weighted(
+                self.pipe.tokenizer, [cond_text, req.n_prompt])
+        else:
+            p.ids = np.asarray(
+                self.pipe.tokenizer([cond_text, req.n_prompt]))
         # resolve seed=-1 per SUBMISSION, without mutating the caller's
         # request object (a reused GenRequest must draw fresh seeds)
         p.seed = (int(np.random.randint(0, 2 ** 31 - 1))
@@ -425,6 +437,18 @@ class DiffusionServer:
         ids = np.concatenate([np.stack([p.ids[0] for p in batch]),
                               np.stack([p.ids[1] for p in batch])])
         ctx = rt.encode_prompt(ids, clip_skip=r0.clip_skip)
+        if any(p.weights is not None for p in batch):
+            from stablediffusioneo_tpu.models.text_encoding import (
+                apply_emphasis,
+            )
+
+            ones = np.ones_like(ids[0], np.float32)
+            w = np.concatenate(
+                [np.stack([p.weights[0] if p.weights is not None else ones
+                           for p in batch]),
+                 np.stack([p.weights[1] if p.weights is not None else ones
+                           for p in batch])])
+            ctx = apply_emphasis(ctx, w)
         ctx_cond, ctx_uncond = ctx[:b], ctx[b:]
 
         hint = np.stack([p.hint for p in batch])

@@ -280,6 +280,32 @@ class TestDiffusionServer:
                                - im.astype(np.int16)) > 1).mean()
             assert frac_off < 0.02, f"inpaint serving diverged: {frac_off}"
 
+    def test_prompt_emphasis_matches_process_and_cobatches(self, tiny_server):
+        """Emphasis requests co-batch with plain ones (weight-1 rows are an
+        exact no-op) and match the process(prompt_emphasis=True) path."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, pipe = tiny_server
+        b0 = server.stats.batches
+        reqs = [
+            GenRequest(image=_img(70), prompt="a (red:1.8) bird",
+                       image_resolution=64, ddim_steps=2, seed=71,
+                       prompt_emphasis=True),
+            GenRequest(image=_img(71), prompt="a dog",
+                       image_resolution=64, ddim_steps=2, seed=72),
+        ]
+        futures = [server.submit(r) for r in reqs]
+        results = [f.result(timeout=900) for f in futures]
+        assert server.stats.batches - b0 < 2, "emphasis blocked co-batching"
+        for r, (det, im) in zip(reqs, results):
+            outs = pipe.process(
+                r.image, r.prompt, a_prompt=r.a_prompt, n_prompt=r.n_prompt,
+                num_samples=1, image_resolution=64, ddim_steps=2,
+                seed=r.seed, prompt_emphasis=r.prompt_emphasis)
+            frac_off = (np.abs(outs[1].astype(np.int16)
+                               - im.astype(np.int16)) > 1).mean()
+            assert frac_off < 0.02, f"emphasis serving diverged: {frac_off}"
+
     def test_img2img_requests_batch_and_match_process(self, tiny_server):
         """img2img requests with the same t_enc batch together (per-request
         seeds ride the img2img-seeds engine variant) and reproduce the
