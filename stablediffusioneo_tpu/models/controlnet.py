@@ -188,16 +188,41 @@ def controlled_unet_apply(
 
     unet_ctx_kv / ctrl_ctx_kv: optional hoisted context K/V trees
     (precompute_context_kv / precompute_controlnet_context_kv).
+
+    Multi-ControlNet (beyond the reference; the residual taps enter the
+    UNet linearly, so N nets compose by summation): pass
+    `controlnet_params` as a tuple of N trees, with `hint`/`guided_hint`,
+    `control_scales`, and `ctrl_ctx_kv` tuples of matching length.
     """
     if hint is None and guided_hint is None:
         return unet_apply(unet_params, cfg.unet, x, timesteps, context,
                           control=None, ctx_kv=unet_ctx_kv)
-    control = controlnet_apply(
-        controlnet_params, cfg, x, hint, timesteps, context,
-        guided_hint=guided_hint, ctx_kv=ctrl_ctx_kv,
-    )
-    if control_scales is not None:
-        control = scale_control(control, control_scales)
+    if isinstance(controlnet_params, (tuple, list)):
+        n = len(controlnet_params)
+
+        # per-net values are TUPLES (a plain list of 13 floats is a shared
+        # single-net scale vector, not a per-net container)
+        def pick(v, i):
+            return v[i] if isinstance(v, tuple) else v
+
+        control = None
+        for i in range(n):
+            taps = controlnet_apply(
+                controlnet_params[i], cfg, x, pick(hint, i), timesteps,
+                context, guided_hint=pick(guided_hint, i),
+                ctx_kv=pick(ctrl_ctx_kv, i),
+            )
+            if control_scales is not None:
+                taps = scale_control(taps, pick(control_scales, i))
+            control = taps if control is None else [
+                a + b for a, b in zip(control, taps)]
+    else:
+        control = controlnet_apply(
+            controlnet_params, cfg, x, hint, timesteps, context,
+            guided_hint=guided_hint, ctx_kv=ctrl_ctx_kv,
+        )
+        if control_scales is not None:
+            control = scale_control(control, control_scales)
     return unet_apply(
         unet_params, cfg.unet, x, timesteps, context,
         control=control, only_mid_control=only_mid_control,

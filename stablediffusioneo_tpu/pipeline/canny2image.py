@@ -57,12 +57,25 @@ class Canny2ImagePipeline:
     ):
         self.cfg = cfg or sd15_pipeline()
         self.tokenizer = tokenizer
-        self.apply_canny = annotator or CannyDetector()
+        # multi-ControlNet: params["controlnet"] a tuple of N trees pairs
+        # with a list of N annotators (one hint source per net)
+        if isinstance(params.get("controlnet"), (tuple, list)):
+            n = len(params["controlnet"])
+            params = {**params, "controlnet": tuple(params["controlnet"])}
+            anns = annotator if isinstance(annotator, (list, tuple)) else (
+                [annotator] if annotator else [])
+            anns = list(anns) + [CannyDetector()] * (n - len(anns))
+            self.annotators = anns[:n]
+            self.apply_canny = self.annotators[0]
+        else:
+            self.annotators = None
+            self.apply_canny = annotator or CannyDetector()
         self.runtime = CNSDRuntime(params, self.cfg,
                                    persistent_cache=persistent_cache,
                                    quantize_linears=quantize_linears,
                                    mesh=mesh)
         self.last_timings: Dict[str, float] = {}
+        self.last_detected_maps: List[np.ndarray] = []
 
     # -------------------------------------------------------------- bring-up
 
@@ -72,14 +85,16 @@ class Canny2ImagePipeline:
         self.runtime.warmup(warmup_resolution, warmup_steps)
         return self
 
-    def _annotate(self, img: np.ndarray, low: int, high: int):
+    def _annotate(self, img: np.ndarray, low: int, high: int,
+                  annotator=None):
         """Run the pluggable annotator; returns (HWC3 uint8 map, raw output).
         Canny consumes the thresholds, other detectors take just the image;
         multi-output detectors (e.g. MiDaS depth+normal) use the first."""
+        ann = annotator if annotator is not None else self.apply_canny
         try:
-            out = self.apply_canny(img, low, high)
+            out = ann(img, low, high)
         except TypeError:
-            out = self.apply_canny(img)
+            out = ann(img)
         if isinstance(out, tuple):
             out = out[0]
         out = np.asarray(out)
@@ -159,17 +174,32 @@ class Canny2ImagePipeline:
         img = resize_image(HWC3(input_image), image_resolution)
         H, W = img.shape[:2]
 
-        detected_map, raw_map = self._annotate(img, low_threshold, high_threshold)
-
-        # uint8 hint: normalized in-graph by the engine's uint8-ingest
-        # variant (bit-identical to `detected / 255.0` here, 4x less
-        # host->device transfer). Binary gray maps (canny) go further:
-        # bit-packed to (B, H, W//8) and unpacked in-graph (24x less).
-        packed = self._pack_hint(detected_map, raw_map)
-        if packed is not None:
-            hint = np.repeat(packed[None], num_samples, axis=0)  # (B,H,W//8)
+        if self.annotators is not None:
+            # multi-ControlNet: one hint per net, per-net annotators; hints
+            # ride as a float tuple (the u8/packed ingest optimizations
+            # stay single-net)
+            pairs = [self._annotate(img, low_threshold, high_threshold, a)
+                     for a in self.annotators]
+            self.last_detected_maps = [m for m, _ in pairs]
+            detected_map = pairs[0][0]
+            hint = tuple(
+                np.repeat((m.astype(np.float32) / 255.0)[None],
+                          num_samples, axis=0)
+                for m, _ in pairs)
         else:
-            hint = np.repeat(detected_map[None], num_samples, axis=0)
+            detected_map, raw_map = self._annotate(
+                img, low_threshold, high_threshold)
+            self.last_detected_maps = [detected_map]
+
+            # uint8 hint: normalized in-graph by the engine's uint8-ingest
+            # variant (bit-identical to `detected / 255.0` here, 4x less
+            # host->device transfer). Binary gray maps (canny) go further:
+            # bit-packed to (B, H, W//8) and unpacked in-graph (24x less).
+            packed = self._pack_hint(detected_map, raw_map)
+            if packed is not None:
+                hint = np.repeat(packed[None], num_samples, axis=0)
+            else:
+                hint = np.repeat(detected_map[None], num_samples, axis=0)
 
         if seed == -1:
             seed = int(np.random.randint(0, 2**31 - 1))
@@ -222,6 +252,11 @@ class Canny2ImagePipeline:
         else:
             x_T_arr = jnp.asarray(x_T)
 
+        # a tuple hint (multi-ControlNet) must stay a tuple of
+        # per-net arrays; jnp.asarray would merge it into one
+        hint_dev = (tuple(jnp.asarray(hh) for hh in hint)
+                    if isinstance(hint, tuple) else
+                    jnp.asarray(hint))
         run_kwargs = dict(
             guidance_scale=scale,
             strength=strength,
@@ -273,7 +308,7 @@ class Canny2ImagePipeline:
             # the phase split is honest (block_until_ready can return early
             # on tunneled backends) — costs two extra host<->device RTTs
             samples = self.runtime.sample(
-                ddim_steps, x_T_arr, jnp.asarray(hint), ctx_cond, ctx_uncond,
+                ddim_steps, x_T_arr, hint_dev, ctx_cond, ctx_uncond,
                 key, **run_kwargs)
             _hard_sync(samples)
             t_sample = time.perf_counter()
@@ -294,7 +329,7 @@ class Canny2ImagePipeline:
             # production path: the whole latent->pixels pipeline is ONE
             # compiled program + one fetch (no host in the loop)
             images_dev = self.runtime.sample_decode(
-                ddim_steps, x_T_arr, jnp.asarray(hint), ctx_cond, ctx_uncond,
+                ddim_steps, x_T_arr, hint_dev, ctx_cond, ctx_uncond,
                 key, **run_kwargs)
             # no intermediate sync: np.asarray blocks until done AND fetches
             # in one round-trip (a hard_sync here would cost one extra RTT)

@@ -84,7 +84,9 @@ def _cfg_eval(
         return e_cond, e_uncond
     ukv2, ckv2 = hoisted_kv if hoisted_kv is not None else (None, None)
     x2 = jnp.concatenate([x, x], axis=0)
-    gh2 = jnp.concatenate([guided_hint, guided_hint], axis=0)
+    # guided_hint is one embedding or (multi-ControlNet) a tuple of them
+    gh2 = jax.tree.map(lambda g: jnp.concatenate([g, g], axis=0),
+                       guided_hint)
     t2 = jnp.concatenate([t, t], axis=0)
     ctx2 = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
     eps2 = controlled_unet_apply(
@@ -108,22 +110,32 @@ def _hoist_context_kv(unet_params, controlnet_params, cfg: ControlNetConfig,
     from stablediffusioneo_tpu.models.unet import precompute_context_kv
 
     ucfg = cfg.unet
+
+    def ctrl_kv(ctx):
+        if isinstance(controlnet_params, (tuple, list)):
+            return tuple(precompute_controlnet_context_kv(cp, cfg, ctx)
+                         for cp in controlnet_params)
+        return precompute_controlnet_context_kv(controlnet_params, cfg, ctx)
+
     if guess_mode:
         return (
             precompute_context_kv(unet_params, ucfg, ctx_cond),
-            precompute_controlnet_context_kv(controlnet_params, cfg, ctx_cond),
+            ctrl_kv(ctx_cond),
             precompute_context_kv(unet_params, ucfg, ctx_uncond),
         )
     ctx2 = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
     return (
         precompute_context_kv(unet_params, ucfg, ctx2),
-        precompute_controlnet_context_kv(controlnet_params, cfg, ctx2),
+        ctrl_kv(ctx2),
     )
 
 
 def _tile_cfg(control_scales):
     """Per-sample (B, 13) control scales tiled to the CFG batch-2B concat;
-    shared (13,)/list scales pass through (broadcast over batch)."""
+    shared (13,)/list scales pass through (broadcast over batch). A tuple
+    (multi-ControlNet: one entry per net) tiles per net."""
+    if isinstance(control_scales, tuple):
+        return tuple(_tile_cfg(c) for c in control_scales)
     if isinstance(control_scales, jax.Array) and control_scales.ndim == 2:
         return jnp.concatenate([control_scales, control_scales], axis=0)
     return control_scales
@@ -245,10 +257,19 @@ def ddim_sample_scan(
     from stablediffusioneo_tpu.models.controlnet import hint_block_apply
 
     # the hint embedding depends only on the hint: compute ONCE, outside the
-    # scan (the reference's per-step engines recompute it every step)
-    guided_hint = hint_block_apply(
-        controlnet_params["input_hint_block"], hint.astype(x_T.dtype)
-    )
+    # scan (the reference's per-step engines recompute it every step).
+    # Multi-ControlNet: tuple params + tuple hints -> tuple embeddings.
+    if isinstance(controlnet_params, (tuple, list)):
+        if encoder_cache_interval > 1:
+            raise ValueError("multi-ControlNet + encoder caching is "
+                             "unsupported")
+        guided_hint = tuple(
+            hint_block_apply(cp["input_hint_block"], h.astype(x_T.dtype))
+            for cp, h in zip(controlnet_params, hint))
+    else:
+        guided_hint = hint_block_apply(
+            controlnet_params["input_hint_block"], hint.astype(x_T.dtype)
+        )
     # likewise every cross-attention K/V projection of the step-invariant
     # context — hoisted out of the loop (XLA's LICM does not lift dots)
     hoisted_kv = _hoist_context_kv(

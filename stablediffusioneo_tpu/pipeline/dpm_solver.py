@@ -67,10 +67,19 @@ def dpmpp_sample_scan(
     guess_mode: bool = False,
     parameterization: str = "eps",
 ) -> jax.Array:
-    """DPM-Solver++(2M) loop. Deterministic (the ++ sampler is ODE-based)."""
-    guided_hint = hint_block_apply(
-        controlnet_params["input_hint_block"], hint.astype(x_T.dtype)
-    )
+    """DPM-Solver++(2M) loop. Deterministic (the ++ sampler is ODE-based).
+
+    Multi-ControlNet (tuple params/hints/scales) composes the same way as
+    the DDIM path: per-net hint embeddings + hoisted K/V, taps summed in
+    controlled_unet_apply."""
+    if isinstance(controlnet_params, (tuple, list)):
+        guided_hint = tuple(
+            hint_block_apply(cp["input_hint_block"], h.astype(x_T.dtype))
+            for cp, h in zip(controlnet_params, hint))
+    else:
+        guided_hint = hint_block_apply(
+            controlnet_params["input_hint_block"], hint.astype(x_T.dtype)
+        )
     hoisted_kv = _hoist_context_kv(
         unet_params, controlnet_params, cfg, ctx_cond, ctx_uncond, guess_mode
     )

@@ -332,10 +332,10 @@ class CNSDRuntime:
                                 encoder_cache_interval, inpaint=inpaint)
         if hint_u8 == "packed":
             sfn = self._with_packed_hint(base)
-        elif hint_u8:
-            sfn = self._with_u8_hint(base)
+        elif hint_u8 == "multi" or not hint_u8:
+            sfn = base  # float hints (incl. per-net tuples) pass through
         else:
-            sfn = base
+            sfn = self._with_u8_hint(base)
         cfg = self.cfg
         f_ds = cfg.vae.downsample_factor
         lat_shape = (batch, h // f_ds, w // f_ds, 4)
@@ -415,13 +415,20 @@ class CNSDRuntime:
             lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
         if hint_u8 == "packed":
             hint = self._abs_data((batch, h, w // 8), jnp.uint8)
+        elif hint_u8 == "multi":
+            hint = tuple(self._abs_data((batch, h, w, 3), self.dtype)
+                         for _ in self.params["controlnet"])
         else:
             hint = self._abs_data((batch, h, w, 3),
                                   jnp.uint8 if hint_u8 else self.dtype)
         ctx = self._abs_data(
             (batch, ctx_len, self.cfg.unet.context_dim), self.dtype)
         scale = self._abs_data((batch,), jnp.float32)
-        cscales = self._abs_data((batch, self.n_taps), jnp.float32)
+        cscales = (tuple(self._abs_data((batch, self.n_taps),
+                                        jnp.float32)
+                         for _ in self.params["controlnet"])
+                   if hint_u8 == "multi" else
+                   self._abs_data((batch, self.n_taps), jnp.float32))
         key = (self._abs_data((batch,), jnp.int32)
                if gen_xT == "img2img-seeds"
                else self._abs_rep((2,), jnp.uint32))
@@ -485,10 +492,18 @@ class CNSDRuntime:
         x_T=None. Each row's x_T AND in-loop eta-noise derive from its own
         seed in-graph, so a request reproduces bit-identically regardless
         of which batch it was cut into (`key` is then ignored)."""
-        b = hint.shape[0]
-        packed = hint.ndim == 3
-        h = hint.shape[1]
-        w = hint.shape[2] * 8 if packed else hint.shape[2]
+        multi = isinstance(hint, tuple)
+        if multi != isinstance(self.params["controlnet"], tuple):
+            raise ValueError("multi-ControlNet: hint must be a tuple of "
+                             "per-net float hints iff the runtime holds a "
+                             "tuple of controlnet trees")
+        h0 = hint[0] if multi else hint
+        if multi and not isinstance(strength, tuple):
+            strength = (strength,) * len(hint)  # shared scale for all nets
+        b = h0.shape[0]
+        packed = not multi and h0.ndim == 3
+        h = h0.shape[1]
+        w = h0.shape[2] * 8 if packed else h0.shape[2]
         if seeds is not None and x_T is not None:
             raise ValueError("seeds requires x_T=None (in-graph generation)")
         if init_latent is not None:
@@ -499,9 +514,12 @@ class CNSDRuntime:
             gen_xT = "img2img-seeds" if seeds is not None else "img2img"
         else:
             gen_xT = "seeds" if seeds is not None else x_T is None
-        if packed and hint.dtype != jnp.uint8:
+        if packed and h0.dtype != jnp.uint8:
             raise ValueError("rank-3 (packed) hint must be uint8")
-        hint_u8 = "packed" if packed else hint.dtype == jnp.uint8
+        # the multi path uploads plain float hints (the u8/packed ingest
+        # variants stay single-net optimizations)
+        hint_u8 = ("multi" if multi
+                   else "packed" if packed else h0.dtype == jnp.uint8)
         inpaint = inpaint_latent is not None
         if inpaint and inpaint_mask is None:
             raise ValueError("inpaint_latent requires inpaint_mask")
@@ -535,11 +553,17 @@ class CNSDRuntime:
         if inpaint:
             extra = (self._put_batch(inpaint_latent.astype(self.dtype)),
                      self._put_batch(inpaint_mask.astype(self.dtype)))
+        if hint_u8 == "multi":
+            hint_arg = tuple(self._put_batch(hh.astype(self.dtype))
+                             for hh in hint)
+        else:
+            hint_arg = self._put_batch(
+                hint if hint_u8 else hint.astype(self.dtype))
         return eng(
             self.params["unet"], self.params["controlnet"],
             self.params["vae"], sched,
             x_T_arg,
-            self._put_batch(hint if hint_u8 else hint.astype(self.dtype)),
+            hint_arg,
             self._put_batch(ctx_cond.astype(self.dtype)),
             self._put_batch(ctx_uncond.astype(self.dtype)),
             self._put_batch(scale_v),
@@ -602,10 +626,10 @@ class CNSDRuntime:
                                encoder_cache_interval)
         if hint_u8 == "packed":
             fn = self._with_packed_hint(sfn)
-        elif hint_u8:
-            fn = self._with_u8_hint(sfn)
+        elif hint_u8 == "multi" or not hint_u8:
+            fn = sfn  # float hints (incl. per-net tuples) pass through
         else:
-            fn = sfn
+            fn = self._with_u8_hint(sfn)
         eng = Engine(fn, name=f"{sampler}_{num_steps}x{batch}x{h}x{w}"
                      + ("_guess" if guess_mode else "")
                      + (f"_ctx{ctx_len}" if ctx_len != self.cfg.clip.max_length
@@ -617,6 +641,9 @@ class CNSDRuntime:
         lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
         if hint_u8 == "packed":
             hint = self._abs_data((batch, h, w // 8), jnp.uint8)
+        elif hint_u8 == "multi":
+            hint = tuple(self._abs_data((batch, h, w, 3), self.dtype)
+                         for _ in self.params["controlnet"])
         else:
             hint = self._abs_data((batch, h, w, 3),
                                   jnp.uint8 if hint_u8 else self.dtype)
@@ -624,7 +651,11 @@ class CNSDRuntime:
             (batch, ctx_len, self.cfg.unet.context_dim), self.dtype
         )
         scale = self._abs_data((batch,), jnp.float32)
-        cscales = self._abs_data((batch, self.n_taps), jnp.float32)
+        cscales = (tuple(self._abs_data((batch, self.n_taps),
+                                        jnp.float32)
+                         for _ in self.params["controlnet"])
+                   if hint_u8 == "multi" else
+                   self._abs_data((batch, self.n_taps), jnp.float32))
         key = self._abs_rep((2,), jnp.uint32)
         params_abs = self._abs_tree(
             (self.params["unet"], self.params["controlnet"]))
@@ -724,6 +755,8 @@ class CNSDRuntime:
         Batches that don't tile the dp axis (e.g. a serving batch-1 cut on
         a dp=2 mesh) go in replicated — matching _aot_ready's on-demand-jit
         fallback for those shapes (GSPMD re-shards inside the program)."""
+        if isinstance(x, tuple):  # per-net containers (multi-ControlNet)
+            return tuple(self._put_batch(v, ndim) for v in x)
         if self.mesh is None:
             return jnp.asarray(x)
         from stablediffusioneo_tpu.parallel.mesh import data_sharding
@@ -816,6 +849,10 @@ class CNSDRuntime:
         (serving-layer) batches."""
         from stablediffusioneo_tpu.models.controlnet import guess_mode_scales
 
+        if isinstance(strength, tuple):  # multi-ControlNet: one per net
+            pairs = [self._per_sample_scales(batch, guidance_scale, s,
+                                             guess_mode) for s in strength]
+            return pairs[0][0], tuple(cs for _, cs in pairs)
         gs = np.asarray(guidance_scale, np.float32).reshape(-1)
         if gs.size == 1:
             gs = np.full((batch,), gs[0], np.float32)
@@ -848,7 +885,12 @@ class CNSDRuntime:
     ) -> jax.Array:
         b, lh, lw, _ = x_T.shape
         f = self.cfg.vae.downsample_factor
-        if hint.ndim == 3:  # bit-packed binary hint (B, H, W//8)
+        multi = isinstance(hint, tuple)
+        if multi:
+            hint_u8 = "multi"  # per-net float hints (multi-ControlNet)
+            if not isinstance(strength, tuple):
+                strength = (strength,) * len(hint)
+        elif hint.ndim == 3:  # bit-packed binary hint (B, H, W//8)
             hint_u8 = "packed"
         else:
             hint_u8 = hint.dtype == jnp.uint8
@@ -864,10 +906,16 @@ class CNSDRuntime:
         # reused across sample() calls — force a fresh buffer in that case.
         if isinstance(x_T, jax.Array) and x_T.dtype == self.dtype:
             x_T = jnp.copy(x_T)
+        if multi:
+            hint_arg = tuple(self._put_batch(hh.astype(self.dtype))
+                             for hh in hint)
+        else:
+            hint_arg = self._put_batch(
+                hint if hint_u8 else hint.astype(self.dtype))
         return eng(
             self.params["unet"], self.params["controlnet"], sched,
             self._put_batch(x_T.astype(self.dtype)),
-            self._put_batch(hint if hint_u8 else hint.astype(self.dtype)),
+            hint_arg,
             self._put_batch(ctx_cond.astype(self.dtype)),
             self._put_batch(ctx_uncond.astype(self.dtype)),
             self._put_batch(scale_v),
@@ -938,6 +986,27 @@ class CNSDRuntime:
         key = jax.random.PRNGKey(0)
         f = self.cfg.vae.downsample_factor
         x_T = jax.random.normal(key, (batch, h // f, w // f, 4), self.dtype)
+        if isinstance(self.params["controlnet"], tuple):
+            # multi-ControlNet runtime: per-net float hints; the u8/packed
+            # single-net variants below don't exist on this path
+            mh = tuple(jnp.zeros((batch, h, w, 3), self.dtype)
+                       for _ in self.params["controlnet"])
+            z = self.sample(num_steps, x_T, mh, ctx, ctx, key)
+            img = self.decode_latent(z)
+            img_fused = np.asarray(self.sample_decode(
+                num_steps, None, mh, ctx, ctx, key))
+            if img_fused.shape != img.shape:
+                raise RuntimeError(
+                    f"warmup self-test: fused sample_decode shape "
+                    f"{img_fused.shape} != granular path {img.shape}")
+            if not allow_fallback:
+                fell = [e.name for e in self._engines.values()
+                        if not e.get_engine_infor().get("compiled")
+                        and self.mesh is None]
+                if fell:
+                    raise RuntimeError(
+                        f"warmup: engines fell back to on-demand jit: {fell}")
+            return
         # uint8 hint: warm the uint8-ingest engine variants process() uses
         hint = jnp.zeros((batch, h, w, 3), jnp.uint8)
         z = self.sample(num_steps, x_T, hint, ctx, ctx, key)

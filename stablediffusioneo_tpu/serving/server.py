@@ -271,13 +271,23 @@ class DiffusionServer:
         p = _Pending(req=req, future=Future(), t_submit=time.perf_counter())
         img = resize_image(HWC3(req.image), req.image_resolution)
         p.hw = img.shape[:2]
-        p.detected_map, raw_map = self.pipe._annotate(
-            img, req.low_threshold, req.high_threshold)
-        # binary gray maps (canny) upload bit-packed (24x less transfer);
-        # others as uint8 pixels — engines normalize/unpack in-graph.
-        # Packedness is part of the batch key, so batches stay uniform.
-        packed = self.pipe._pack_hint(p.detected_map, raw_map)
-        p.hint = packed if packed is not None else p.detected_map
+        if self.pipe.annotators is not None:
+            # multi-ControlNet pipeline: one float hint per net (same
+            # convention as process(); u8/packed stay single-net)
+            pairs = [self.pipe._annotate(img, req.low_threshold,
+                                         req.high_threshold, a)
+                     for a in self.pipe.annotators]
+            p.detected_map = pairs[0][0]
+            p.hint = tuple(m.astype(np.float32) / 255.0 for m, _ in pairs)
+        else:
+            p.detected_map, raw_map = self.pipe._annotate(
+                img, req.low_threshold, req.high_threshold)
+            # binary gray maps (canny) upload bit-packed (24x less
+            # transfer); others as uint8 pixels — engines normalize/unpack
+            # in-graph. Packedness is part of the batch key, so batches
+            # stay uniform.
+            packed = self.pipe._pack_hint(p.detected_map, raw_map)
+            p.hint = packed if packed is not None else p.detected_map
         cond_text = (req.prompt + ", " + req.a_prompt
                      if req.a_prompt else req.prompt)
         if req.prompt_emphasis:
@@ -326,9 +336,11 @@ class DiffusionServer:
 
     def _key(self, p: _Pending) -> Tuple:
         r = p.req
+        hint_kind = (("multi", len(p.hint)) if isinstance(p.hint, tuple)
+                     else p.hint.ndim)  # 2 = bit-packed, 3 = uint8 pixels
         return (p.hw, r.ddim_steps, r.sampler, r.guess_mode, r.eta,
                 r.encoder_cache_interval, r.clip_skip, p.ids.shape[-1],
-                p.hint.ndim,  # 2 = bit-packed binary, 3 = uint8 pixels
+                hint_kind,
                 p.inpaint_src is not None,  # inpaint = own engine variant
                 p.t_enc)  # img2img entry step = own engine depth (0 = off)
 
@@ -451,7 +463,12 @@ class DiffusionServer:
             ctx = apply_emphasis(ctx, w)
         ctx_cond, ctx_uncond = ctx[:b], ctx[b:]
 
-        hint = np.stack([p.hint for p in batch])
+        if isinstance(batch[0].hint, tuple):  # multi-ControlNet
+            n_nets = len(batch[0].hint)
+            hint = tuple(np.stack([p.hint[n] for p in batch])
+                         for n in range(n_nets))
+        else:
+            hint = np.stack([p.hint for p in batch])
         # per-request seeds: x_T AND in-loop eta-noise derive from each
         # row's own seed IN-GRAPH (engine gen_xT="seeds"), so a request's
         # output is bit-identical at batch 1 or inside any batch — incl.
@@ -459,7 +476,21 @@ class DiffusionServer:
         # host-side x_T generation dispatches are gone
         seeds = np.asarray([p.seed for p in batch], np.int32)
         scales = np.asarray([p.req.scale for p in batch], np.float32)
-        strengths = np.asarray([p.req.strength for p in batch], np.float32)
+        if isinstance(batch[0].hint, tuple):
+            # per-net strengths: scalars broadcast to every net, tuples are
+            # per-net; each net gets its own per-request (B,) vector
+            n_nets = len(batch[0].hint)
+
+            def st(p, n):
+                s = p.req.strength
+                return s[n] if isinstance(s, tuple) else s
+
+            strengths = tuple(
+                np.asarray([st(p, n) for p in batch], np.float32)
+                for n in range(n_nets))
+        else:
+            strengths = np.asarray([p.req.strength for p in batch],
+                                   np.float32)
 
         extra_kw = {}
         if batch[0].inpaint_src is not None:
@@ -483,7 +514,10 @@ class DiffusionServer:
             )
 
         images_dev = rt.sample_decode(
-            r0.ddim_steps, None, jnp.asarray(hint), ctx_cond, ctx_uncond,
+            r0.ddim_steps, None,
+            (tuple(jnp.asarray(hh) for hh in hint)
+             if isinstance(hint, tuple) else jnp.asarray(hint)),
+            ctx_cond, ctx_uncond,
             None, seeds=seeds,
             guidance_scale=scales, strength=strengths, eta=r0.eta,
             guess_mode=r0.guess_mode, sampler=r0.sampler,
