@@ -35,18 +35,46 @@ from stablediffusioneo_tpu.pipeline.ddim import (
 
 
 def dpmpp_schedule(
-    schedule: DiffusionSchedule, num_steps: int
+    schedule: DiffusionSchedule, num_steps: int,
+    spacing: str = "uniform", rho: float = 7.0,
 ) -> Dict[str, np.ndarray]:
     """Per-step (t, alpha, sigma, lambda) in SAMPLING order, plus the final
-    target (t -> 0 endpoint uses the last diffusion step's abar)."""
+    target (t -> 0 endpoint uses the last diffusion step's abar).
+
+    spacing="karras" (the "DPM++ 2M Karras" variant, Karras et al.
+    arXiv:2206.00364 eq. 5): the VE sigmas sigma_k = sigma/alpha follow the
+    rho-7 power spacing instead of uniform timesteps — denser steps near
+    the low-noise end, where 2M's quality is won. alpha/sigma derive
+    exactly from sigma_k via the VP identity (alpha = 1/sqrt(1+sigma_k^2));
+    the model-eval t comes from log-sigma interpolation over the trained
+    discrete schedule (fractional t — the timestep embedding is continuous).
+    Same array shapes/keys as uniform, so the SAME compiled engine serves
+    both spacings (schedules are engine inputs)."""
     abar = schedule.alphas_cumprod
-    # timesteps descending from T-1 to ~0, inclusive endpoints
-    ts = np.linspace(schedule.num_timesteps - 1, 0, num_steps + 1).round().astype(int)
-    a = np.sqrt(abar[ts]).astype(np.float32)         # alpha_t, len steps+1
-    s = np.sqrt(1.0 - abar[ts]).astype(np.float32)   # sigma_t
+    if spacing == "karras":
+        log_sig = 0.5 * (np.log1p(-abar) - np.log(abar))  # increasing in t
+        sig_min, sig_max = np.exp(log_sig[0]), np.exp(log_sig[-1])
+        ramp = np.linspace(0.0, 1.0, num_steps + 1)
+        sigmas = (sig_max ** (1 / rho)
+                  + ramp * (sig_min ** (1 / rho) - sig_max ** (1 / rho))
+                  ) ** rho                                # descending
+        a = (1.0 / np.sqrt(1.0 + sigmas ** 2)).astype(np.float32)
+        s = (sigmas * a).astype(np.float32)
+        ts_f = np.interp(np.log(sigmas), log_sig,
+                         np.arange(len(abar), dtype=np.float64))
+        ts_eval = ts_f[:-1].astype(np.float32)
+    elif spacing == "uniform":
+        # timesteps descending from T-1 to ~0, inclusive endpoints
+        ts = np.linspace(schedule.num_timesteps - 1, 0,
+                         num_steps + 1).round().astype(int)
+        a = np.sqrt(abar[ts]).astype(np.float32)         # alpha_t
+        s = np.sqrt(1.0 - abar[ts]).astype(np.float32)   # sigma_t
+        ts_eval = ts[:-1].astype(np.float32)
+    else:
+        raise ValueError(f"unknown dpmpp spacing {spacing!r}")
     lam = np.log(np.maximum(a, 1e-12) / np.maximum(s, 1e-12)).astype(np.float32)
     return {
-        "t": ts[:-1].astype(np.float32),      # model eval times
+        "t": ts_eval,                         # model eval times
         "alpha_cur": a[:-1], "sigma_cur": s[:-1], "lambda_cur": lam[:-1],
         "alpha_next": a[1:], "sigma_next": s[1:], "lambda_next": lam[1:],
         "step_idx": np.arange(num_steps, dtype=np.int32),

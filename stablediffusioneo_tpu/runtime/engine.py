@@ -228,7 +228,7 @@ class CNSDRuntime:
                     encoder_cache_interval: int = 1, inpaint: bool = False):
         cfg = self.cfg
 
-        if sampler == "dpmpp":
+        if sampler.startswith("dpmpp"):
             from stablediffusioneo_tpu.pipeline.dpm_solver import dpmpp_sample_scan
 
             if inpaint:
@@ -594,10 +594,16 @@ class CNSDRuntime:
         return cached
 
     def _make_schedule(self, num_steps: int, sampler: str, eta: float = 0.0):
-        if sampler == "dpmpp":
+        if sampler.startswith("dpmpp"):
             from stablediffusioneo_tpu.pipeline.dpm_solver import dpmpp_schedule
 
-            return dpmpp_schedule(self.schedule, num_steps)
+            # "dpmpp-karras" = DPM++ 2M with the rho-7 Karras sigma spacing
+            # (same engine program; the spacing only changes the schedule
+            # arrays, which ride as engine inputs)
+            spacing = "karras" if sampler == "dpmpp-karras" else "uniform"
+            if sampler not in ("dpmpp", "dpmpp-karras"):
+                raise ValueError(f"unknown sampler {sampler!r}")
+            return dpmpp_schedule(self.schedule, num_steps, spacing=spacing)
         if sampler != "ddim":
             raise ValueError(f"unknown sampler {sampler!r} "
                              "(expected 'ddim' or 'dpmpp')")

@@ -126,3 +126,59 @@ class TestEncoderCache:
         fast = np.asarray(ddim_sample_scan(*args, encoder_cache_interval=3))
         assert np.isfinite(fast).all()
         assert fast.shape == base.shape
+
+
+class TestKarrasSpacing:
+    def test_schedule_properties(self):
+        """Karras rho-7 spacing: same keys/shapes as uniform (engine reuse),
+        monotone-descending VE sigmas spanning the trained range, steps
+        denser at the low-noise end."""
+        ds = DiffusionSchedule()
+        n = 10
+        uni = dpmpp_schedule(ds, n)
+        kar = dpmpp_schedule(ds, n, spacing="karras")
+        assert set(kar) == set(uni)
+        for k in kar:
+            assert kar[k].shape == uni[k].shape, k
+        sig_k = kar["sigma_cur"] / kar["alpha_cur"]  # VE sigma, descending
+        assert (np.diff(sig_k) < 0).all()
+        abar = ds.alphas_cumprod
+        sig_max = float(np.sqrt((1 - abar[-1]) / abar[-1]))
+        np.testing.assert_allclose(sig_k[0], sig_max, rtol=1e-4)
+        # alpha^2 + sigma^2 == 1 (VP identity holds exactly)
+        np.testing.assert_allclose(
+            kar["alpha_cur"] ** 2 + kar["sigma_cur"] ** 2, 1.0, rtol=1e-5)
+        # rho-7 clusters steps near sigma_min: the last VE-sigma gap is far
+        # smaller than the first
+        assert sig_k[-1] - kar["sigma_next"][-1] / kar["alpha_next"][-1] \
+            < 0.05 * (sig_k[0] - sig_k[1])
+        # model-eval times are fractional but inside the trained range
+        assert (kar["t"] >= 0).all() and (kar["t"] <= len(abar) - 1).all()
+        with pytest.raises(ValueError, match="spacing"):
+            dpmpp_schedule(ds, n, spacing="nope")
+
+    def test_runtime_karras_sampler(self, rng):
+        from stablediffusioneo_tpu.models import init_clip_text, init_vae
+        from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
+
+        ks = jax.random.split(jax.random.PRNGKey(7), 4)
+        cnt = iter(jax.random.split(ks[0], 4096))
+        params = {
+            "unet": jax.tree.map(
+                lambda x: jax.random.normal(next(cnt), x.shape, x.dtype)
+                * 0.05, init_unet(ks[0], CFG.unet)),
+            "controlnet": init_controlnet(ks[1], CFG.controlnet),
+            "vae": init_vae(ks[2], CFG.vae),
+            "clip": init_clip_text(ks[3], CFG.clip),
+        }
+        rt = CNSDRuntime(params, CFG, persistent_cache=False)
+        ids = np.zeros((1, CFG.clip.max_length), np.int32)
+        ctx = rt.encode_prompt(ids)
+        hint = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+        key = jax.random.PRNGKey(3)
+        out_u = np.asarray(rt.sample_decode(
+            4, None, hint, ctx, ctx, key, sampler="dpmpp"))
+        out_k = np.asarray(rt.sample_decode(
+            4, None, hint, ctx, ctx, key, sampler="dpmpp-karras"))
+        assert out_k.shape == out_u.shape and out_k.dtype == np.uint8
+        assert np.any(out_k != out_u), "spacing change had no effect"
