@@ -81,9 +81,11 @@ class TestImg2ImgEngine:
         with pytest.raises(ValueError, match="t_enc"):
             rt.sample_decode(2, None, hint, ctx, ctx, key,
                              init_latent=lat, t_enc=3)
-        with pytest.raises(ValueError, match="img2img"):
-            rt.sample_decode(2, None, hint, ctx, ctx, key,
-                             init_latent=lat, t_enc=1, seeds=[1])
+        # seeds + init_latent is VALID (the serving img2img-seeds variant);
+        # an explicit x_T is the remaining exclusivity
+        with pytest.raises(ValueError, match="x_T"):
+            rt.sample_decode(2, lat, hint, ctx, ctx, key,
+                             init_latent=lat, t_enc=1)
 
     def test_process_img2img_surface(self, rng, rt_and_params):
         from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
