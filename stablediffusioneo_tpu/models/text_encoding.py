@@ -139,8 +139,13 @@ def parse_prompt_attention(text: str):
 
     global _EMPH_TOKEN
     if _EMPH_TOKEN is None:
+        # weight must be a well-formed float ('1', '1.5', '.5'); malformed
+        # ':1..5)' falls through to the literal-text alternatives instead
+        # of crashing float()
         _EMPH_TOKEN = _re.compile(
-            r"\\[\\()\[\]]|\(|\)|\[|\]|:\s*([+-]?[\d.]+)\s*\)|[^\\()\[\]:]+|:")
+            r"\\[\\()\[\]]|\(|\)|\[|\]"
+            r"|:\s*([+-]?(?:\d+(?:\.\d*)?|\.\d+))\s*\)"
+            r"|[^\\()\[\]:]+|:")
     out = []          # [(fragment, weight)]
     stack = []        # (index into out at group start, kind)
     weight = 1.0

@@ -96,10 +96,14 @@ class CLIPTokenizer:
     def add_placeholder(self, word: str, ids: List[int]) -> None:
         """Register a placeholder word that tokenizes to a fixed id run
         (checkpoint/textual_inversion.py). Matched case-insensitively as a
-        whole word before BPE."""
+        WHOLE word before BPE: no adjacent alphanumerics ('sks' must not
+        fire inside 'tasks'), longest placeholder wins ('<ab>' beats
+        '<a>')."""
         self.added_tokens[word.lower()] = list(ids)
+        alts = "|".join(re.escape(w) for w in
+                        sorted(self.added_tokens, key=len, reverse=True))
         self._added_re = re.compile(
-            "(" + "|".join(re.escape(w) for w in self.added_tokens) + ")")
+            rf"((?<![a-z0-9])(?:{alts})(?![a-z0-9]))")
 
     # ------------------------------------------------------------ BPE core
 

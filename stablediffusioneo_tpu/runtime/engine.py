@@ -324,6 +324,9 @@ class CNSDRuntime:
         hint_u8="packed": the hint is bit-packed binary (B, H, W//8) uint8
         (see _with_packed_hint) — the canny production path."""
         ctx_len = ctx_len or self.cfg.clip.max_length
+        # dpmpp spacings share ONE program: the spacing only changes the
+        # schedule arrays, which are engine inputs (dpm_solver.py)
+        sampler = "dpmpp" if sampler.startswith("dpmpp") else sampler
         key_t = ("sample_decode", sampler, num_steps, batch, h, w, guess_mode,
                  encoder_cache_interval, ctx_len, hint_u8, gen_xT, inpaint)
         if key_t in self._engines:
@@ -498,8 +501,11 @@ class CNSDRuntime:
                              "per-net float hints iff the runtime holds a "
                              "tuple of controlnet trees")
         h0 = hint[0] if multi else hint
-        if multi and not isinstance(strength, tuple):
-            strength = (strength,) * len(hint)  # shared scale for all nets
+        if multi:
+            if isinstance(strength, list):  # JSON surfaces produce lists
+                strength = tuple(strength)
+            if not isinstance(strength, tuple):
+                strength = (strength,) * len(hint)  # shared for all nets
         b = h0.shape[0]
         packed = not multi and h0.ndim == 3
         h = h0.shape[1]
@@ -554,7 +560,7 @@ class CNSDRuntime:
             extra = (self._put_batch(inpaint_latent.astype(self.dtype)),
                      self._put_batch(inpaint_mask.astype(self.dtype)))
         if hint_u8 == "multi":
-            hint_arg = tuple(self._put_batch(hh.astype(self.dtype))
+            hint_arg = tuple(self._put_batch(self._norm_hint(hh))
                              for hh in hint)
         else:
             hint_arg = self._put_batch(
@@ -624,6 +630,7 @@ class CNSDRuntime:
         in-graph f32 division then dtype cast is bit-identical to the old
         host-side normalize)."""
         ctx_len = ctx_len or self.cfg.clip.max_length
+        sampler = "dpmpp" if sampler.startswith("dpmpp") else sampler
         key_t = ("sampler", sampler, num_steps, batch, h, w, guess_mode,
                  encoder_cache_interval, ctx_len, hint_u8)
         if key_t in self._engines:
@@ -774,6 +781,15 @@ class CNSDRuntime:
         return jax.device_put(np.asarray(x) if not hasattr(x, "sharding") else x,
                               data_sharding(self.mesh, nd))
 
+    def _norm_hint(self, hh):
+        """Per-net hint element (multi-ControlNet): uint8 maps normalize
+        exactly as the single-net in-graph path would (/255 in f32),
+        floats cast to the compute dtype."""
+        if hh.dtype == jnp.uint8:
+            return (jnp.asarray(hh).astype(jnp.float32)
+                    / 255.0).astype(self.dtype)
+        return hh.astype(self.dtype)
+
     def _put_rep(self, x):
         """device_put replicated when a mesh is configured (AOT-compiled
         mesh executables expect committed, correctly-sharded inputs)."""
@@ -892,8 +908,14 @@ class CNSDRuntime:
         b, lh, lw, _ = x_T.shape
         f = self.cfg.vae.downsample_factor
         multi = isinstance(hint, tuple)
+        if multi != isinstance(self.params["controlnet"], tuple):
+            raise ValueError("multi-ControlNet: hint must be a tuple of "
+                             "per-net float hints iff the runtime holds a "
+                             "tuple of controlnet trees")
         if multi:
             hint_u8 = "multi"  # per-net float hints (multi-ControlNet)
+            if isinstance(strength, list):
+                strength = tuple(strength)
             if not isinstance(strength, tuple):
                 strength = (strength,) * len(hint)
         elif hint.ndim == 3:  # bit-packed binary hint (B, H, W//8)
@@ -913,7 +935,7 @@ class CNSDRuntime:
         if isinstance(x_T, jax.Array) and x_T.dtype == self.dtype:
             x_T = jnp.copy(x_T)
         if multi:
-            hint_arg = tuple(self._put_batch(hh.astype(self.dtype))
+            hint_arg = tuple(self._put_batch(self._norm_hint(hh))
                              for hh in hint)
         else:
             hint_arg = self._put_batch(

@@ -118,7 +118,15 @@ class _Handler(BaseHTTPRequestHandler):
             # non-image bytes) — a malformed request, not a server fault
             return self._json(400, {"error": f"bad request: {e!r}"})
         t0 = time.perf_counter()
-        fut = self.diffusion.submit(req)
+        try:
+            # submit() runs host preprocessing and can reject a request on
+            # its own (missing inpaint mask, bad emphasis syntax, mismatched
+            # multi-CN arity) — map those to 400, not a dropped connection
+            fut = self.diffusion.submit(req)
+        except (ValueError, TypeError) as e:
+            return self._json(400, {"error": f"bad request: {e!r}"})
+        except Exception as e:  # noqa: BLE001 — preprocess crash = 500
+            return self._json(500, {"error": repr(e)})
         try:
             # handler threads block here; the DiffusionServer dispatcher
             # batches across all concurrently-blocked handlers

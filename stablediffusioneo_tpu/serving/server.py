@@ -247,10 +247,17 @@ class DiffusionServer:
         from stablediffusioneo_tpu.annotators.canny import CannyDetector
 
         rt = self.pipe.runtime
-        # canny produces binary maps -> requests arrive bit-packed
-        hint_mode = ("packed"
-                     if isinstance(self.pipe.apply_canny, CannyDetector)
-                     else True)
+        if self.pipe.annotators is not None:
+            # multi-ControlNet pipeline: submit() builds per-net float
+            # hint tuples, so THAT is the variant to precompile (the
+            # packed/u8 single-net variants would silently fail to lower
+            # against tuple params and leave the live path cold)
+            hint_mode = "multi"
+        elif isinstance(self.pipe.apply_canny, CannyDetector):
+            # canny produces binary maps -> requests arrive bit-packed
+            hint_mode = "packed"
+        else:
+            hint_mode = True
         for res in resolutions:
             for b in self.buckets:
                 rt.sample_decode_engine(steps, b, res, res, sampler=sampler,
@@ -442,8 +449,6 @@ class DiffusionServer:
         t0 = time.perf_counter()
         r0 = batch[0].req
         b = len(batch)
-        h, w = batch[0].hw
-        f = self.pipe.cfg.vae.downsample_factor
 
         # one batched CLIP encode: rows [cond_0..cond_{B-1}, uncond_0..]
         ids = np.concatenate([np.stack([p.ids[0] for p in batch]),
@@ -455,12 +460,12 @@ class DiffusionServer:
             )
 
             ones = np.ones_like(ids[0], np.float32)
-            w = np.concatenate(
+            emph_w = np.concatenate(
                 [np.stack([p.weights[0] if p.weights is not None else ones
                            for p in batch]),
                  np.stack([p.weights[1] if p.weights is not None else ones
                            for p in batch])])
-            ctx = apply_emphasis(ctx, w)
+            ctx = apply_emphasis(ctx, emph_w)
         ctx_cond, ctx_uncond = ctx[:b], ctx[b:]
 
         if isinstance(batch[0].hint, tuple):  # multi-ControlNet
@@ -483,7 +488,7 @@ class DiffusionServer:
 
             def st(p, n):
                 s = p.req.strength
-                return s[n] if isinstance(s, tuple) else s
+                return s[n] if isinstance(s, (tuple, list)) else s
 
             strengths = tuple(
                 np.asarray([st(p, n) for p in batch], np.float32)

@@ -182,3 +182,21 @@ class TestKarrasSpacing:
             4, None, hint, ctx, ctx, key, sampler="dpmpp-karras"))
         assert out_k.shape == out_u.shape and out_k.dtype == np.uint8
         assert np.any(out_k != out_u), "spacing change had no effect"
+
+    def test_karras_shares_the_dpmpp_engine(self, rng):
+        """The spacing is schedule-only: both sampler strings must resolve
+        to the SAME Engine object (no duplicate multi-minute compile)."""
+        from stablediffusioneo_tpu.models import init_clip_text, init_vae
+        from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
+
+        ks = jax.random.split(jax.random.PRNGKey(7), 4)
+        params = {
+            "unet": init_unet(ks[0], CFG.unet),
+            "controlnet": init_controlnet(ks[1], CFG.controlnet),
+            "vae": init_vae(ks[2], CFG.vae),
+            "clip": init_clip_text(ks[3], CFG.clip),
+        }
+        rt = CNSDRuntime(params, CFG, persistent_cache=False)
+        e1 = rt.sample_decode_engine(2, 1, 64, 64, sampler="dpmpp")
+        e2 = rt.sample_decode_engine(2, 1, 64, 64, sampler="dpmpp-karras")
+        assert e1 is e2

@@ -43,6 +43,13 @@ class TestParser:
         assert abs(got["outer "] - 2.0) < 1e-9
         assert got[" end"] == 1.0
 
+    def test_malformed_weight_does_not_crash(self):
+        # '(x:1..5)' and '(x:.)' must degrade to literal-ish text, not
+        # crash float() deep inside a serving submit
+        for t in ("(x:1..5)", "(x:.)", "(x:)"):
+            frags = parse_prompt_attention(t)
+            assert frags  # parsed without raising
+
     def test_unbalanced_brackets_are_literalish(self):
         # a stray ')' emits as text; an unclosed '(' keeps its multiplier
         frags = parse_prompt_attention("a ) b")

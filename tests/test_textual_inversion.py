@@ -46,6 +46,18 @@ class TestTokenizer:
         ids = tok.encode("<a> and <b>")
         assert 900 in ids and 901 in ids and 902 in ids
 
+    def test_whole_word_and_longest_match(self):
+        tok = _tok()
+        # the canonical TI token name must not fire inside ordinary words
+        tok.add_placeholder("sks", [950])
+        assert 950 not in tok.encode("tasks on the desk")
+        assert 950 in tok.encode("a sks plushie")
+        # longest placeholder wins regardless of registration order
+        tok.add_placeholder("<a>", [960])
+        tok.add_placeholder("<ab>", [961])
+        ids = tok.encode("x <ab> y")
+        assert 961 in ids and 960 not in ids
+
 
 class TestInjection:
     def test_concept_from_existing_row_encodes_identically(self):
