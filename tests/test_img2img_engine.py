@@ -123,3 +123,33 @@ class TestImg2ImgEngine:
         d_lo = np.abs(lo.astype(np.int16) - roundtrip.astype(np.int16)).mean()
         d_hi = np.abs(hi.astype(np.int16) - roundtrip.astype(np.int16)).mean()
         assert d_lo < d_hi, (d_lo, d_hi)
+
+
+@pytest.mark.slow
+class TestHiresFix:
+    def test_two_pass_upscale(self, rng, rt_and_params):
+        from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
+        from stablediffusioneo_tpu.pipeline.canny2image import (
+            Canny2ImagePipeline,
+        )
+
+        rt, params = rt_and_params
+        tok = toy_tokenizer(vocab_size=CFG.clip.vocab_size,
+                            max_length=CFG.clip.max_length)
+        pipe = Canny2ImagePipeline(params, tok, CFG, persistent_cache=False)
+        img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        outs = pipe.process(img, "a bird", num_samples=1,
+                            image_resolution=64, ddim_steps=2, seed=5,
+                            hires_upscale=2.0, hires_denoise=0.5)
+        det, gen = outs[0], outs[1]
+        assert gen.shape == (128, 128, 3) and gen.dtype == np.uint8
+        assert det.shape == (128, 128, 3)  # the hi-res hint that shaped it
+        # deterministic given the seed
+        outs2 = pipe.process(img, "a bird", num_samples=1,
+                             image_resolution=64, ddim_steps=2, seed=5,
+                             hires_upscale=2.0, hires_denoise=0.5)
+        np.testing.assert_array_equal(gen, outs2[1])
+        with pytest.raises(ValueError, match="hires_upscale"):
+            pipe.process(img, "a bird", num_samples=1, image_resolution=64,
+                         ddim_steps=2, seed=5, hires_upscale=2.0,
+                         init_image=img)
