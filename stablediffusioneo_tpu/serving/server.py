@@ -37,7 +37,7 @@ import threading
 import time
 from concurrent.futures import Future, InvalidStateError
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -104,6 +104,10 @@ class GenRequest:
     denoise_strength: float = 0.75
     # A1111-style "(word:1.3)" emphasis (models/text_encoding.py)
     prompt_emphasis: bool = False
+    # long prompts: False = truncate at 77 (reference parity), True = the
+    # fixed 3x77 windowed encoder, "auto" = minimal windows for the pair
+    # (models/text_encoding.py). Requests batch per window count.
+    long_prompt: Union[bool, str] = False
 
 
 @dataclass
@@ -302,8 +306,21 @@ class DiffusionServer:
                 tokenize_weighted,
             )
 
+            if req.long_prompt:
+                raise ValueError("prompt_emphasis + long_prompt is "
+                                 "unsupported (pick one encoder path)")
             p.ids, p.weights = tokenize_weighted(
                 self.pipe.tokenizer, [cond_text, req.n_prompt])
+        elif req.long_prompt:
+            from stablediffusioneo_tpu.models.text_encoding import (
+                needed_windows, tokenize_windowed,
+            )
+
+            tok = self.pipe.tokenizer
+            f = (needed_windows(tok, [cond_text, req.n_prompt])
+                 if req.long_prompt == "auto" else 3)
+            p.ids = tokenize_windowed(tok, [cond_text, req.n_prompt],
+                                      windows=f)  # (2, F, 77)
         else:
             p.ids = np.asarray(
                 self.pipe.tokenizer([cond_text, req.n_prompt]))
@@ -345,8 +362,9 @@ class DiffusionServer:
         r = p.req
         hint_kind = (("multi", len(p.hint)) if isinstance(p.hint, tuple)
                      else p.hint.ndim)  # 2 = bit-packed, 3 = uint8 pixels
+        ctx_len = int(np.prod(p.ids.shape[1:]))  # rank-3 = windowed F*77
         return (p.hw, r.ddim_steps, r.sampler, r.guess_mode, r.eta,
-                r.encoder_cache_interval, r.clip_skip, p.ids.shape[-1],
+                r.encoder_cache_interval, r.clip_skip, ctx_len,
                 hint_kind,
                 p.inpaint_src is not None,  # inpaint = own engine variant
                 p.t_enc)  # img2img entry step = own engine depth (0 = off)
@@ -453,7 +471,13 @@ class DiffusionServer:
         # one batched CLIP encode: rows [cond_0..cond_{B-1}, uncond_0..]
         ids = np.concatenate([np.stack([p.ids[0] for p in batch]),
                               np.stack([p.ids[1] for p in batch])])
-        ctx = rt.encode_prompt(ids, clip_skip=r0.clip_skip)
+        if ids.ndim == 3:  # long-prompt windows: (2B, F, 77) -> (2B*F, 77)
+            n2b, fw, lw = ids.shape
+            ctx = rt.encode_prompt(ids.reshape(n2b * fw, lw),
+                                   clip_skip=r0.clip_skip)
+            ctx = ctx.reshape(n2b, fw * lw, -1)
+        else:
+            ctx = rt.encode_prompt(ids, clip_skip=r0.clip_skip)
         if any(p.weights is not None for p in batch):
             from stablediffusioneo_tpu.models.text_encoding import (
                 apply_emphasis,

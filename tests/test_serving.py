@@ -483,3 +483,42 @@ class TestDiffusionServer:
                                       seed=4))
         det, im = ok.result(timeout=600)
         assert im.dtype == np.uint8
+
+
+class TestLongPromptServing:
+    def test_long_prompt_matches_process_and_groups_apart(self, tiny_server):
+        """A >77-token prompt through serving (windowed encoder) matches
+        process(long_prompt=...) and never co-batches with truncated
+        requests (different ctx length = different engine)."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, pipe = tiny_server
+        long_text = " ".join(f"word{i}" for i in range(40))  # > 14-token cap
+        b0 = server.stats.batches
+        reqs = [
+            GenRequest(image=_img(80), prompt=long_text, image_resolution=64,
+                       ddim_steps=2, seed=81, long_prompt="auto"),
+            GenRequest(image=_img(81), prompt="a dog", image_resolution=64,
+                       ddim_steps=2, seed=82),  # truncated -> other group
+        ]
+        futures = [server.submit(r) for r in reqs]
+        results = [f.result(timeout=900) for f in futures]
+        assert server.stats.batches - b0 == 2, "ctx lengths must not co-batch"
+        r = reqs[0]
+        outs = pipe.process(
+            r.image, r.prompt, a_prompt=r.a_prompt, n_prompt=r.n_prompt,
+            num_samples=1, image_resolution=64, ddim_steps=2, seed=r.seed,
+            long_prompt="auto")
+        frac_off = (np.abs(outs[1].astype(np.int16)
+                           - results[0][1].astype(np.int16)) > 1).mean()
+        assert frac_off < 0.02, f"long-prompt serving diverged: {frac_off}"
+
+    def test_emphasis_long_prompt_conflict_rejected(self, tiny_server):
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, _ = tiny_server
+        with pytest.raises(ValueError, match="long_prompt"):
+            server.submit(GenRequest(image=_img(82), prompt="x",
+                                     image_resolution=64, ddim_steps=2,
+                                     prompt_emphasis=True,
+                                     long_prompt=True))
