@@ -143,13 +143,21 @@ def _unet_encoder_part(sd, cfg: UNetConfig, dtype) -> Dict:
             b = {"res": _resblock(sd, f"{base}.0", dtype)}
             if desc["attn"]:
                 b["attn"] = _spatial_transformer(
-                    sd, f"{base}.1", cfg.transformer_depth, dtype
+                    sd, f"{base}.1", desc["depth"], dtype
                 )
             blocks.append(b)
     params["input_blocks"] = blocks
+    if cfg.adm_in_channels and "label_emb.0.0.weight" in sd:
+        # SDXL ADM conditioning MLP (label_emb.0 is a Sequential-in-list)
+        params["label_emb"] = {
+            "l1": _linear(sd, "label_emb.0.0", dtype),
+            "l2": _linear(sd, "label_emb.0.2", dtype),
+        }
     params["middle_block"] = {
         "res1": _resblock(sd, "middle_block.0", dtype),
-        "attn": _spatial_transformer(sd, "middle_block.1", cfg.transformer_depth, dtype),
+        "attn": _spatial_transformer(
+            sd, "middle_block.1",
+            cfg.depth_for(len(cfg.channel_mult) - 1), dtype),
         "res2": _resblock(sd, "middle_block.2", dtype),
     }
     return params
@@ -171,7 +179,7 @@ def convert_unet(
         b = {"res": _resblock(sd, f"{base}.0", dtype)}
         up_idx = 1
         if desc["attn"]:
-            b["attn"] = _spatial_transformer(sd, f"{base}.1", cfg.transformer_depth, dtype)
+            b["attn"] = _spatial_transformer(sd, f"{base}.1", desc["depth"], dtype)
             up_idx = 2
         if desc["up"]:
             b["up"] = _conv(sd, f"{base}.{up_idx}.conv", dtype)

@@ -27,9 +27,14 @@ class UNetConfig:
     channel_mult: Tuple[int, ...] = (1, 2, 4, 4)
     num_res_blocks: int = 2
     attention_resolutions: Tuple[int, ...] = (4, 2, 1)  # downsample factors with attn
-    transformer_depth: int = 1
+    # transformer blocks per attention site: an int (SD-1.x/2.x) or a
+    # per-LEVEL tuple (SDXL: (1, 2, 10) over channel_mult (1, 2, 4))
+    transformer_depth: "int | Tuple[int, ...]" = 1
     context_dim: int = 768
     num_heads: int = 8
+    # ADM conditioning width (SDXL label_emb: pooled text + time-id
+    # fourier features = 2816); None = no y input (SD-1.x/2.x)
+    adm_in_channels: Optional[int] = None
     # SD-2.x style: fixed per-head channel count instead of fixed head count
     # (openaimodel num_head_channels); None -> use num_heads
     num_head_channels: Optional[int] = None
@@ -46,6 +51,11 @@ class UNetConfig:
         if self.num_head_channels is not None:
             return channels // self.num_head_channels
         return self.num_heads
+
+    def depth_for(self, level: int) -> int:
+        """Transformer blocks per attention site at channel_mult level."""
+        td = self.transformer_depth
+        return td[level] if isinstance(td, tuple) else td
 
 
 @dataclasses.dataclass(frozen=True)

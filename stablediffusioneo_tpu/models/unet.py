@@ -116,12 +116,14 @@ def encoder_plan(cfg: UNetConfig) -> List[dict]:
     for level, mult in enumerate(cfg.channel_mult):
         for _ in range(cfg.num_res_blocks):
             cout = mult * cfg.model_channels
+            attn = ds in cfg.attention_resolutions and cfg.depth_for(level) > 0
             plan.append(
                 {
                     "kind": "res",
                     "cin": ch,
                     "cout": cout,
-                    "attn": ds in cfg.attention_resolutions,
+                    "attn": attn,
+                    "depth": cfg.depth_for(level),
                     "ds": ds,
                 }
             )
@@ -146,11 +148,13 @@ def decoder_plan(cfg: UNetConfig) -> List[dict]:
         for i in range(cfg.num_res_blocks + 1):
             skip = skip_chs.pop()
             cout = cfg.model_channels * mult
+            attn = ds in cfg.attention_resolutions and cfg.depth_for(level) > 0
             plan.append(
                 {
                     "cin": ch + skip,
                     "cout": cout,
-                    "attn": ds in cfg.attention_resolutions,
+                    "attn": attn,
+                    "depth": cfg.depth_for(level),
                     "up": (level != 0 and i == cfg.num_res_blocks),
                     "ds": ds,
                 }
@@ -186,16 +190,25 @@ def init_unet(key, cfg: UNetConfig) -> Dict:
             }
             if desc["attn"]:
                 b["attn"] = init_spatial_transformer(
-                    next(ks), desc["cout"], cfg.num_heads, cfg.transformer_depth, cfg.context_dim
+                    next(ks), desc["cout"], cfg.num_heads, desc["depth"], cfg.context_dim
                 )
             blocks.append(b)
     params["input_blocks"] = blocks
+
+    if cfg.adm_in_channels:
+        # SDXL label_emb: ADM vector (pooled text + time-id fourier
+        # features) through the same MLP shape as time_embed
+        params["label_emb"] = {
+            "l1": linear_init(next(ks), cfg.adm_in_channels, emb_dim),
+            "l2": linear_init(next(ks), emb_dim, emb_dim),
+        }
 
     mid_ch = cfg.model_channels * cfg.channel_mult[-1]
     params["middle_block"] = {
         "res1": init_resblock(next(ks), mid_ch, mid_ch, emb_dim, cfg.use_scale_shift_norm),
         "attn": init_spatial_transformer(
-            next(ks), mid_ch, cfg.num_heads, cfg.transformer_depth, cfg.context_dim
+            next(ks), mid_ch, cfg.num_heads,
+            cfg.depth_for(len(cfg.channel_mult) - 1), cfg.context_dim
         ),
         "res2": init_resblock(next(ks), mid_ch, mid_ch, emb_dim, cfg.use_scale_shift_norm),
     }
@@ -209,7 +222,7 @@ def init_unet(key, cfg: UNetConfig) -> Dict:
         }
         if desc["attn"]:
             b["attn"] = init_spatial_transformer(
-                next(ks), desc["cout"], cfg.num_heads, cfg.transformer_depth, cfg.context_dim
+                next(ks), desc["cout"], cfg.num_heads, desc["depth"], cfg.context_dim
             )
         if desc["up"]:
             b["up"] = conv_init(next(ks), 3, 3, desc["cout"], desc["cout"])
@@ -350,10 +363,19 @@ def _conv1x1_as_linear(p: dict) -> dict:
     return q
 
 
-def _embed_timesteps(p: dict, cfg: UNetConfig, timesteps, dtype):
+def _embed_timesteps(p: dict, cfg: UNetConfig, timesteps, dtype, y=None):
     t_emb = timestep_embedding(timesteps, cfg.model_channels, dtype=jnp.float32)
     emb = linear(t_emb, p["time_embed"]["l1"])
     emb = linear(silu(emb), p["time_embed"]["l2"])
+    if cfg.adm_in_channels:
+        # SDXL ADM conditioning: label_emb(y) adds to the time embedding
+        # (openaimodel.py UNetModel.forward, y branch)
+        if y is None:
+            raise ValueError("this UNet is ADM-conditioned "
+                             "(adm_in_channels set): pass y")
+        ye = linear(y.astype(jnp.float32), p["label_emb"]["l1"])
+        ye = linear(silu(ye), p["label_emb"]["l2"])
+        emb = emb + ye
     return emb.astype(dtype)
 
 
@@ -445,6 +467,7 @@ def unet_apply(
     control: Optional[List[jax.Array]] = None,
     only_mid_control: bool = False,
     ctx_kv=None,
+    y: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Full UNet forward == ControlledUnetModel.forward (cldm/cldm.py:22-45).
 
@@ -452,9 +475,11 @@ def unet_apply(
     control: optional list of 13 NHWC tensors (12 skips + middle, in
     ControlNet output order — consumed from the END like the reference's
     `control.pop()`); ctx_kv: optional precompute_context_kv tree (samplers
-    hoist the step-invariant context K/V projections out of the scan).
+    hoist the step-invariant context K/V projections out of the scan);
+    y: (N, adm_in_channels) ADM conditioning (SDXL pooled text + time-id
+    features) — required iff cfg.adm_in_channels is set.
     """
-    emb = _embed_timesteps(params, cfg, timesteps, x.dtype)
+    emb = _embed_timesteps(params, cfg, timesteps, x.dtype, y=y)
     h, hs = unet_encode(params, cfg, x, emb, context, ctx_kv=ctx_kv)
     h = unet_middle(params, cfg, h, emb, context, ctx_kv=ctx_kv)
     if control is not None:

@@ -209,6 +209,13 @@ class TorchUNet(nn.Module):
         self.time_embed = nn.Sequential(
             nn.Linear(mc, emb_dim), nn.SiLU(), nn.Linear(emb_dim, emb_dim)
         )
+        if getattr(cfg, "adm_in_channels", None):
+            # nested Sequential: real SDXL checkpoints name the MLP
+            # label_emb.0.0 / label_emb.0.2 (openaimodel wraps it once)
+            self.label_emb = nn.Sequential(nn.Sequential(
+                nn.Linear(cfg.adm_in_channels, emb_dim), nn.SiLU(),
+                nn.Linear(emb_dim, emb_dim)))
+        df = cfg.depth_for  # per-level transformer depth (SDXL)
         self.input_blocks = nn.ModuleList(
             [TimestepEmbedSequential(nn.Conv2d(cin, mc, 3, padding=1))]
         )
@@ -219,8 +226,8 @@ class TorchUNet(nn.Module):
             for _ in range(nrb):
                 layers = [ResBlock(ch, emb_dim, m * mc, groups)]
                 ch = m * mc
-                if ds in attn_ds:
-                    layers.append(SpatialTransformer(ch, hf(ch), depth, ctx, groups))
+                if ds in attn_ds and df(level) > 0:
+                    layers.append(SpatialTransformer(ch, hf(ch), df(level), ctx, groups))
                 self.input_blocks.append(TimestepEmbedSequential(*layers))
                 chs.append(ch)
             if level != len(mult) - 1:
@@ -229,7 +236,7 @@ class TorchUNet(nn.Module):
                 ds *= 2
         self.middle_block = TimestepEmbedSequential(
             ResBlock(ch, emb_dim, ch, groups),
-            SpatialTransformer(ch, hf(ch), depth, ctx, groups),
+            SpatialTransformer(ch, hf(ch), df(len(mult) - 1), ctx, groups),
             ResBlock(ch, emb_dim, ch, groups),
         )
         self.output_blocks = nn.ModuleList()
@@ -238,8 +245,8 @@ class TorchUNet(nn.Module):
                 ich = chs.pop()
                 layers = [ResBlock(ch + ich, emb_dim, m * mc, groups)]
                 ch = m * mc
-                if ds in attn_ds:
-                    layers.append(SpatialTransformer(ch, hf(ch), depth, ctx, groups))
+                if ds in attn_ds and df(level) > 0:
+                    layers.append(SpatialTransformer(ch, hf(ch), df(level), ctx, groups))
                 if level != 0 and i == nrb:
                     layers.append(Upsample(ch))
                     ds //= 2
@@ -248,9 +255,12 @@ class TorchUNet(nn.Module):
             nn.GroupNorm(groups, ch), nn.SiLU(), nn.Conv2d(ch, cout_model, 3, padding=1)
         )
 
-    def forward(self, x, timesteps, context, control=None, only_mid_control=False):
+    def forward(self, x, timesteps, context, control=None,
+                only_mid_control=False, y=None):
         t_emb = timestep_embedding(timesteps, self.model_channels)
         emb = self.time_embed(t_emb)
+        if y is not None:
+            emb = emb + self.label_emb(y)
         hs = []
         h = x
         for module in self.input_blocks:
