@@ -410,4 +410,10 @@ def convert_openclip_text(
                 "fc2": _linear(sd, f"{base}.mlp.c_proj", dtype),
             }
         )
+    if "text_projection" in sd:
+        # pooled-output projection (SDXL's bigG conditioner uses it; the
+        # SD-2.x conditioning path doesn't, but clip_text_pooled does).
+        # OpenCLIP stores it (d, proj) applied as x @ proj — keep as-is.
+        params["text_projection"] = {
+            "w": jnp.asarray(sd["text_projection"], dtype)}
     return params

@@ -114,6 +114,9 @@ class CLIPTextConfig:
     layer: str = "last"
     # "quick_gelu" (OpenAI CLIP / SD1.5) vs "gelu" (OpenCLIP ViT-H / SD2.x)
     act: str = "quick_gelu"
+    # pooled-output projection width (SDXL's bigG tower: 1280); None = no
+    # text_projection parameter
+    projection_dim: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)

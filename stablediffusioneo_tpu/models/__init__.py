@@ -44,4 +44,7 @@ __all__ = [
     "DiagonalGaussian",
     "init_clip_text",
     "clip_text_apply",
+    "clip_text_pooled",
 ]
+
+from stablediffusioneo_tpu.models.clip import clip_text_pooled  # noqa: E402

@@ -64,6 +64,11 @@ def init_clip_text(key, cfg: CLIPTextConfig) -> Dict:
                 "fc2": linear_init(next(ks), cfg.intermediate_size, d),
             }
         )
+    if cfg.projection_dim:
+        # pooled-output projection (OpenCLIP text_projection; SDXL bigG)
+        params["text_projection"] = {
+            "w": jax.random.normal(next(ks),
+                                   (d, cfg.projection_dim)) * d ** -0.5}
     return params
 
 
@@ -112,6 +117,40 @@ def clip_text_apply(
         return layer_norm(
             h, params["final_ln"]["g"], params["final_ln"]["b"], cfg.layer_norm_eps
         )
+    if layer == "penultimate_raw":
+        # SDXL conditioner towers: the penultimate hidden WITHOUT the
+        # final LN (sgm FrozenCLIPEmbedder layer='hidden' /
+        # FrozenOpenCLIPEmbedder2 — only the POOLED path sees ln_final)
+        return hidden_states[-1]
     return layer_norm(
         x, params["final_ln"]["g"], params["final_ln"]["b"], cfg.layer_norm_eps
     )
+
+
+def clip_text_pooled(
+    params: dict,
+    cfg: CLIPTextConfig,
+    input_ids: jax.Array,
+    eot_id: Optional[int] = None,
+) -> jax.Array:
+    """Pooled text embedding: the FINAL-LN hidden state at each row's EOT
+    position, through text_projection when present — the SDXL conditioner's
+    pooled output (sgm FrozenOpenCLIPEmbedder2 pooling; OpenCLIP
+    text_global_pool 'argmax'). Returns (B, proj_dim-or-hidden).
+
+    eot_id: the EOT token id; default = the row-wise argmax id (OpenCLIP's
+    convention — EOT is the largest id in the vocabulary)."""
+    x = clip_text_apply(params, cfg, input_ids, layer="last")  # (B, T, d)
+    if eot_id is None:
+        pos = jnp.argmax(input_ids, axis=-1)
+    else:
+        # FIRST occurrence of eot_id per row
+        is_eot = (input_ids == eot_id).astype(jnp.int32)
+        pos = jnp.argmax(is_eot, axis=-1)
+    pooled = jnp.take_along_axis(x, pos[:, None, None].astype(jnp.int32),
+                                 axis=1)[:, 0]
+    proj = params.get("text_projection")
+    if proj is not None:
+        pooled = pooled.astype(jnp.float32) @ proj["w"].astype(jnp.float32)
+        pooled = pooled.astype(x.dtype)
+    return pooled

@@ -1,0 +1,204 @@
+"""SDXL family: configs, dual-tower conditioning, and a txt2img sampler.
+
+Beyond the reference (SD-1.5 ControlNet); the SDXL base architecture
+(Podell et al., arXiv:2307.01952) reuses this framework's building blocks:
+the openaimodel UNet with a per-LEVEL transformer-depth ladder and ADM
+conditioning (models/unet.py), the CLIP tower with a pooled/projected
+output (models/clip.py), the AutoencoderKL VAE, and the DDIM scan update
+(pipeline/ddim.py).
+
+Conditioning contract (sgm GeneralConditioner):
+  context = concat(CLIP-L penultimate (B,77,768),
+                   OpenCLIP-bigG penultimate (B,77,1280)) -> (B,77,2048)
+  y       = concat(bigG pooled (B,1280),
+                   fourier(add_time_ids: orig_hw + crop_tl + target_hw,
+                           256 each) (B,1536)) -> (B,2816)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stablediffusioneo_tpu.config import (
+    CLIPTextConfig,
+    DiffusionConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from stablediffusioneo_tpu.models.clip import clip_text_apply, clip_text_pooled
+from stablediffusioneo_tpu.models.unet import unet_apply
+from stablediffusioneo_tpu.ops.schedule import timestep_embedding
+from stablediffusioneo_tpu.pipeline.ddim import _bc_scale, _ddim_update
+
+
+# ------------------------------------------------------------------ configs
+
+
+def sdxl_unet() -> UNetConfig:
+    """SDXL-base UNet: 3 levels, depth ladder (0, 2, 10), ctx 2048,
+    64-ch heads, ADM 2816 (sgm configs/inference/sd_xl_base.yaml)."""
+    return UNetConfig(
+        model_channels=320,
+        channel_mult=(1, 2, 4),
+        num_res_blocks=2,
+        attention_resolutions=(2, 4),
+        transformer_depth=(0, 2, 10),
+        context_dim=2048,
+        num_head_channels=64,
+        adm_in_channels=2816,
+    )
+
+
+def clip_l_sdxl() -> CLIPTextConfig:
+    """Tower 1: OpenAI CLIP-L, penultimate hidden WITHOUT the final LN
+    (sgm FrozenCLIPEmbedder layer='hidden', layer_idx=11)."""
+    return CLIPTextConfig(layer="penultimate_raw")
+
+
+def clip_bigg_sdxl() -> CLIPTextConfig:
+    """Tower 2: OpenCLIP bigG/14 text tower (1280 wide, 32 layers,
+    penultimate hidden raw; pooled output through text_projection)."""
+    return CLIPTextConfig(
+        hidden_size=1280, intermediate_size=5120, num_layers=32,
+        num_heads=20, layer="penultimate_raw", act="gelu",
+        projection_dim=1280,
+    )
+
+
+def sdxl_vae() -> VAEConfig:
+    """Same AutoencoderKL topology as SD-1.x; SDXL scale factor 0.13025."""
+    return VAEConfig(scale_factor=0.13025)
+
+
+@dataclasses.dataclass(frozen=True)
+class SDXLConfig:
+    unet: UNetConfig = dataclasses.field(default_factory=sdxl_unet)
+    clip_l: CLIPTextConfig = dataclasses.field(default_factory=clip_l_sdxl)
+    clip_g: CLIPTextConfig = dataclasses.field(default_factory=clip_bigg_sdxl)
+    vae: VAEConfig = dataclasses.field(default_factory=sdxl_vae)
+    diffusion: DiffusionConfig = dataclasses.field(
+        default_factory=DiffusionConfig)
+    dtype: str = "bfloat16"
+
+
+def tiny_sdxl() -> SDXLConfig:
+    """Miniature SDXL topology for tests: same structure, tiny widths."""
+    unet = UNetConfig(
+        model_channels=32, channel_mult=(1, 2, 4), num_res_blocks=2,
+        attention_resolutions=(2, 4), transformer_depth=(0, 1, 2),
+        context_dim=48, num_head_channels=16, adm_in_channels=16 + 6 * 8,
+        groups=8,
+    )
+    mk = lambda d, p: CLIPTextConfig(  # noqa: E731
+        vocab_size=1000, hidden_size=d, intermediate_size=2 * d,
+        num_layers=2, num_heads=2, max_length=16, layer="penultimate_raw",
+        act="gelu", projection_dim=p)
+    return SDXLConfig(
+        unet=unet,
+        clip_l=mk(32, None),
+        clip_g=mk(16, 16),
+        vae=VAEConfig(ch=16, ch_mult=(1, 1, 1, 1), num_res_blocks=1,
+                      groups=8, scale_factor=0.13025),
+        dtype="float32",
+    )
+
+
+# -------------------------------------------------------------- conditioning
+
+
+def add_time_ids(
+    original_size: Tuple[int, int],
+    crop_coords: Tuple[int, int],
+    target_size: Tuple[int, int],
+    batch: int,
+    fourier_dim: int = 256,
+) -> np.ndarray:
+    """The SDXL micro-conditioning vector: fourier features of
+    (orig_h, orig_w, crop_top, crop_left, target_h, target_w), 256 each
+    (sgm ConcatTimestepEmbedderND). Returns (B, 6 * fourier_dim) f32."""
+    ids = np.asarray(
+        list(original_size) + list(crop_coords) + list(target_size),
+        np.float32)
+    emb = timestep_embedding(jnp.asarray(ids), fourier_dim)  # (6, F)
+    flat = np.asarray(emb).reshape(1, -1)
+    return np.repeat(flat, batch, axis=0)
+
+
+def sdxl_conditioning(
+    params: Dict,
+    cfg: SDXLConfig,
+    ids_l: jax.Array,
+    ids_g: jax.Array,
+    size_hw: Tuple[int, int],
+    original_size: Optional[Tuple[int, int]] = None,
+    crop_coords: Tuple[int, int] = (0, 0),
+) -> Tuple[jax.Array, jax.Array]:
+    """(context (B, 77, 2048), y (B, 2816)) from both towers' token ids.
+
+    The two towers tokenize independently (different BPE vocabs upstream);
+    pass per-tower ids. size_hw is the TARGET size; original_size defaults
+    to it (the no-crop, native-size conditioning that sampling uses)."""
+    b = ids_l.shape[0]
+    hl = clip_text_apply(params["clip_l"], cfg.clip_l, ids_l)
+    hg = clip_text_apply(params["clip_g"], cfg.clip_g, ids_g)
+    context = jnp.concatenate([hl, hg], axis=-1)
+    pooled = clip_text_pooled(params["clip_g"], cfg.clip_g, ids_g)
+    tids = jnp.asarray(add_time_ids(
+        original_size or size_hw, crop_coords, size_hw, b,
+        fourier_dim=(cfg.unet.adm_in_channels
+                     - (cfg.clip_g.projection_dim
+                        or cfg.clip_g.hidden_size)) // 6))
+    y = jnp.concatenate([pooled.astype(jnp.float32), tids], axis=-1)
+    return context, y
+
+
+# ------------------------------------------------------------------ sampler
+
+
+def sdxl_txt2img_scan(
+    unet_params: Dict,
+    cfg: SDXLConfig,
+    schedule: Dict[str, np.ndarray],
+    x_T: jax.Array,
+    ctx_cond: jax.Array,
+    ctx_uncond: jax.Array,
+    y_cond: jax.Array,
+    y_uncond: jax.Array,
+    scale: jax.Array,
+    key: jax.Array,
+    parameterization: str = "eps",
+) -> jax.Array:
+    """DDIM txt2img loop for the (ControlNet-free) SDXL base: CFG batch-2
+    through one UNet eval per step, ADM y riding alongside the context.
+    Same one-lax.scan structure as pipeline/ddim.ddim_sample_scan."""
+    b = x_T.shape[0]
+    ctx2 = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
+    y2 = jnp.concatenate([y_cond, y_uncond], axis=0)
+    n_steps = len(schedule["timesteps"])
+    consts = (
+        jnp.asarray(schedule["timesteps"], jnp.float32),
+        jnp.asarray(schedule["alphas"], jnp.float32),
+        jnp.asarray(schedule["alphas_prev"], jnp.float32),
+        jnp.asarray(schedule["sigmas"], jnp.float32),
+        jnp.asarray(schedule["sqrt_one_minus_alphas"], jnp.float32),
+        jnp.arange(n_steps, dtype=jnp.int32),
+    )
+
+    def body(x, per_step):
+        t = per_step[0]
+        t2 = jnp.full((2 * b,), t, jnp.float32)
+        x2 = jnp.concatenate([x, x], axis=0)
+        eps2 = unet_apply(unet_params, cfg.unet, x2, t2, ctx2, y=y2)
+        e_c, e_u = eps2[:b], eps2[b:]
+        model_out = e_u + _bc_scale(scale, x) * (e_c - e_u)
+        x_next = _ddim_update(x, model_out, per_step, key, 1.0,
+                              parameterization)
+        return x_next, ()
+
+    x0, _ = jax.lax.scan(body, x_T, consts)
+    return x0

@@ -137,12 +137,13 @@ class TestSDConverters:
         sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
         rep = account(
             convert_openclip_text, sd, cfg, prefix="",
-            # serialized causal mask + towers the text pipeline never uses
-            ignore=(r"attn_mask", r"text_projection", r"logit_scale"),
-            expect=eval_shape(lambda k: init_clip_text(k, cfg), KEY),
+            # serialized causal mask + similarity scale — never used.
+            # text_projection IS consumed now (clip_text_pooled / SDXL).
+            ignore=(r"attn_mask", r"logit_scale"),
         )
         rep.assert_complete("openclip_text")
-        assert rep.ignored == {"attn_mask", "text_projection", "logit_scale"}
+        assert rep.ignored == {"attn_mask", "logit_scale"}
+        assert "text_projection" in rep.tree  # pooled-output projection
 
     def test_t5_hf_universe(self):
         from stablediffusioneo_tpu.models.t5 import convert_t5, init_t5, tiny_t5

@@ -1,0 +1,115 @@
+"""SDXL conditioning + txt2img sampler at the tiny topology: dual-tower
+context concat, pooled/projected output (manual-math equivalence),
+micro-conditioning fourier ids, and the end-to-end scan + VAE decode."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stablediffusioneo_tpu.models import init_clip_text, init_unet, init_vae
+from stablediffusioneo_tpu.models.clip import clip_text_apply, clip_text_pooled
+from stablediffusioneo_tpu.models.sdxl import (
+    SDXLConfig,
+    add_time_ids,
+    sdxl_conditioning,
+    sdxl_txt2img_scan,
+    sdxl_unet,
+    tiny_sdxl,
+)
+from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+
+CFG = tiny_sdxl()
+
+
+@pytest.fixture(scope="module")
+def params():
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    cnt = iter(jax.random.split(ks[0], 8192))
+    return {
+        # randomized so eps depends on conditioning (zero_module gates)
+        "unet": jax.tree.map(
+            lambda x: jax.random.normal(next(cnt), x.shape, x.dtype) * 0.02,
+            init_unet(ks[0], CFG.unet)),
+        "clip_l": init_clip_text(ks[1], CFG.clip_l),
+        "clip_g": init_clip_text(ks[2], CFG.clip_g),
+        "vae": init_vae(ks[3], CFG.vae),
+    }
+
+
+class TestConditioning:
+    def test_real_config_widths(self):
+        """The real SDXL constants line up: ctx 768+1280=2048, ADM
+        1280 + 6x256 = 2816."""
+        u = sdxl_unet()
+        assert u.context_dim == 2048 and u.adm_in_channels == 2816
+        assert u.depth_for(0) == 0 and u.depth_for(2) == 10
+        t = add_time_ids((1024, 1024), (0, 0), (1024, 1024), 2)
+        assert t.shape == (2, 1536)
+        np.testing.assert_array_equal(t[0], t[1])
+
+    def test_context_and_y_shapes(self, params):
+        ids = np.zeros((2, 16), np.int32)
+        ctx, y = sdxl_conditioning(params, CFG, jnp.asarray(ids),
+                                   jnp.asarray(ids), size_hw=(64, 64))
+        assert ctx.shape == (2, 16, CFG.unet.context_dim)
+        assert y.shape == (2, CFG.unet.adm_in_channels)
+
+    def test_pooled_matches_manual_math(self, params):
+        """pooled == final-LN hidden gathered at the row-wise argmax id,
+        through text_projection."""
+        rng = np.random.default_rng(0)
+        ids = rng.integers(5, 900, (2, 16)).astype(np.int32)
+        ids[0, 7] = 999  # max id = the OpenCLIP EOT convention
+        ids[1, 3] = 999
+        pooled = clip_text_pooled(params["clip_g"], CFG.clip_g,
+                                  jnp.asarray(ids))
+        full = clip_text_apply(params["clip_g"], CFG.clip_g,
+                               jnp.asarray(ids), layer="last")
+        want = np.stack([np.asarray(full)[0, 7], np.asarray(full)[1, 3]])
+        want = want @ np.asarray(params["clip_g"]["text_projection"]["w"])
+        np.testing.assert_allclose(np.asarray(pooled), want,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_penultimate_raw_skips_final_ln(self, params):
+        ids = jnp.zeros((1, 16), jnp.int32)
+        raw = clip_text_apply(params["clip_l"], CFG.clip_l, ids,
+                              layer="penultimate_raw")
+        ln = clip_text_apply(params["clip_l"], CFG.clip_l, ids,
+                             layer="penultimate")
+        assert np.abs(np.asarray(raw) - np.asarray(ln)).max() > 1e-4
+
+
+@pytest.mark.slow
+class TestTxt2Img:
+    def test_scan_runs_and_cfg_matters(self, params):
+        from stablediffusioneo_tpu.models.vae import vae_decode
+
+        sched = DiffusionSchedule().ddim(3)
+        rng = np.random.default_rng(1)
+        ids = rng.integers(5, 900, (1, 16)).astype(np.int32)
+        uncond = np.zeros((1, 16), np.int32)
+        ctx_c, y_c = sdxl_conditioning(params, CFG, jnp.asarray(ids),
+                                       jnp.asarray(ids), size_hw=(64, 64))
+        ctx_u, y_u = sdxl_conditioning(params, CFG, jnp.asarray(uncond),
+                                       jnp.asarray(uncond), size_hw=(64, 64))
+        x_T = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+        z1 = sdxl_txt2img_scan(params["unet"], CFG, sched, x_T,
+                               ctx_c, ctx_u, y_c, y_u,
+                               jnp.asarray(5.0), jax.random.PRNGKey(2))
+        z2 = sdxl_txt2img_scan(params["unet"], CFG, sched, x_T,
+                               ctx_c, ctx_u, y_c, y_u,
+                               jnp.asarray(1.0), jax.random.PRNGKey(2))
+        assert np.isfinite(np.asarray(z1)).all()
+        assert np.abs(np.asarray(z1) - np.asarray(z2)).max() > 1e-5
+        img = vae_decode(params["vae"], CFG.vae, z1, scaled=True)
+        assert img.shape == (1, 64, 64, 3)
+        # micro-conditioning matters: different target size -> different y
+        # -> different eps
+        _, y_big = sdxl_conditioning(params, CFG, jnp.asarray(ids),
+                                     jnp.asarray(ids), size_hw=(128, 128))
+        z3 = sdxl_txt2img_scan(params["unet"], CFG, sched, x_T,
+                               ctx_c, ctx_u, y_big, y_u,
+                               jnp.asarray(5.0), jax.random.PRNGKey(2))
+        assert np.abs(np.asarray(z3) - np.asarray(z1)).max() > 1e-6
