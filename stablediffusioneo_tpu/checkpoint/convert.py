@@ -375,6 +375,52 @@ def load_controlnet_pipeline(
     }
 
 
+def load_sdxl_pipeline(
+    path: str,
+    cfg=None,
+    dtype=None,
+    strict: bool = True,
+) -> Dict[str, Dict]:
+    """Load an SDXL-base checkpoint (sgm layout) into the four param trees:
+
+      model.diffusion_model.*            -> unet   (convert_unet + label_emb)
+      conditioner.embedders.0.transformer.* -> clip_l (HF CLIPTextModel naming)
+      conditioner.embedders.1.model.*    -> clip_g (OpenCLIP, + text_projection)
+      first_stage_model.*                -> vae
+
+    strict=True runs per-tree key accounting (every in-scope key consumed;
+    orphans raise naming themselves)."""
+    from stablediffusioneo_tpu.checkpoint.accounting import (
+        SD_KNOWN_UNUSED, account,
+    )
+    from stablediffusioneo_tpu.checkpoint.torch_reader import (
+        load_torch_state_dict,
+    )
+    from stablediffusioneo_tpu.models.sdxl import SDXLConfig
+
+    cfg = cfg or SDXLConfig()
+    sd = load_torch_state_dict(path)
+    jobs = (
+        ("unet", convert_unet, "model.diffusion_model.", cfg.unet,
+         SD_KNOWN_UNUSED),
+        ("clip_l", convert_clip, "conditioner.embedders.0.transformer.",
+         cfg.clip_l, (r".*position_ids",)),
+        ("clip_g", convert_openclip_text, "conditioner.embedders.1.model.",
+         cfg.clip_g, (r".*attn_mask", r".*logit_scale")),
+        ("vae", convert_vae, "first_stage_model.", cfg.vae, ()),
+    )
+    out: Dict[str, Dict] = {}
+    for name, fn, prefix, sub_cfg, ignore in jobs:
+        if strict:
+            out[name] = account(
+                fn, sd, sub_cfg, prefix=prefix, scope_prefix=prefix,
+                ignore=ignore, dtype=dtype,
+            ).assert_complete(f"sdxl.{name}").tree
+        else:
+            out[name] = fn(sd, sub_cfg, prefix=prefix, dtype=dtype)
+    return out
+
+
 def convert_openclip_text(
     sd: Dict[str, np.ndarray],
     cfg: CLIPTextConfig,

@@ -113,3 +113,67 @@ class TestTxt2Img:
                                ctx_c, ctx_u, y_big, y_u,
                                jnp.asarray(5.0), jax.random.PRNGKey(2))
         assert np.abs(np.asarray(z3) - np.asarray(z1)).max() > 1e-6
+
+
+@pytest.mark.slow
+class TestCheckpointLoader:
+    def test_load_sdxl_pipeline_sgm_layout(self, tmp_path):
+        """A real-prefix sgm checkpoint (model.diffusion_model /
+        conditioner.embedders.0/1 / first_stage_model) loads with strict
+        per-tree key accounting and drives the txt2img scan."""
+        import sys
+
+        import torch
+
+        sys.path.insert(0, "/root/repo/tests")
+        from transformers import CLIPTextConfig as HFConfig, CLIPTextModel
+
+        from stablediffusioneo_tpu.checkpoint.convert import (
+            load_sdxl_pipeline,
+        )
+        from test_key_accounting import _openclip_text_mirror
+        from torch_ref import TorchUNet, TorchVAE
+
+        cfg = CFG
+        sd = {}
+        for k, v in TorchUNet(cfg.unet).state_dict().items():
+            sd["model.diffusion_model." + k] = v
+        hf = CLIPTextModel(HFConfig(
+            vocab_size=cfg.clip_l.vocab_size,
+            hidden_size=cfg.clip_l.hidden_size,
+            intermediate_size=cfg.clip_l.intermediate_size,
+            num_hidden_layers=cfg.clip_l.num_layers,
+            num_attention_heads=cfg.clip_l.num_heads,
+            max_position_embeddings=cfg.clip_l.max_length,
+            hidden_act="gelu")).eval()
+        for k, v in hf.state_dict().items():
+            sd["conditioner.embedders.0.transformer." + k] = v
+        for k, v in _openclip_text_mirror(cfg.clip_g).state_dict().items():
+            sd["conditioner.embedders.1.model." + k] = v
+        for k, v in TorchVAE(cfg.vae).state_dict().items():
+            sd["first_stage_model." + k] = v
+        path = str(tmp_path / "sd_xl_tiny.pth")
+        torch.save(sd, path)
+
+        params = load_sdxl_pipeline(path, cfg)
+        assert set(params) == {"unet", "clip_l", "clip_g", "vae"}
+        assert "label_emb" in params["unet"]
+        assert "text_projection" in params["clip_g"]
+
+        # drive one txt2img through the loaded weights
+        ids = np.zeros((1, cfg.clip_l.max_length), np.int32)
+        ctx_c, y_c = sdxl_conditioning(params, cfg, jnp.asarray(ids),
+                                       jnp.asarray(ids), size_hw=(64, 64))
+        sched = DiffusionSchedule().ddim(2)
+        x_T = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (1, 8, 8, 4)).astype(np.float32))
+        z = sdxl_txt2img_scan(params["unet"], cfg, sched, x_T,
+                              ctx_c, ctx_c, y_c, y_c,
+                              jnp.asarray(5.0), jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(z)).all()
+
+        # a foreign key fails accounting loudly
+        sd["model.diffusion_model.extra.weight"] = torch.zeros(3)
+        torch.save(sd, path)
+        with pytest.raises(Exception, match="extra|orphan|sdxl.unet"):
+            load_sdxl_pipeline(path, cfg)
