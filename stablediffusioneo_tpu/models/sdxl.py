@@ -129,6 +129,21 @@ def add_time_ids(
     return np.repeat(flat, batch, axis=0)
 
 
+def sdxl_tokenize(tokenizer, texts) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-tower token ids from ONE BPE tokenizer (CLIP-L and bigG share
+    the 49408 vocab; only the padding convention differs):
+      tower 1 (CLIP-L / HF): pad with EOT after the first EOT
+      tower 2 (bigG / open_clip.tokenize): pad with ZEROS after EOT
+    Returns (ids_l, ids_g), each (B, 77) int32."""
+    ids_l = np.asarray(tokenizer(texts))
+    ids_g = ids_l.copy()
+    for row in ids_g:
+        eots = np.nonzero(row == tokenizer.eot)[0]
+        if len(eots) > 1:
+            row[eots[0] + 1:] = 0
+    return ids_l, ids_g
+
+
 def sdxl_conditioning(
     params: Dict,
     cfg: SDXLConfig,
@@ -140,9 +155,10 @@ def sdxl_conditioning(
 ) -> Tuple[jax.Array, jax.Array]:
     """(context (B, 77, 2048), y (B, 2816)) from both towers' token ids.
 
-    The two towers tokenize independently (different BPE vocabs upstream);
-    pass per-tower ids. size_hw is the TARGET size; original_size defaults
-    to it (the no-crop, native-size conditioning that sampling uses)."""
+    The towers share the BPE vocab but differ in padding convention —
+    build per-tower ids with sdxl_tokenize. size_hw is the TARGET size;
+    original_size defaults to it (the no-crop, native-size conditioning
+    that sampling uses)."""
     b = ids_l.shape[0]
     hl = clip_text_apply(params["clip_l"], cfg.clip_l, ids_l)
     hg = clip_text_apply(params["clip_g"], cfg.clip_g, ids_g)

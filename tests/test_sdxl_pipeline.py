@@ -177,3 +177,22 @@ class TestCheckpointLoader:
         torch.save(sd, path)
         with pytest.raises(Exception, match="extra|orphan|sdxl.unet"):
             load_sdxl_pipeline(path, cfg)
+
+
+class TestTokenize:
+    def test_dual_padding_conventions(self):
+        from stablediffusioneo_tpu.models.sdxl import sdxl_tokenize
+        from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
+
+        tok = toy_tokenizer(vocab_size=1000, max_length=16)
+        ids_l, ids_g = sdxl_tokenize(tok, ["a bird", "a dog on grass"])
+        assert ids_l.shape == ids_g.shape == (2, 16)
+        # tower 1 pads with EOT, tower 2 zero-pads AFTER the first EOT
+        for l_row, g_row in zip(ids_l, ids_g):
+            e = np.nonzero(l_row == tok.eot)[0][0]
+            np.testing.assert_array_equal(l_row[:e + 1], g_row[:e + 1])
+            assert (l_row[e + 1:] == tok.eot).all()
+            assert (g_row[e + 1:] == 0).all()
+        # argmax pooling still lands on the EOT for the zero-padded tower
+        assert (np.argmax(ids_g, axis=-1)
+                == [np.nonzero(r == tok.eot)[0][0] for r in ids_l]).all()
