@@ -147,8 +147,11 @@ def _unet_encoder_part(sd, cfg: UNetConfig, dtype) -> Dict:
                 )
             blocks.append(b)
     params["input_blocks"] = blocks
-    if cfg.adm_in_channels and "label_emb.0.0.weight" in sd:
-        # SDXL ADM conditioning MLP (label_emb.0 is a Sequential-in-list)
+    if cfg.adm_in_channels:
+        # SDXL ADM conditioning MLP (label_emb.0 is a Sequential-in-list).
+        # Index directly: an ADM-configured model with the keys missing is
+        # a broken checkpoint and must fail HERE, not as a KeyError deep
+        # inside the first sampling trace.
         params["label_emb"] = {
             "l1": _linear(sd, "label_emb.0.0", dtype),
             "l2": _linear(sd, "label_emb.0.2", dtype),
@@ -398,11 +401,12 @@ def load_sdxl_pipeline(
     )
     from stablediffusioneo_tpu.models.sdxl import SDXLConfig
 
+    import re as _re
+
     cfg = cfg or SDXLConfig()
     sd = load_torch_state_dict(path)
     jobs = (
-        ("unet", convert_unet, "model.diffusion_model.", cfg.unet,
-         SD_KNOWN_UNUSED),
+        ("unet", convert_unet, "model.diffusion_model.", cfg.unet, ()),
         ("clip_l", convert_clip, "conditioner.embedders.0.transformer.",
          cfg.clip_l, (r".*position_ids",)),
         ("clip_g", convert_openclip_text, "conditioner.embedders.1.model.",
@@ -418,6 +422,20 @@ def load_sdxl_pipeline(
             ).assert_complete(f"sdxl.{name}").tree
         else:
             out[name] = fn(sd, sub_cfg, prefix=prefix, dtype=dtype)
+    if strict:
+        # GLOBAL coverage: keys outside every scope must match a documented
+        # known-unused pattern (schedule buffers, EMA leftovers) — a
+        # foreign top-level tree (lora_*, a misspelled embedder index)
+        # must not load silently with its weights dropped
+        prefixes = tuple(j[2] for j in jobs)
+        loose = [k for k in sd if not k.startswith(prefixes)]
+        unused_re = [_re.compile(p) for p in SD_KNOWN_UNUSED]
+        foreign = [k for k in loose
+                   if not any(r.fullmatch(k) for r in unused_re)]
+        if foreign:
+            raise ValueError(
+                f"load_sdxl_pipeline: {len(foreign)} key(s) outside every "
+                f"model scope and not known-unused: {sorted(foreign)[:8]}")
     return out
 
 

@@ -127,6 +127,53 @@ def clip_text_apply(
     )
 
 
+def clip_text_apply_with_pooled(
+    params: dict,
+    cfg: CLIPTextConfig,
+    input_ids: jax.Array,
+    eot_id: Optional[int] = None,
+):
+    """ONE tower forward -> (hidden per cfg.layer, pooled).
+
+    The SDXL bigG tower needs both the penultimate-raw hidden (context
+    half) and the pooled/projected output (ADM half); running
+    clip_text_apply twice would double the heaviest text-encode cost."""
+    hidden = clip_text_apply(params, cfg, input_ids)
+    if cfg.layer == "penultimate_raw":
+        # 'last' = one more transformer block + final LN on top of the
+        # SAME residual stream — recompute only that tail for pooling
+        x = hidden
+        p = params["layers"][-1]
+        b, t = input_ids.shape
+        causal = np.triu(np.full((t, t), MASK_NEG, np.float32), k=1)
+        mask = jnp.asarray(causal)[None, None]
+        h = layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.layer_norm_eps)
+        x = x + _self_attn(p, cfg, h, mask)
+        h = layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], cfg.layer_norm_eps)
+        x = x + linear(_act(cfg)(linear(h, p["fc1"])), p["fc2"])
+        last = layer_norm(x, params["final_ln"]["g"], params["final_ln"]["b"],
+                          cfg.layer_norm_eps)
+    else:
+        last = clip_text_apply(params, cfg, input_ids, layer="last")
+    pooled = _pool_projected(params, last, input_ids, eot_id)
+    return hidden, pooled
+
+
+def _pool_projected(params, last, input_ids, eot_id):
+    if eot_id is None:
+        pos = jnp.argmax(input_ids, axis=-1)
+    else:
+        is_eot = (input_ids == eot_id).astype(jnp.int32)
+        pos = jnp.argmax(is_eot, axis=-1)
+    pooled = jnp.take_along_axis(last, pos[:, None, None].astype(jnp.int32),
+                                 axis=1)[:, 0]
+    proj = params.get("text_projection")
+    if proj is not None:
+        pooled = (pooled.astype(jnp.float32)
+                  @ proj["w"].astype(jnp.float32)).astype(last.dtype)
+    return pooled
+
+
 def clip_text_pooled(
     params: dict,
     cfg: CLIPTextConfig,
@@ -141,16 +188,4 @@ def clip_text_pooled(
     eot_id: the EOT token id; default = the row-wise argmax id (OpenCLIP's
     convention — EOT is the largest id in the vocabulary)."""
     x = clip_text_apply(params, cfg, input_ids, layer="last")  # (B, T, d)
-    if eot_id is None:
-        pos = jnp.argmax(input_ids, axis=-1)
-    else:
-        # FIRST occurrence of eot_id per row
-        is_eot = (input_ids == eot_id).astype(jnp.int32)
-        pos = jnp.argmax(is_eot, axis=-1)
-    pooled = jnp.take_along_axis(x, pos[:, None, None].astype(jnp.int32),
-                                 axis=1)[:, 0]
-    proj = params.get("text_projection")
-    if proj is not None:
-        pooled = pooled.astype(jnp.float32) @ proj["w"].astype(jnp.float32)
-        pooled = pooled.astype(x.dtype)
-    return pooled
+    return _pool_projected(params, x, input_ids, eot_id)

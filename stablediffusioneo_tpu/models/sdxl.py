@@ -30,7 +30,11 @@ from stablediffusioneo_tpu.config import (
     UNetConfig,
     VAEConfig,
 )
-from stablediffusioneo_tpu.models.clip import clip_text_apply, clip_text_pooled
+from stablediffusioneo_tpu.models.clip import (
+    clip_text_apply,
+    clip_text_apply_with_pooled,
+    clip_text_pooled,
+)
 from stablediffusioneo_tpu.models.unet import unet_apply
 from stablediffusioneo_tpu.ops.schedule import timestep_embedding
 from stablediffusioneo_tpu.pipeline.ddim import _bc_scale, _ddim_update
@@ -161,9 +165,11 @@ def sdxl_conditioning(
     that sampling uses)."""
     b = ids_l.shape[0]
     hl = clip_text_apply(params["clip_l"], cfg.clip_l, ids_l)
-    hg = clip_text_apply(params["clip_g"], cfg.clip_g, ids_g)
+    # ONE bigG forward yields both halves (context hidden + pooled) —
+    # the 32-layer tower is the heaviest text-encode cost in SDXL
+    hg, pooled = clip_text_apply_with_pooled(params["clip_g"], cfg.clip_g,
+                                             ids_g)
     context = jnp.concatenate([hl, hg], axis=-1)
-    pooled = clip_text_pooled(params["clip_g"], cfg.clip_g, ids_g)
     tids = jnp.asarray(add_time_ids(
         original_size or size_hw, crop_coords, size_hw, b,
         fourier_dim=(cfg.unet.adm_in_channels
@@ -192,9 +198,14 @@ def sdxl_txt2img_scan(
     """DDIM txt2img loop for the (ControlNet-free) SDXL base: CFG batch-2
     through one UNet eval per step, ADM y riding alongside the context.
     Same one-lax.scan structure as pipeline/ddim.ddim_sample_scan."""
+    from stablediffusioneo_tpu.models.unet import precompute_context_kv
+
     b = x_T.shape[0]
     ctx2 = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
     y2 = jnp.concatenate([y_cond, y_uncond], axis=0)
+    # hoist the step-invariant 2048-wide context K/V projections out of
+    # the scan (XLA's LICM does not lift dots; see pipeline/ddim.py)
+    ctx_kv = precompute_context_kv(unet_params, cfg.unet, ctx2)
     n_steps = len(schedule["timesteps"])
     consts = (
         jnp.asarray(schedule["timesteps"], jnp.float32),
@@ -209,7 +220,8 @@ def sdxl_txt2img_scan(
         t = per_step[0]
         t2 = jnp.full((2 * b,), t, jnp.float32)
         x2 = jnp.concatenate([x, x], axis=0)
-        eps2 = unet_apply(unet_params, cfg.unet, x2, t2, ctx2, y=y2)
+        eps2 = unet_apply(unet_params, cfg.unet, x2, t2, ctx2, y=y2,
+                          ctx_kv=ctx_kv)
         e_c, e_u = eps2[:b], eps2[b:]
         model_out = e_u + _bc_scale(scale, x) * (e_c - e_u)
         x_next = _ddim_update(x, model_out, per_step, key, 1.0,

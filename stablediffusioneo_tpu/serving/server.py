@@ -321,6 +321,11 @@ class DiffusionServer:
                  if req.long_prompt == "auto" else 3)
             p.ids = tokenize_windowed(tok, [cond_text, req.n_prompt],
                                       windows=f)  # (2, F, 77)
+            if f == 1:
+                # a 1-window grid IS the truncated grid (same SOT/EOT/pad)
+                # — squeeze to rank 2 so it co-batches with plain requests
+                # instead of colliding on ctx_len with a mismatched rank
+                p.ids = p.ids[:, 0]
         else:
             p.ids = np.asarray(
                 self.pipe.tokenizer([cond_text, req.n_prompt]))

@@ -131,7 +131,7 @@ class TestSDConverters:
 
         cfg = CLIPTextConfig(vocab_size=100, hidden_size=32,
                              intermediate_size=64, num_layers=2, num_heads=2,
-                             max_length=16)
+                             max_length=16, projection_dim=32)
         torch.manual_seed(4)
         m = _openclip_text_mirror(cfg)
         sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
@@ -140,6 +140,7 @@ class TestSDConverters:
             # serialized causal mask + similarity scale — never used.
             # text_projection IS consumed now (clip_text_pooled / SDXL).
             ignore=(r"attn_mask", r"logit_scale"),
+            expect=eval_shape(lambda k: init_clip_text(k, cfg), KEY),
         )
         rep.assert_complete("openclip_text")
         assert rep.ignored == {"attn_mask", "logit_scale"}

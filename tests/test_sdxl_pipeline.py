@@ -172,10 +172,16 @@ class TestCheckpointLoader:
                               jnp.asarray(5.0), jax.random.PRNGKey(1))
         assert np.isfinite(np.asarray(z)).all()
 
-        # a foreign key fails accounting loudly
+        # a foreign key INSIDE a scope fails that tree's accounting
         sd["model.diffusion_model.extra.weight"] = torch.zeros(3)
         torch.save(sd, path)
         with pytest.raises(Exception, match="extra|orphan|sdxl.unet"):
+            load_sdxl_pipeline(path, cfg)
+        del sd["model.diffusion_model.extra.weight"]
+        # ...and a foreign TOP-LEVEL tree fails the global coverage check
+        sd["lora_unet_something.weight"] = torch.zeros(3)
+        torch.save(sd, path)
+        with pytest.raises(ValueError, match="outside every model scope"):
             load_sdxl_pipeline(path, cfg)
 
 

@@ -513,6 +513,30 @@ class TestLongPromptServing:
                            - results[0][1].astype(np.int16)) > 1).mean()
         assert frac_off < 0.02, f"long-prompt serving diverged: {frac_off}"
 
+    def test_short_prompt_auto_cobatches_with_plain(self, tiny_server):
+        """long_prompt="auto" with a SHORT prompt builds a 1-window grid —
+        identical to the truncated grid — and must co-batch with plain
+        requests instead of colliding on a mismatched ids rank."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, pipe = tiny_server
+        b0 = server.stats.batches
+        futures = [
+            server.submit(GenRequest(image=_img(85), prompt="a bird",
+                                     a_prompt="", n_prompt="bad",
+                                     image_resolution=64, ddim_steps=2,
+                                     seed=86, long_prompt="auto")),
+            server.submit(GenRequest(image=_img(86), prompt="a dog",
+                                     a_prompt="", n_prompt="bad",
+                                     image_resolution=64, ddim_steps=2,
+                                     seed=87)),
+        ]
+        results = [f.result(timeout=900) for f in futures]
+        assert server.stats.batches - b0 == 1, "1-window must co-batch"
+        for r, (det, im) in zip(
+                [("a bird", 86), ("a dog", 87)], results):
+            assert im.dtype == np.uint8
+
     def test_emphasis_long_prompt_conflict_rejected(self, tiny_server):
         from stablediffusioneo_tpu.serving import GenRequest
 
