@@ -13,6 +13,7 @@ from stablediffusioneo_tpu.checkpoint.convert import (
     convert_vae,
     convert_clip,
     load_controlnet_pipeline,
+    load_sdxl_pipeline,
 )
 from stablediffusioneo_tpu.checkpoint.textual_inversion import (
     add_concepts,
@@ -27,6 +28,7 @@ __all__ = [
     "convert_vae",
     "convert_clip",
     "load_controlnet_pipeline",
+    "load_sdxl_pipeline",
     "load_concept",
     "add_concepts",
     "apply_textual_inversion",
