@@ -213,7 +213,7 @@ def convert_controlnet(
     # hint block Sequential indices: convs at 0,2,4,6,8,10,12,14 (SiLU between)
     for idx in range(0, 16, 2):
         hint.append(_conv(sd, f"input_hint_block.{idx}", dtype))
-    return {
+    out = {
         "time_embed": unet_part["time_embed"],
         "input_blocks": unet_part["input_blocks"],
         "middle_block": unet_part["middle_block"],
@@ -223,6 +223,9 @@ def convert_controlnet(
         ],
         "middle_block_out": _conv(sd, "middle_block_out.0", dtype),
     }
+    if "label_emb" in unet_part:  # SDXL-style ControlNet (ADM-conditioned)
+        out["label_emb"] = unet_part["label_emb"]
+    return out
 
 
 # --------------------------------------------------------------------- VAE

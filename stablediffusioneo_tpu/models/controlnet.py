@@ -69,7 +69,7 @@ def init_controlnet(key, cfg: ControlNetConfig) -> Dict:
     ]
     mid_ch = ucfg.model_channels * ucfg.channel_mult[-1]
 
-    return {
+    out = {
         "time_embed": unet_params["time_embed"],
         "input_blocks": unet_params["input_blocks"],
         "middle_block": unet_params["middle_block"],
@@ -77,6 +77,10 @@ def init_controlnet(key, cfg: ControlNetConfig) -> Dict:
         "zero_convs": zero_convs,
         "middle_block_out": conv_init(next(ks), 1, 1, mid_ch, mid_ch, zero=True),
     }
+    if ucfg.adm_in_channels:
+        # SDXL-style ControlNet: the control branch carries its own ADM MLP
+        out["label_emb"] = unet_params["label_emb"]
+    return out
 
 
 def hint_block_apply(p_list: list, hint: jax.Array) -> jax.Array:
@@ -120,6 +124,7 @@ def controlnet_apply(
     context: jax.Array,
     guided_hint: Optional[jax.Array] = None,
     ctx_kv=None,
+    y: Optional[jax.Array] = None,
 ) -> List[jax.Array]:
     """ControlNet.forward (cldm/cldm.py:284-305) -> 13 NHWC tensors.
 
@@ -131,7 +136,7 @@ def controlnet_apply(
     """
     ucfg = cfg.unet
     kvs = ctx_kv["input"] if ctx_kv is not None else None
-    emb = _embed_timesteps(params, ucfg, timesteps, x.dtype)
+    emb = _embed_timesteps(params, ucfg, timesteps, x.dtype, y=y)
     if guided_hint is None:
         guided_hint = hint_block_apply(
             params["input_hint_block"], hint.astype(x.dtype)
@@ -178,6 +183,7 @@ def controlled_unet_apply(
     guided_hint: Optional[jax.Array] = None,
     unet_ctx_kv=None,
     ctrl_ctx_kv=None,
+    y: Optional[jax.Array] = None,
 ) -> jax.Array:
     """ControlLDM.apply_model (cldm/cldm.py:328-341): ControlNet -> scaled
     13 taps -> UNet eps prediction.
@@ -196,7 +202,7 @@ def controlled_unet_apply(
     """
     if hint is None and guided_hint is None:
         return unet_apply(unet_params, cfg.unet, x, timesteps, context,
-                          control=None, ctx_kv=unet_ctx_kv)
+                          control=None, ctx_kv=unet_ctx_kv, y=y)
     if isinstance(controlnet_params, (tuple, list)):
         n = len(controlnet_params)
 
@@ -210,7 +216,7 @@ def controlled_unet_apply(
             taps = controlnet_apply(
                 controlnet_params[i], cfg, x, pick(hint, i), timesteps,
                 context, guided_hint=pick(guided_hint, i),
-                ctx_kv=pick(ctrl_ctx_kv, i),
+                ctx_kv=pick(ctrl_ctx_kv, i), y=y,
             )
             if control_scales is not None:
                 taps = scale_control(taps, pick(control_scales, i))
@@ -219,14 +225,14 @@ def controlled_unet_apply(
     else:
         control = controlnet_apply(
             controlnet_params, cfg, x, hint, timesteps, context,
-            guided_hint=guided_hint, ctx_kv=ctrl_ctx_kv,
+            guided_hint=guided_hint, ctx_kv=ctrl_ctx_kv, y=y,
         )
         if control_scales is not None:
             control = scale_control(control, control_scales)
     return unet_apply(
         unet_params, cfg.unet, x, timesteps, context,
         control=control, only_mid_control=only_mid_control,
-        ctx_kv=unet_ctx_kv,
+        ctx_kv=unet_ctx_kv, y=y,
     )
 
 

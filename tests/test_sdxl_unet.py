@@ -107,3 +107,54 @@ class TestSDXLParity:
             expect=jax.eval_shape(lambda k: init_unet(k, XL),
                                   jax.random.PRNGKey(0)),
         ).assert_complete("sdxl-unet")
+
+
+@pytest.mark.slow
+class TestSDXLControlNet:
+    def test_controlled_forward_and_accounting(self, rng):
+        """An ADM-conditioned (SDXL-style) ControlNet: y threads through
+        both branches, the full controlled forward matches the torch
+        mirrors, and the converter consumes label_emb exactly."""
+        from stablediffusioneo_tpu.checkpoint.accounting import account
+        from stablediffusioneo_tpu.checkpoint.convert import (
+            convert_controlnet,
+        )
+        from stablediffusioneo_tpu.config import ControlNetConfig
+        from stablediffusioneo_tpu.models import init_controlnet
+        from stablediffusioneo_tpu.models.controlnet import (
+            controlled_unet_apply,
+        )
+
+        import torch
+
+        from torch_ref import TorchControlNet
+
+        ccfg = ControlNetConfig(unet=XL)
+        torch.manual_seed(5)
+        tu = TorchUNet(XL).eval()
+        tc = TorchControlNet(ccfg).eval()
+        uparams = convert_unet(state_dict_numpy(tu), XL, prefix="")
+        rep = account(
+            convert_controlnet, state_dict_numpy(tc), ccfg, prefix="",
+            expect=jax.eval_shape(lambda k: init_controlnet(k, ccfg),
+                                  jax.random.PRNGKey(0)),
+        )
+        rep.assert_complete("sdxl-controlnet")
+        cparams = rep.tree
+
+        x = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+        hint = rng.random((1, 64, 64, 3)).astype(np.float32)
+        t = np.array([123.0], np.float32)
+        ctx = rng.standard_normal((1, 5, XL.context_dim)).astype(np.float32)
+        y = rng.standard_normal((1, XL.adm_in_channels)).astype(np.float32)
+        with torch.no_grad():
+            taps = tc(torch.from_numpy(nchw(x)), torch.from_numpy(nchw(hint)),
+                      torch.from_numpy(t), torch.from_numpy(ctx),
+                      y=torch.from_numpy(y))
+            ref = tu(torch.from_numpy(nchw(x)), torch.from_numpy(t),
+                     torch.from_numpy(ctx), control=list(taps),
+                     y=torch.from_numpy(y)).numpy()
+        out = np.asarray(controlled_unet_apply(
+            uparams, cparams, ccfg, jnp.asarray(x), jnp.asarray(hint),
+            jnp.asarray(t), jnp.asarray(ctx), y=jnp.asarray(y)))
+        np.testing.assert_allclose(out, nhwc(ref), rtol=2e-4, atol=2e-4)

@@ -290,6 +290,11 @@ class TorchControlNet(nn.Module):
         self.time_embed = nn.Sequential(
             nn.Linear(mc, emb_dim), nn.SiLU(), nn.Linear(emb_dim, emb_dim)
         )
+        if getattr(ucfg, "adm_in_channels", None):
+            self.label_emb = nn.Sequential(nn.Sequential(
+                nn.Linear(ucfg.adm_in_channels, emb_dim), nn.SiLU(),
+                nn.Linear(emb_dim, emb_dim)))
+        dfc = ucfg.depth_for
         hc = cfg.hint_channels
         self.input_hint_block = nn.Sequential(
             nn.Conv2d(hc, 16, 3, padding=1), nn.SiLU(),
@@ -311,8 +316,8 @@ class TorchControlNet(nn.Module):
             for _ in range(nrb):
                 layers = [ResBlock(ch, emb_dim, m * mc, groups)]
                 ch = m * mc
-                if ds in attn_ds:
-                    layers.append(SpatialTransformer(ch, hf(ch), depth, ctx, groups))
+                if ds in attn_ds and dfc(level) > 0:
+                    layers.append(SpatialTransformer(ch, hf(ch), dfc(level), ctx, groups))
                 self.input_blocks.append(TimestepEmbedSequential(*layers))
                 self.zero_convs.append(TimestepEmbedSequential(nn.Conv2d(ch, ch, 1)))
             if level != len(mult) - 1:
@@ -321,14 +326,16 @@ class TorchControlNet(nn.Module):
                 ds *= 2
         self.middle_block = TimestepEmbedSequential(
             ResBlock(ch, emb_dim, ch, groups),
-            SpatialTransformer(ch, hf(ch), depth, ctx, groups),
+            SpatialTransformer(ch, hf(ch), dfc(len(mult) - 1), ctx, groups),
             ResBlock(ch, emb_dim, ch, groups),
         )
         self.middle_block_out = TimestepEmbedSequential(nn.Conv2d(ch, ch, 1))
 
-    def forward(self, x, hint, timesteps, context):
+    def forward(self, x, hint, timesteps, context, y=None):
         t_emb = timestep_embedding(timesteps, self.model_channels)
         emb = self.time_embed(t_emb)
+        if y is not None:
+            emb = emb + self.label_emb(y)
         guided_hint = self.input_hint_block(hint)
         outs = []
         h = x
