@@ -170,7 +170,15 @@ class Canny2ImagePipeline:
         through the 3x77 windowed encoder (hack_everything, hack.py:32-68)
         instead of truncating — opt-in, exactly like the reference activates
         the hack explicitly (share.py import side effect); the default stays
-        truncation so outputs match the un-hacked reference bit-for-bit."""
+        truncation so outputs match the un-hacked reference bit-for-bit.
+
+        sampler: "ddim" (reference parity), "dpmpp"/"dpmpp-karras"
+        (DPM-Solver++(2M)), or the k-diffusion family "euler"/"euler-a"/
+        "heun" (Karras rho-7 sigma spacing by default; "-uniform" suffix
+        selects the trained-grid spacing). Spacing variants share one
+        compiled engine program (schedules ride as engine inputs).
+        eta applies to DDIM only; euler-a carries its own ancestral
+        noise (per-request reproducible through the serving seeds path)."""
         t_start = time.perf_counter()
 
         img = resize_image(HWC3(input_image), image_resolution)

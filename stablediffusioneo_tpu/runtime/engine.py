@@ -37,7 +37,19 @@ from stablediffusioneo_tpu.models.unet import encoder_plan
 from stablediffusioneo_tpu.models.vae import vae_decode, vae_encode
 from stablediffusioneo_tpu.pipeline.ddim import ddim_sample_scan
 from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+from stablediffusioneo_tpu.pipeline.k_diffusion import KDIFF_SAMPLERS
 from stablediffusioneo_tpu.runtime.cache import enable_persistent_cache
+
+
+def _canon_sampler(sampler: str) -> str:
+    """Engine-program name for a sampler string: sigma-spacing suffixes
+    ("-karras"/"-uniform") only change the schedule arrays, which ride as
+    engine inputs — so e.g. dpmpp/dpmpp-karras and euler/euler-uniform
+    share ONE compiled program each."""
+    for suffix in ("-karras", "-uniform"):
+        if sampler.endswith(suffix):
+            return sampler[: -len(suffix)]
+    return sampler
 
 log = logging.getLogger("stablediffusioneo_tpu")
 
@@ -245,6 +257,23 @@ class CNSDRuntime:
 
             return run
 
+        if sampler in KDIFF_SAMPLERS:
+            from stablediffusioneo_tpu.pipeline.k_diffusion import kdiff_sample_scan
+
+            if inpaint:
+                raise ValueError("inpainting is a DDIM-path feature "
+                                 "(sampler='ddim')")
+
+            def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale, cscales, key):
+                return kdiff_sample_scan(
+                    unet_p, ctrl_p, cfg.controlnet, sched,
+                    x_T, hint, ctx_c, ctx_u, scale, cscales, key,
+                    sampler=sampler, guess_mode=guess_mode,
+                    parameterization=cfg.diffusion.parameterization,
+                )
+
+            return run
+
         if inpaint:
             # trailing (inpaint_latent, inpaint_mask) args — the hint-variant
             # wrappers pass them through their *rest tail untouched
@@ -326,7 +355,7 @@ class CNSDRuntime:
         ctx_len = ctx_len or self.cfg.clip.max_length
         # dpmpp spacings share ONE program: the spacing only changes the
         # schedule arrays, which are engine inputs (dpm_solver.py)
-        sampler = "dpmpp" if sampler.startswith("dpmpp") else sampler
+        sampler = _canon_sampler(sampler)
         key_t = ("sample_decode", sampler, num_steps, batch, h, w, guess_mode,
                  encoder_cache_interval, ctx_len, hint_u8, gen_xT, inpaint)
         if key_t in self._engines:
@@ -600,19 +629,27 @@ class CNSDRuntime:
         return cached
 
     def _make_schedule(self, num_steps: int, sampler: str, eta: float = 0.0):
-        if sampler.startswith("dpmpp"):
+        # "<name>-karras" = the same solver over the rho-7 Karras sigma
+        # spacing (same engine program; the spacing only changes the
+        # schedule arrays, which ride as engine inputs)
+        spacing = "karras" if sampler.endswith("-karras") else "uniform"
+        base = _canon_sampler(sampler)
+        if base == "dpmpp":
             from stablediffusioneo_tpu.pipeline.dpm_solver import dpmpp_schedule
 
-            # "dpmpp-karras" = DPM++ 2M with the rho-7 Karras sigma spacing
-            # (same engine program; the spacing only changes the schedule
-            # arrays, which ride as engine inputs)
-            spacing = "karras" if sampler == "dpmpp-karras" else "uniform"
-            if sampler not in ("dpmpp", "dpmpp-karras"):
-                raise ValueError(f"unknown sampler {sampler!r}")
             return dpmpp_schedule(self.schedule, num_steps, spacing=spacing)
-        if sampler != "ddim":
-            raise ValueError(f"unknown sampler {sampler!r} "
-                             "(expected 'ddim' or 'dpmpp')")
+        if base in KDIFF_SAMPLERS:
+            from stablediffusioneo_tpu.pipeline.k_diffusion import kdiff_schedule
+
+            # k-diffusion convention defaults to the Karras spacing
+            # (bare "euler"/"euler-a"/"heun" = the familiar A1111 samplers);
+            # "<name>-uniform" selects the trained-grid spacing instead.
+            sp = "uniform" if sampler.endswith("-uniform") else "karras"
+            return kdiff_schedule(self.schedule, num_steps, spacing=sp)
+        if base != "ddim":
+            raise ValueError(f"unknown sampler {sampler!r} (expected 'ddim', "
+                             "'dpmpp[-karras]', 'euler[-a|-uniform]' or "
+                             "'heun[-uniform]')")
         return self.schedule.ddim(num_steps, eta=eta)
 
     def sampler_engine(
@@ -630,7 +667,7 @@ class CNSDRuntime:
         in-graph f32 division then dtype cast is bit-identical to the old
         host-side normalize)."""
         ctx_len = ctx_len or self.cfg.clip.max_length
-        sampler = "dpmpp" if sampler.startswith("dpmpp") else sampler
+        sampler = _canon_sampler(sampler)
         key_t = ("sampler", sampler, num_steps, batch, h, w, guess_mode,
                  encoder_cache_interval, ctx_len, hint_u8)
         if key_t in self._engines:
