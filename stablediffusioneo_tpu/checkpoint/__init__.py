@@ -14,6 +14,8 @@ from stablediffusioneo_tpu.checkpoint.convert import (
     convert_clip,
     load_controlnet_pipeline,
     load_sdxl_pipeline,
+    load_depth2img_pipeline,
+    load_inpaint_pipeline,
 )
 from stablediffusioneo_tpu.checkpoint.textual_inversion import (
     add_concepts,
@@ -29,6 +31,8 @@ __all__ = [
     "convert_clip",
     "load_controlnet_pipeline",
     "load_sdxl_pipeline",
+    "load_depth2img_pipeline",
+    "load_inpaint_pipeline",
     "load_concept",
     "add_concepts",
     "apply_textual_inversion",

@@ -484,3 +484,114 @@ def convert_openclip_text(
         params["text_projection"] = {
             "w": jnp.asarray(sd["text_projection"], dtype)}
     return params
+
+
+# -------------------------------------------- concat-conditioned families
+
+
+def convert_depth_tower(
+    sd: Dict[str, np.ndarray],
+    cfg=None,
+    prefix: str = "depth_model.model.",
+    dtype=None,
+) -> Dict:
+    """The MiDaS DPT-hybrid tower embedded in an SD-2.0 depth checkpoint
+    (LatentDepth2ImageDiffusion's `depth_model` — the reference vendors the
+    same net under ldm/modules/midas/). cfg is accepted for converter-API
+    uniformity and unused (DPT-hybrid topology is fixed)."""
+    from stablediffusioneo_tpu.annotators.midas_hybrid import convert_dpt_hybrid
+
+    return convert_dpt_hybrid(_strip(sd, prefix) if prefix else sd,
+                              dtype=dtype)
+
+
+def _load_concat_family(path, jobs, dtype, strict, tag):
+    """Shared strict loader: per-tree key accounting + global coverage of
+    keys outside every scope (load_sdxl_pipeline semantics)."""
+    from stablediffusioneo_tpu.checkpoint.accounting import (
+        SD_KNOWN_UNUSED, account,
+    )
+    from stablediffusioneo_tpu.checkpoint.torch_reader import (
+        load_torch_state_dict,
+    )
+
+    import re as _re
+
+    sd = load_torch_state_dict(path)
+    out: Dict[str, Dict] = {}
+    for name, fn, prefix, sub_cfg, ignore in jobs:
+        if strict:
+            out[name] = account(
+                fn, sd, sub_cfg, prefix=prefix, scope_prefix=prefix,
+                ignore=ignore, dtype=dtype,
+            ).assert_complete(f"{tag}.{name}").tree
+        else:
+            out[name] = fn(sd, sub_cfg, prefix=prefix, dtype=dtype)
+    if strict:
+        prefixes = tuple(j[2] for j in jobs)
+        loose = [k for k in sd if not k.startswith(prefixes)]
+        unused_re = [_re.compile(p) for p in SD_KNOWN_UNUSED]
+        foreign = [k for k in loose
+                   if not any(r.fullmatch(k) for r in unused_re)]
+        if foreign:
+            raise ValueError(
+                f"load_{tag}_pipeline: {len(foreign)} key(s) outside every "
+                f"model scope and not known-unused: {sorted(foreign)[:8]}")
+    return out
+
+
+def load_depth2img_pipeline(
+    path: str,
+    cfg: Optional[PipelineConfig] = None,
+    dtype=None,
+    strict: bool = True,
+) -> Dict[str, Dict]:
+    """Load an SD-2.0 depth2img checkpoint (512-depth-ema layout):
+
+      model.diffusion_model.*   -> unet (5-channel conv_in)
+      first_stage_model.*       -> vae
+      cond_stage_model.model.*  -> clip (OpenCLIP ViT-H text tower)
+      depth_model.model.*       -> depth (MiDaS DPT-hybrid)
+
+    strict=True runs per-tree key accounting + global coverage; sample via
+    pipeline.concat_cond (sd_concat_sample_scan + depth_to_concat)."""
+    from stablediffusioneo_tpu.config import sd2_depth_pipeline
+
+    cfg = cfg or sd2_depth_pipeline()
+    jobs = (
+        ("unet", convert_unet, "model.diffusion_model.", cfg.unet, ()),
+        ("vae", convert_vae, "first_stage_model.", cfg.vae, ()),
+        ("clip", convert_openclip_text, "cond_stage_model.model.", cfg.clip,
+         (r".*attn_mask", r".*logit_scale")),
+        ("depth", convert_depth_tower, "depth_model.model.", None, ()),
+    )
+    return _load_concat_family(path, jobs, dtype, strict, "depth2img")
+
+
+def load_inpaint_pipeline(
+    path: str,
+    cfg: Optional[PipelineConfig] = None,
+    dtype=None,
+    strict: bool = True,
+) -> Dict[str, Dict]:
+    """Load a dedicated inpainting checkpoint (sd-v1-5-inpainting /
+    SD-2.0-inpainting layout): the 9-channel UNet + vae + text tower. The
+    text-encoder layout follows cfg.clip: SD-1.5 checkpoints carry the HF
+    CLIPTextModel under cond_stage_model.transformer., SD-2.x the OpenCLIP
+    tower under cond_stage_model.model. (selected by cfg.clip.layer ==
+    "penultimate", the SD-2.x marker)."""
+    from stablediffusioneo_tpu.config import sd15_inpaint_pipeline
+
+    cfg = cfg or sd15_inpaint_pipeline()
+    if cfg.clip.layer == "penultimate":
+        clip_job = ("clip", convert_openclip_text, "cond_stage_model.model.",
+                    cfg.clip, (r".*attn_mask", r".*logit_scale"))
+    else:
+        clip_job = ("clip", convert_clip, "cond_stage_model.transformer.",
+                    cfg.clip, (r".*position_ids",))
+    jobs = (
+        ("unet", convert_unet, "model.diffusion_model.", cfg.unet, ()),
+        ("vae", convert_vae, "first_stage_model.", cfg.vae, ()),
+        clip_job,
+    )
+    return _load_concat_family(path, jobs, dtype, strict, "inpaint")

@@ -197,6 +197,53 @@ def sd21_pipeline(
     )
 
 
+def sd2_depth_pipeline(
+    dtype: str = "bfloat16", use_pallas: bool = True
+) -> PipelineConfig:
+    """SD-2.0 depth2img (512-depth-ema): 5-channel hybrid-conditioned UNet
+    (latent + MiDaS depth at latent resolution), OpenCLIP ViT-H context,
+    eps parameterization. Sampled via pipeline/concat_cond.py; the
+    controlnet field is structural only (this family has no ControlNet)."""
+    unet = UNetConfig(in_channels=5, num_head_channels=64, context_dim=1024)
+    return PipelineConfig(
+        unet=unet,
+        controlnet=ControlNetConfig(unet=unet),
+        clip=openclip_vit_h_text(),
+        dtype=dtype,
+        use_pallas=use_pallas,
+    )
+
+
+def sd15_inpaint_pipeline(
+    dtype: str = "bfloat16", use_pallas: bool = True
+) -> PipelineConfig:
+    """sd-v1-5-inpainting: 9-channel hybrid-conditioned UNet (latent +
+    mask + masked-image latent), otherwise SD-1.5. Sampled via
+    pipeline/concat_cond.py; controlnet field structural only."""
+    unet = UNetConfig(in_channels=9)
+    return PipelineConfig(
+        unet=unet,
+        controlnet=ControlNetConfig(unet=unet),
+        dtype=dtype,
+        use_pallas=use_pallas,
+    )
+
+
+def sd2_inpaint_pipeline(
+    dtype: str = "bfloat16", use_pallas: bool = True
+) -> PipelineConfig:
+    """SD-2.0 inpainting (512-inpainting-ema): the 9-channel UNet at SD-2.x
+    dimensions (per-head 64 channels, OpenCLIP ViT-H context, eps)."""
+    unet = UNetConfig(in_channels=9, num_head_channels=64, context_dim=1024)
+    return PipelineConfig(
+        unet=unet,
+        controlnet=ControlNetConfig(unet=unet),
+        clip=openclip_vit_h_text(),
+        dtype=dtype,
+        use_pallas=use_pallas,
+    )
+
+
 def tiny_pipeline() -> PipelineConfig:
     """Miniature config for tests: same topology, tiny widths."""
     unet = UNetConfig(
