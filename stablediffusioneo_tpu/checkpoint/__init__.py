@@ -14,6 +14,7 @@ from stablediffusioneo_tpu.checkpoint.convert import (
     convert_clip,
     load_controlnet_pipeline,
     load_sdxl_pipeline,
+    load_sdxl_refiner_pipeline,
     load_depth2img_pipeline,
     load_inpaint_pipeline,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "convert_clip",
     "load_controlnet_pipeline",
     "load_sdxl_pipeline",
+    "load_sdxl_refiner_pipeline",
     "load_depth2img_pipeline",
     "load_inpaint_pipeline",
     "load_concept",

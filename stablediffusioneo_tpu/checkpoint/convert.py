@@ -595,3 +595,32 @@ def load_inpaint_pipeline(
         clip_job,
     )
     return _load_concat_family(path, jobs, dtype, strict, "inpaint")
+
+
+def load_sdxl_refiner_pipeline(
+    path: str,
+    cfg=None,
+    dtype=None,
+    strict: bool = True,
+) -> Dict[str, Dict]:
+    """Load an SDXL-refiner checkpoint (sgm layout) into three param trees:
+
+      model.diffusion_model.*          -> unet (4-level, bigG-only context)
+      conditioner.embedders.0.model.*  -> clip_g (OpenCLIP bigG; the
+                                          aesthetic/size embedders 1..2 are
+                                          parameter-free fourier encoders)
+      first_stage_model.*              -> vae
+
+    strict=True runs per-tree key accounting + global scope coverage.
+    Sample via models.sdxl.sdxl_refine_latents on the base model's
+    latents (shared VAE; no decode/re-encode between stages)."""
+    from stablediffusioneo_tpu.models.sdxl import SDXLRefinerConfig
+
+    cfg = cfg or SDXLRefinerConfig()
+    jobs = (
+        ("unet", convert_unet, "model.diffusion_model.", cfg.unet, ()),
+        ("clip_g", convert_openclip_text, "conditioner.embedders.0.model.",
+         cfg.clip_g, (r".*attn_mask", r".*logit_scale")),
+        ("vae", convert_vae, "first_stage_model.", cfg.vae, ()),
+    )
+    return _load_concat_family(path, jobs, dtype, strict, "sdxl_refiner")

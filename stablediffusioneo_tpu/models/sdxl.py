@@ -230,3 +230,143 @@ def sdxl_txt2img_scan(
 
     x0, _ = jax.lax.scan(body, x_T, consts)
     return x0
+
+
+# ------------------------------------------------------------------ refiner
+
+
+def sdxl_refiner_unet() -> UNetConfig:
+    """SDXL-refiner UNet (sgm configs/inference/sd_xl_refiner.yaml):
+    384 base channels over 4 levels, uniform transformer depth 4 at the
+    ds-2/4 attention sites AND the middle block, bigG-only context (1280),
+    ADM 2560 (pooled 1280 + 5 x 256 aesthetic/size fourier ids).
+
+    Encoding note: upstream transformer_depth=4 with attention_resolutions
+    [2, 4] means level 3 (ds 8) has NO attention sites while the middle
+    block still carries a depth-4 transformer. The ladder (0, 4, 4, 4)
+    expresses exactly that here: per-level sites are gated on
+    `ds in attention_resolutions and depth > 0` and the middle block takes
+    depth_for(last level) = 4 (models/unet.py encoder_plan)."""
+    return UNetConfig(
+        model_channels=384,
+        channel_mult=(1, 2, 4, 4),
+        num_res_blocks=2,
+        attention_resolutions=(2, 4),
+        transformer_depth=(0, 4, 4, 4),
+        context_dim=1280,
+        num_head_channels=64,
+        adm_in_channels=2560,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SDXLRefinerConfig:
+    """The refiner conditions on the bigG tower ONLY (no CLIP-L) and swaps
+    the size/crop micro-conditioning tail for (orig_hw, crop_tl,
+    aesthetic_score)."""
+
+    unet: UNetConfig = dataclasses.field(default_factory=sdxl_refiner_unet)
+    clip_g: CLIPTextConfig = dataclasses.field(default_factory=clip_bigg_sdxl)
+    vae: VAEConfig = dataclasses.field(default_factory=sdxl_vae)
+    diffusion: DiffusionConfig = dataclasses.field(
+        default_factory=DiffusionConfig)
+    dtype: str = "bfloat16"
+
+
+def tiny_sdxl_refiner() -> SDXLRefinerConfig:
+    """Miniature refiner topology: 4 levels, no-attn top level feeding a
+    transformer middle block, bigG-only conditioning."""
+    unet = UNetConfig(
+        model_channels=32, channel_mult=(1, 1, 2, 2), num_res_blocks=1,
+        attention_resolutions=(2, 4), transformer_depth=(0, 1, 1, 1),
+        context_dim=16, num_head_channels=16, adm_in_channels=16 + 5 * 8,
+        groups=8,
+    )
+    return SDXLRefinerConfig(
+        unet=unet,
+        clip_g=CLIPTextConfig(
+            vocab_size=1000, hidden_size=16, intermediate_size=32,
+            num_layers=2, num_heads=2, max_length=16,
+            layer="penultimate_raw", act="gelu", projection_dim=16),
+        vae=VAEConfig(ch=16, ch_mult=(1, 1, 1, 1), num_res_blocks=1,
+                      groups=8, scale_factor=0.13025),
+        dtype="float32",
+    )
+
+
+def refiner_add_time_ids(
+    original_size: Tuple[int, int],
+    crop_coords: Tuple[int, int],
+    aesthetic_score: float,
+    batch: int,
+    fourier_dim: int = 256,
+) -> np.ndarray:
+    """Refiner micro-conditioning: fourier features of (orig_h, orig_w,
+    crop_top, crop_left, aesthetic_score), 5 ids (sgm refiner conditioner:
+    the target-size pair is replaced by the aesthetic score). Returns
+    (B, 5 * fourier_dim) f32."""
+    ids = np.asarray(
+        list(original_size) + list(crop_coords) + [aesthetic_score],
+        np.float32)
+    emb = timestep_embedding(jnp.asarray(ids), fourier_dim)  # (5, F)
+    flat = np.asarray(emb).reshape(1, -1)
+    return np.repeat(flat, batch, axis=0)
+
+
+def sdxl_refiner_conditioning(
+    params: Dict,
+    cfg: SDXLRefinerConfig,
+    ids_g: jax.Array,
+    size_hw: Tuple[int, int],
+    aesthetic_score: float = 6.0,
+    original_size: Optional[Tuple[int, int]] = None,
+    crop_coords: Tuple[int, int] = (0, 0),
+) -> Tuple[jax.Array, jax.Array]:
+    """(context (B, 77, 1280), y (B, 2560)) for ONE CFG branch.
+
+    The refiner's cond/uncond branches differ in aesthetic score too, not
+    just the prompt (sgm defaults: 6.0 for cond, 2.5 for uncond) — call
+    once per branch. ids_g uses the bigG padding convention
+    (sdxl_tokenize's second output)."""
+    b = ids_g.shape[0]
+    hg, pooled = clip_text_apply_with_pooled(params["clip_g"], cfg.clip_g,
+                                             ids_g)
+    proj = cfg.clip_g.projection_dim or cfg.clip_g.hidden_size
+    tids = jnp.asarray(refiner_add_time_ids(
+        original_size or size_hw, crop_coords, aesthetic_score, b,
+        fourier_dim=(cfg.unet.adm_in_channels - proj) // 5))
+    y = jnp.concatenate([pooled.astype(jnp.float32), tids], axis=-1)
+    return hg, y
+
+
+def sdxl_refine_latents(
+    unet_params: Dict,
+    cfg: SDXLRefinerConfig,
+    schedule: Dict[str, np.ndarray],
+    z0: jax.Array,
+    t_enc: int,
+    ctx_cond: jax.Array,
+    ctx_uncond: jax.Array,
+    y_cond: jax.Array,
+    y_uncond: jax.Array,
+    scale: jax.Array,
+    key: jax.Array,
+    parameterization: str = "eps",
+) -> jax.Array:
+    """Refine base-model latents: stochastic-encode z0 to the entry step
+    (the last t_enc entries of the num_steps discretization, the
+    DDIMSampler.img2img convention) and run the refiner UNet over the
+    tail — the SDXL base->refiner ensemble-of-experts handoff in LATENT
+    space (both stages share the VAE, so no decode/re-encode)."""
+    n = len(schedule["timesteps"])
+    if not 0 < t_enc <= n:
+        raise ValueError(f"t_enc must be in (0, {n}], got {t_enc}")
+    tail = {k: np.asarray(v)[n - t_enc:] for k, v in schedule.items()}
+    key, kn = jax.random.split(key)
+    a0 = jnp.asarray(tail["alphas"][0], jnp.float32)
+    noise = jax.random.normal(kn, z0.shape, jnp.float32)
+    x_T = (jnp.sqrt(a0) * z0.astype(jnp.float32)
+           + jnp.sqrt(1.0 - a0) * noise).astype(z0.dtype)
+    return sdxl_txt2img_scan(
+        unet_params, cfg, tail, x_T, ctx_cond, ctx_uncond, y_cond,
+        y_uncond, scale, key, parameterization=parameterization)
