@@ -1,0 +1,166 @@
+"""UniPC sampler — unified predictor-corrector, order 2, bh2 variant.
+
+Beyond-reference feature (the reference ships DDIM only): UniPC (Zhao et
+al. 2023, arXiv:2302.04867) pairs a DPM-Solver++-style multistep
+predictor with a corrector that folds the CURRENT step's model evaluation
+back into the update — second-order accuracy at ONE model eval per step
+with measurably better low-step quality than 2M alone.
+
+Same TPU shape as the other samplers: the loop is one `lax.scan` with CFG
+batched 2-wide, hint embedding + context K/V hoisted, per-step constants
+as scan inputs. The schedule is pipeline/dpm_solver.dpmpp_schedule
+(uniform or Karras spacing), so "unipc"/"unipc-karras" share ONE compiled
+engine program exactly like dpmpp/dpmpp-karras.
+
+Update (data-prediction/x0 form, bh2: B_h = expm1(-h)):
+
+    h       = lambda_next - lambda_cur        (> 0 while denoising)
+    phi_1   = expm1(-h)
+    x_base  = (sigma_next / sigma_cur) x  -  alpha_next phi_1 m_cur
+    D1_prev = (m_prev - m_cur) / r1,   r1 = (lambda_prev - lambda_cur) / h
+    predictor : x_p = x_base - alpha_next B_h (1/2) D1_prev
+    corrector : m_t = model(x_p, t_next);  D1_t = m_t - m_cur
+                x_t = x_base - alpha_next B_h (c1 D1_prev + c2 D1_t)
+    with (c1, c2) solving [[1, 1], [r1, 1]] c = [b1, b2],
+         b1 = (phi_1 / (-h) - 1) / B_h,
+         b2 = 2 ((phi_1 / (-h) - 1) / (-h) - 1/2) / B_h
+    (first step: no D1_prev — order-1 predictor, corrector rho = 1/2;
+     final step: predictor only, matching the official implementation's
+     eval count of exactly one model call per step).
+
+m values are x0 predictions; the corrector's model eval at x_p is reused
+as the next step's m_cur (the official implementation's approximation).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stablediffusioneo_tpu.config import ControlNetConfig
+from stablediffusioneo_tpu.models.controlnet import hint_block_apply
+from stablediffusioneo_tpu.pipeline.ddim import (
+    _bc_scale,
+    _cfg_eval,
+    _hoist_context_kv,
+)
+
+
+def unipc_sample_scan(
+    unet_params,
+    controlnet_params,
+    cfg: ControlNetConfig,
+    sched: Dict[str, np.ndarray],
+    x_T: jax.Array,
+    hint: jax.Array,
+    ctx_cond: jax.Array,
+    ctx_uncond: jax.Array,
+    scale: jax.Array,
+    control_scales: jax.Array,
+    guess_mode: bool = False,
+    parameterization: str = "eps",
+) -> jax.Array:
+    """UniPC-2 (bh2) loop. Deterministic ODE sampler; returns x0 latents.
+
+    sched: dpm_solver.dpmpp_schedule dict (uniform or karras spacing —
+    the arrays are inputs, so both spacings share this traced program).
+    Eval count: exactly one CFG model eval per step (the step-0 eval
+    happens before the scan; each scan step's corrector eval feeds the
+    next step's predictor; the final step is predictor-only)."""
+    if isinstance(controlnet_params, (tuple, list)):
+        guided_hint = tuple(
+            hint_block_apply(cp["input_hint_block"], h.astype(x_T.dtype))
+            for cp, h in zip(controlnet_params, hint))
+    else:
+        guided_hint = hint_block_apply(
+            controlnet_params["input_hint_block"], hint.astype(x_T.dtype)
+        )
+    hoisted_kv = _hoist_context_kv(
+        unet_params, controlnet_params, cfg, ctx_cond, ctx_uncond, guess_mode
+    )
+    consts = jax.tree.map(jnp.asarray, sched)
+
+    def x0_at(x, t, alpha, sigma):
+        """CFG-combined x0 prediction, f32."""
+        b = x.shape[0]
+        tb = jnp.full((b,), t, jnp.float32)
+        e_c, e_u = _cfg_eval(
+            unet_params, controlnet_params, cfg, x, guided_hint, tb,
+            ctx_cond, ctx_uncond, control_scales, guess_mode,
+            hoisted_kv=hoisted_kv,
+        )
+        m = (e_u + _bc_scale(scale, x) * (e_c - e_u)).astype(jnp.float32)
+        xf = x.astype(jnp.float32)
+        if parameterization == "v":
+            return alpha * xf - sigma * m
+        return (xf - sigma * m) / alpha
+
+    dtype = x_T.dtype
+
+    def base_and_coeffs(ps):
+        h = ps["lambda_next"] - ps["lambda_cur"]
+        hh = -h
+        phi_1 = jnp.expm1(hh)
+        B_h = phi_1                                  # bh2
+        b1 = (phi_1 / hh - 1.0) / B_h
+        b2 = 2.0 * ((phi_1 / hh - 1.0) / hh - 0.5) / B_h
+        return h, phi_1, B_h, b1, b2
+
+    def body(carry, ps):
+        x, m_cur, lam_prev, m_prev, have_prev = carry
+        h, phi_1, B_h, b1, b2 = base_and_coeffs(ps)
+        a_n, s_c, s_n = ps["alpha_next"], ps["sigma_cur"], ps["sigma_next"]
+        xf = x.astype(jnp.float32)
+        x_base = (s_n / s_c) * xf - a_n * phi_1 * m_cur
+        r1 = (lam_prev - ps["lambda_cur"]) / h
+        d1_prev = (m_prev - m_cur) / jnp.where(jnp.abs(r1) > 1e-12, r1, 1.0)
+        # predictor: order 2 (rho_p = 1/2) with history, order 1 without
+        pred_res = jnp.where(have_prev > 0, 0.5 * d1_prev,
+                             jnp.zeros_like(d1_prev))
+        x_p = x_base - a_n * B_h * pred_res
+        # corrector: eval at the predicted point, reuse as next m_cur
+        m_t = x0_at(x_p.astype(dtype), ps["t_next"], a_n, s_n)
+        d1_t = m_t - m_cur
+        c1 = (b1 - b2) / (1.0 - r1)
+        c2_2 = b1 - c1                                # order-2 rhos_c
+        corr2 = c1 * d1_prev + c2_2 * d1_t
+        corr1 = 0.5 * d1_t                            # order-1 rhos_c
+        corr = jnp.where(have_prev > 0, corr2, corr1)
+        x_t = x_base - a_n * B_h * corr
+        new_carry = (x_t.astype(dtype), m_t, ps["lambda_cur"], m_cur,
+                     jnp.ones((), jnp.int32))
+        return new_carry, ()
+
+    # step-0 model eval (before the scan)
+    first = jax.tree.map(lambda v: v[0], consts)
+    m0 = x0_at(x_T, first["t"], first["alpha_cur"], first["sigma_cur"])
+
+    # scan over all steps but the last (each runs predictor + corrector);
+    # the scan needs t_next (the corrector's eval time) = next step's t
+    n = len(sched["t"])
+    t_next = jnp.concatenate([consts["t"][1:], consts["t"][-1:]])
+    consts = {**consts, "t_next": t_next}
+    head = jax.tree.map(lambda v: v[:-1], consts)
+    init = (x_T, m0, jnp.zeros((), jnp.float32),
+            jnp.zeros_like(m0), jnp.zeros((), jnp.int32))
+    if n > 1:
+        (x, m_cur, lam_prev, m_prev, have_prev), _ = jax.lax.scan(
+            body, init, head)
+    else:
+        x, m_cur, lam_prev, m_prev, have_prev = init
+
+    # final step: predictor only (no corrector eval — official eval count)
+    last = jax.tree.map(lambda v: v[-1], consts)
+    h, phi_1, B_h, b1, b2 = base_and_coeffs(last)
+    a_n, s_c, s_n = last["alpha_next"], last["sigma_cur"], last["sigma_next"]
+    xf = x.astype(jnp.float32)
+    x_base = (s_n / s_c) * xf - a_n * phi_1 * m_cur
+    r1 = (lam_prev - last["lambda_cur"]) / h
+    d1_prev = (m_prev - m_cur) / jnp.where(jnp.abs(r1) > 1e-12, r1, 1.0)
+    pred_res = jnp.where(have_prev > 0, 0.5 * d1_prev,
+                         jnp.zeros_like(d1_prev))
+    x = x_base - a_n * B_h * pred_res
+    return x.astype(dtype)

@@ -257,6 +257,23 @@ class CNSDRuntime:
 
             return run
 
+        if sampler == "unipc":
+            from stablediffusioneo_tpu.pipeline.unipc import unipc_sample_scan
+
+            if inpaint:
+                raise ValueError("inpainting is a DDIM-path feature "
+                                 "(sampler='ddim')")
+
+            def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale, cscales, key):
+                return unipc_sample_scan(
+                    unet_p, ctrl_p, cfg.controlnet, sched,
+                    x_T, hint, ctx_c, ctx_u, scale, cscales,
+                    guess_mode=guess_mode,
+                    parameterization=cfg.diffusion.parameterization,
+                )
+
+            return run
+
         if sampler in KDIFF_SAMPLERS:
             from stablediffusioneo_tpu.pipeline.k_diffusion import kdiff_sample_scan
 
@@ -634,7 +651,9 @@ class CNSDRuntime:
         # schedule arrays, which ride as engine inputs)
         spacing = "karras" if sampler.endswith("-karras") else "uniform"
         base = _canon_sampler(sampler)
-        if base == "dpmpp":
+        if base in ("dpmpp", "unipc"):
+            # UniPC rides the dpmpp schedule arrays (same (t, alpha, sigma,
+            # lambda) boundary grid; only the update rule differs)
             from stablediffusioneo_tpu.pipeline.dpm_solver import dpmpp_schedule
 
             return dpmpp_schedule(self.schedule, num_steps, spacing=spacing)
@@ -648,8 +667,8 @@ class CNSDRuntime:
             return kdiff_schedule(self.schedule, num_steps, spacing=sp)
         if base != "ddim":
             raise ValueError(f"unknown sampler {sampler!r} (expected 'ddim', "
-                             "'dpmpp[-karras]', 'euler[-a|-uniform]' or "
-                             "'heun[-uniform]')")
+                             "'dpmpp[-karras]', 'unipc[-karras]', "
+                             "'euler[-a|-uniform]' or 'heun[-uniform]')")
         return self.schedule.ddim(num_steps, eta=eta)
 
     def sampler_engine(
