@@ -172,13 +172,16 @@ class Canny2ImagePipeline:
         the hack explicitly (share.py import side effect); the default stays
         truncation so outputs match the un-hacked reference bit-for-bit.
 
-        sampler: "ddim" (reference parity), "dpmpp"/"dpmpp-karras"
-        (DPM-Solver++(2M)), or the k-diffusion family "euler"/"euler-a"/
-        "heun" (Karras rho-7 sigma spacing by default; "-uniform" suffix
-        selects the trained-grid spacing). Spacing variants share one
-        compiled engine program (schedules ride as engine inputs).
-        eta applies to DDIM only; euler-a carries its own ancestral
-        noise (per-request reproducible through the serving seeds path)."""
+        sampler: "ddim" (reference parity), "plms" (the upstream ldm
+        PLMSSampler equivalent, eta-0 only), "dpmpp"/"dpmpp-karras"
+        (DPM-Solver++(2M)), "unipc"/"unipc-karras" (order-2 bh2
+        predictor-corrector), or the k-diffusion family "euler"/
+        "euler-a"/"heun" (Karras rho-7 sigma spacing by default;
+        "-uniform" suffix selects the trained-grid spacing). Spacing
+        variants share one compiled engine program (schedules ride as
+        engine inputs). eta applies to DDIM only; euler-a carries its own
+        ancestral noise (per-request reproducible through the serving
+        seeds path)."""
         t_start = time.perf_counter()
 
         img = resize_image(HWC3(input_image), image_resolution)

@@ -257,15 +257,21 @@ class CNSDRuntime:
 
             return run
 
-        if sampler == "unipc":
-            from stablediffusioneo_tpu.pipeline.unipc import unipc_sample_scan
-
+        if sampler in ("unipc", "plms"):
             if inpaint:
                 raise ValueError("inpainting is a DDIM-path feature "
                                  "(sampler='ddim')")
+            if sampler == "unipc":
+                from stablediffusioneo_tpu.pipeline.unipc import (
+                    unipc_sample_scan as scan_fn,
+                )
+            else:
+                from stablediffusioneo_tpu.pipeline.plms import (
+                    plms_sample_scan as scan_fn,
+                )
 
             def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale, cscales, key):
-                return unipc_sample_scan(
+                return scan_fn(
                     unet_p, ctrl_p, cfg.controlnet, sched,
                     x_T, hint, ctx_c, ctx_u, scale, cscales,
                     guess_mode=guess_mode,
@@ -665,9 +671,12 @@ class CNSDRuntime:
             # "<name>-uniform" selects the trained-grid spacing instead.
             sp = "uniform" if sampler.endswith("-uniform") else "karras"
             return kdiff_schedule(self.schedule, num_steps, spacing=sp)
+        if base == "plms":
+            # PLMS is eta-0 only (upstream PLMSSampler asserts ddim_eta == 0)
+            return self.schedule.ddim(num_steps, eta=0.0)
         if base != "ddim":
             raise ValueError(f"unknown sampler {sampler!r} (expected 'ddim', "
-                             "'dpmpp[-karras]', 'unipc[-karras]', "
+                             "'plms', 'dpmpp[-karras]', 'unipc[-karras]', "
                              "'euler[-a|-uniform]' or 'heun[-uniform]')")
         return self.schedule.ddim(num_steps, eta=eta)
 
