@@ -171,6 +171,36 @@ class TestDiffusionServer:
             frac_off = (np.abs(ref - got) > 1).mean()
             assert frac_off < 0.02, f"serving diverged from process(): {frac_off}"
 
+    def test_euler_a_batch_composition_reproducibility(self, tiny_server):
+        """euler-a's ancestral noise rides the per-request seeds variant:
+        a request's output must match batch-1 serving and process() no
+        matter how it was batched (same contract as the eta > 0 test)."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, pipe = tiny_server
+        server.drain(timeout=600)
+        server.stats.reset()
+        reqs = [
+            GenRequest(image=_img(40 + i), prompt="a bird",
+                       image_resolution=64, ddim_steps=2, seed=900 + i,
+                       scale=7.0 + i, sampler="euler-a")
+            for i in range(3)
+        ]
+        futures = [server.submit(r) for r in reqs]
+        batched = [f.result(timeout=600)[1] for f in futures]
+        r = reqs[1]
+        _, single = server.generate(r, timeout=600)
+        server.drain(timeout=600)
+        ref = pipe.process(
+            r.image, r.prompt, a_prompt=r.a_prompt, n_prompt=r.n_prompt,
+            num_samples=1, image_resolution=64, ddim_steps=2,
+            seed=r.seed, scale=r.scale, sampler="euler-a")[1]
+        for other, tag in ((single, "batch-1"), (ref, "process()")):
+            frac_off = (np.abs(batched[1].astype(np.int16)
+                               - other.astype(np.int16)) > 1).mean()
+            assert frac_off < 0.02, (
+                f"euler-a batched row diverged from {tag}: {frac_off}")
+
     def test_eta_batch_composition_reproducibility(self, tiny_server):
         """eta > 0: a request's output must be identical whether it was cut
         into a batch-4 or served alone — each row's x_T AND in-loop noise
