@@ -57,6 +57,7 @@ _TABLE_CONFIGS = (
     ("yolo", {"BENCH_MODE": "yolo"}),
     ("train", {"BENCH_MODE": "train"}),
     ("sd21", {"BENCH_FAMILY": "sd21"}),
+    ("sdxl", {"BENCH_FAMILY": "sdxl"}),
 )
 
 
@@ -166,6 +167,91 @@ def main():
             # no published reference number (BASELINE.md); self-set bar:
             # 2 img/s e2e through the tunneled single chip
             "vs_baseline": round((1.0 / p50) / 2.0, 3),
+        }), flush=True)
+        return
+
+    if os.environ.get("BENCH_FAMILY") == "sdxl":
+        # SDXL-base txt2img (beyond the reference): the fused CFG scan +
+        # VAE decode as ONE program, 1024^2 default. Text towers excluded —
+        # context/y enter as engine inputs (the bigG encode is a per-prompt
+        # cost, ~once per request, not the per-image hot path).
+        import jax.numpy as jnp
+
+        from stablediffusioneo_tpu.models import init_unet, init_vae
+        from stablediffusioneo_tpu.models.sdxl import (
+            SDXLConfig, sdxl_txt2img_scan,
+        )
+        from stablediffusioneo_tpu.models.vae import vae_decode
+        from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+        from stablediffusioneo_tpu.runtime.cache import (
+            enable_persistent_cache,
+        )
+        from stablediffusioneo_tpu.runtime.engine import Engine
+
+        enable_persistent_cache(None)
+        res = int(os.environ.get("BENCH_RESOLUTION", "1024"))
+        xcfg = SDXLConfig()
+        t0 = time.perf_counter()
+        sh = {
+            "unet": jax.eval_shape(
+                lambda k: init_unet(k, xcfg.unet), jax.random.PRNGKey(0)),
+            "vae": jax.eval_shape(
+                lambda k: init_vae(k, xcfg.vae), jax.random.PRNGKey(1)),
+        }
+        bf16 = lambda s: (jnp.bfloat16 if s.dtype == jnp.float32  # noqa: E731
+                          else s.dtype)
+        params = jax.jit(lambda: jax.tree.map(
+            lambda s: jnp.zeros(s.shape, bf16(s)), sh))()
+        jax.block_until_ready(params)
+        n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(sh))
+        log(f"[sdxl] param init (zeros, bf16, {n_params/1e6:.0f}M params): "
+            f"{time.perf_counter()-t0:.1f}s")
+        sched = jax.tree.map(jnp.asarray, DiffusionSchedule().ddim(steps))
+        h = res // 8
+
+        def run(up, vp, sc, x_T, ctx2, y2, key):
+            z = sdxl_txt2img_scan(
+                up, xcfg, sc, x_T, ctx2[:1], ctx2[1:], y2[:1], y2[1:],
+                jnp.float32(5.0), key)
+            img = vae_decode(vp, xcfg.vae, z, scaled=True)
+            img = jnp.clip(img.astype(jnp.float32) * 127.5 + 127.5, 0, 255)
+            return img.astype(jnp.uint8)
+
+        # no donation: the bf16 x_T buffer is not reusable by the uint8
+        # output and the donation warning would just be noise
+        eng = Engine(run, name=f"sdxl_{steps}x1x{res}")
+        rng_l = np.random.default_rng(0)
+
+        def inputs():
+            x_T = jnp.asarray(rng_l.standard_normal(
+                (1, h, h, 4)).astype(np.float32)).astype(jnp.bfloat16)
+            ctx2 = jnp.asarray(rng_l.standard_normal(
+                (2, 77, xcfg.unet.context_dim)).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            y2 = jnp.asarray(rng_l.standard_normal(
+                (2, xcfg.unet.adm_in_channels)).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            return x_T, ctx2, y2, jax.random.PRNGKey(0)
+
+        t0 = time.perf_counter()
+        out = np.asarray(eng(params["unet"], params["vae"], sched, *inputs()))
+        log(f"[sdxl] compile+first: {time.perf_counter()-t0:.1f}s "
+            f"out {out.shape}")
+        times = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            out = np.asarray(eng(params["unet"], params["vae"], sched,
+                                 *inputs()))
+            times.append(time.perf_counter() - t0)
+            log(f"[sdxl] iter {i}: {times[-1]*1e3:.0f} ms")
+        p50 = float(np.median(times))
+        print(json.dumps({
+            "metric": (f"sdxl_base_{res}x{res}_{steps}step_bf16_b1_"
+                       "sample_decode_p50"),
+            "value": round(p50, 4),
+            "unit": "s",
+            # no reference analog; bar = the flagship's 2 s/img target
+            "vs_baseline": round(2.0 / p50, 3),
         }), flush=True)
         return
 
