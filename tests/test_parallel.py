@@ -301,3 +301,48 @@ class TestFSDP:
         conv_rule = rules["input_blocks"][0]["conv"]["w"].spec
         dims = [d for d, n in zip(conv.shape, conv_rule) if n == "dp"]
         assert dims and dims[0] % 4 == 0, (conv.shape, conv_rule)
+
+
+class TestSDXLSharding:
+    """The TP spec rules are param-path-driven (wq/wk/wv/wo, ff1/ff2), so
+    they cover the SDXL family's UNet unchanged — pinned here."""
+
+    def test_sdxl_txt2img_tp_matches_unsharded(self, rng):
+        from stablediffusioneo_tpu.models.sdxl import (
+            sdxl_txt2img_scan, tiny_sdxl,
+        )
+        from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+
+        cfg = tiny_sdxl()
+        up = init_unet(jax.random.PRNGKey(0), cfg.unet)
+        sched = DiffusionSchedule().ddim(2)
+        b = 4
+        x_T = rng.standard_normal((b, 8, 8, 4), dtype=np.float32)
+        ctx = rng.standard_normal((b, 5, cfg.unet.context_dim),
+                                  dtype=np.float32)
+        y = rng.standard_normal((b, cfg.unet.adm_in_channels),
+                                dtype=np.float32)
+        args = (jnp.asarray(5.0), jax.random.PRNGKey(1))
+        ref = np.asarray(sdxl_txt2img_scan(
+            up, cfg, sched, jnp.asarray(x_T), jnp.asarray(ctx),
+            jnp.asarray(ctx), jnp.asarray(y), jnp.asarray(y), *args))
+
+        mesh = make_mesh(dp=4, tp=2)
+        up_s = shard_params(up, mesh)
+        # the depth-2 level's transformer linears must actually shard
+        specs = {
+            leaf.sharding.spec
+            for leaf in jax.tree.leaves(up_s)
+            if hasattr(leaf, "sharding") and leaf.ndim == 2
+        }
+        assert P(None, "tp") in specs and P("tp", None) in specs
+        with mesh:
+            out = sdxl_txt2img_scan(
+                up_s, cfg, sched,
+                jax.device_put(x_T, data_sharding(mesh, 4)),
+                jax.device_put(ctx, data_sharding(mesh, 3)),
+                jax.device_put(ctx, data_sharding(mesh, 3)),
+                jax.device_put(y, data_sharding(mesh, 2)),
+                jax.device_put(y, data_sharding(mesh, 2)),
+                *args)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
