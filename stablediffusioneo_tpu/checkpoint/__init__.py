@@ -17,6 +17,7 @@ from stablediffusioneo_tpu.checkpoint.convert import (
     load_sdxl_refiner_pipeline,
     load_depth2img_pipeline,
     load_inpaint_pipeline,
+    load_sd_pipeline,
 )
 from stablediffusioneo_tpu.checkpoint.textual_inversion import (
     add_concepts,
@@ -35,6 +36,7 @@ __all__ = [
     "load_sdxl_refiner_pipeline",
     "load_depth2img_pipeline",
     "load_inpaint_pipeline",
+    "load_sd_pipeline",
     "load_concept",
     "add_concepts",
     "apply_textual_inversion",

@@ -624,3 +624,32 @@ def load_sdxl_refiner_pipeline(
         ("vae", convert_vae, "first_stage_model.", cfg.vae, ()),
     )
     return _load_concat_family(path, jobs, dtype, strict, "sdxl_refiner")
+
+
+def load_sd_pipeline(
+    path: str,
+    cfg: Optional[PipelineConfig] = None,
+    dtype=None,
+    strict: bool = True,
+) -> Dict[str, Dict]:
+    """Load a plain (ControlNet-free) SD checkpoint — v1-5-pruned /
+    SD-2.x base layouts: unet + vae + text tower, no control_model scope.
+    Text-encoder layout follows cfg.clip like load_inpaint_pipeline
+    (SD-1.x: HF CLIP under cond_stage_model.transformer.; SD-2.x: OpenCLIP
+    under cond_stage_model.model.). Sample via
+    pipeline.concat_cond.sd_txt2img_scan."""
+    from stablediffusioneo_tpu.config import sd15_pipeline
+
+    cfg = cfg or sd15_pipeline()
+    if cfg.clip.layer == "penultimate":
+        clip_job = ("clip", convert_openclip_text, "cond_stage_model.model.",
+                    cfg.clip, (r".*attn_mask", r".*logit_scale"))
+    else:
+        clip_job = ("clip", convert_clip, "cond_stage_model.transformer.",
+                    cfg.clip, (r".*position_ids",))
+    jobs = (
+        ("unet", convert_unet, "model.diffusion_model.", cfg.unet, ()),
+        ("vae", convert_vae, "first_stage_model.", cfg.vae, ()),
+        clip_job,
+    )
+    return _load_concat_family(path, jobs, dtype, strict, "sd")

@@ -96,6 +96,51 @@ def sd_concat_sample_scan(
     return x0
 
 
+def sd_txt2img_scan(
+    unet_params: Dict,
+    ucfg: UNetConfig,
+    schedule: Dict[str, np.ndarray],
+    x_T: jax.Array,
+    ctx_cond: jax.Array,
+    ctx_uncond: jax.Array,
+    scale: jax.Array,
+    key: jax.Array,
+    temperature: float = 1.0,
+    parameterization: str = "eps",
+) -> jax.Array:
+    """Plain (ControlNet-free, concat-free) SD txt2img DDIM loop for the
+    SD-1.x/2.x families — the stock LatentDiffusion sampling path the
+    reference's gitignored `ldm/models/diffusion/ddpm.py` provided.
+    Same structure as the ControlNet scan minus the control branch: one
+    `lax.scan`, CFG batch-2, context K/V hoisted. The SDXL equivalent
+    (with ADM y conditioning) is models/sdxl.sdxl_txt2img_scan."""
+    b = x_T.shape[0]
+    ctx2 = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
+    ctx_kv = precompute_context_kv(unet_params, ucfg, ctx2)
+    n_steps = len(schedule["timesteps"])
+    consts = (
+        jnp.asarray(schedule["timesteps"], jnp.float32),
+        jnp.asarray(schedule["alphas"], jnp.float32),
+        jnp.asarray(schedule["alphas_prev"], jnp.float32),
+        jnp.asarray(schedule["sigmas"], jnp.float32),
+        jnp.asarray(schedule["sqrt_one_minus_alphas"], jnp.float32),
+        jnp.arange(n_steps, dtype=jnp.int32),
+    )
+
+    def body(x, per_step):
+        t2 = jnp.full((2 * b,), per_step[0], jnp.float32)
+        x2 = jnp.concatenate([x, x], axis=0)
+        eps2 = unet_apply(unet_params, ucfg, x2, t2, ctx2, ctx_kv=ctx_kv)
+        e_c, e_u = eps2[:b], eps2[b:]
+        model_out = e_u + _bc_scale(scale, x) * (e_c - e_u)
+        x_next = _ddim_update(x, model_out, per_step, key, temperature,
+                              parameterization)
+        return x_next, ()
+
+    x0, _ = jax.lax.scan(body, x_T, consts)
+    return x0
+
+
 def depth_to_concat(depth: jax.Array, latent_hw) -> jax.Array:
     """MiDaS depth map -> the depth2img conditioning channel.
 

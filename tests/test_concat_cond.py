@@ -261,3 +261,86 @@ class TestLoaders:
         params = load_inpaint_pipeline(path, cfg)
         assert set(params) == {"unet", "vae", "clip"}
         assert params["unet"]["input_blocks"][0]["conv"]["w"].shape[2] == 9
+
+
+class TestPlainTxt2Img:
+    def test_zero_eps_analytic_and_cfg(self, rng):
+        from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+        from stablediffusioneo_tpu.pipeline.concat_cond import sd_txt2img_scan
+
+        ucfg = tiny_pipeline().unet
+        up = init_unet(jax.random.PRNGKey(0), ucfg)
+        sched = DiffusionSchedule().ddim(3)
+        x_T = rng.standard_normal((2, 8, 8, 4), dtype=np.float32)
+        ctx = rng.standard_normal((2, 5, ucfg.context_dim), dtype=np.float32)
+        out = np.asarray(sd_txt2img_scan(
+            up, ucfg, sched, jnp.asarray(x_T), jnp.asarray(ctx),
+            jnp.asarray(ctx), jnp.asarray(9.0), jax.random.PRNGKey(0)))
+        x = x_T.astype(np.float64)
+        for i in range(3):
+            x = np.sqrt(sched["alphas_prev"][i]) * x / np.sqrt(sched["alphas"][i])
+        np.testing.assert_allclose(out, x, rtol=1e-4, atol=1e-5)
+
+    def test_matches_controlled_scan_at_zero_strength(self, rng):
+        """With control_scales == 0 the ControlNet taps vanish, so the
+        plain txt2img scan must equal the controlled scan bit-for-bit
+        (same UNet weights, same schedule, same x_T/ctx)."""
+        from stablediffusioneo_tpu.models import init_controlnet
+        from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+        from stablediffusioneo_tpu.pipeline.concat_cond import sd_txt2img_scan
+        from stablediffusioneo_tpu.pipeline.ddim import ddim_sample_scan
+
+        cfg = tiny_pipeline()
+        ks = jax.random.split(jax.random.PRNGKey(1), 2)
+        up = init_unet(ks[0], cfg.unet)
+        kw, kb = jax.random.split(jax.random.PRNGKey(8))
+        out_t = dict(up["out"]); conv = dict(out_t["conv"])
+        conv["w"] = 0.05 * jax.random.normal(kw, conv["w"].shape, jnp.float32)
+        conv["b"] = 0.01 * jax.random.normal(kb, conv["b"].shape, jnp.float32)
+        out_t["conv"] = conv
+        up = {**up, "out": out_t}
+        cp = init_controlnet(ks[1], cfg.controlnet)
+        sched = DiffusionSchedule().ddim(2)
+        x_T = jnp.asarray(rng.standard_normal((1, 8, 8, 4), dtype=np.float32))
+        hint = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+        ctx = jnp.asarray(
+            rng.standard_normal((1, 5, cfg.unet.context_dim)).astype(np.float32))
+        key = jax.random.PRNGKey(0)
+        plain = np.asarray(sd_txt2img_scan(
+            up, cfg.unet, sched, x_T, ctx, ctx, jnp.asarray(9.0), key))
+        controlled = np.asarray(ddim_sample_scan(
+            up, cp, cfg.controlnet, sched, x_T, hint, ctx, ctx,
+            jnp.asarray(9.0), jnp.zeros(5, jnp.float32), key))
+        np.testing.assert_allclose(controlled, plain, rtol=1e-5, atol=1e-6)
+
+    def test_load_sd_pipeline_strict(self, tmp_path):
+        from transformers import CLIPTextConfig as HFConfig, CLIPTextModel
+
+        from stablediffusioneo_tpu.checkpoint import load_sd_pipeline
+
+        cfg = tiny_pipeline()
+        torch.manual_seed(2)
+        sd = {}
+        for k, v in TorchUNet(cfg.unet).eval().state_dict().items():
+            sd["model.diffusion_model." + k] = v
+        from torch_ref import TorchVAE
+        for k, v in TorchVAE(cfg.vae).eval().state_dict().items():
+            sd["first_stage_model." + k] = v
+        hf = CLIPTextModel(HFConfig(
+            vocab_size=cfg.clip.vocab_size, hidden_size=cfg.clip.hidden_size,
+            intermediate_size=cfg.clip.intermediate_size,
+            num_hidden_layers=cfg.clip.num_layers,
+            num_attention_heads=cfg.clip.num_heads,
+            max_position_embeddings=cfg.clip.max_length,
+            hidden_act="quick_gelu")).eval()
+        for k, v in hf.state_dict().items():
+            sd["cond_stage_model.transformer." + k] = v
+        path = str(tmp_path / "sd.pth")
+        torch.save({"state_dict": sd}, path)
+        params = load_sd_pipeline(path, cfg)
+        assert set(params) == {"unet", "vae", "clip"}
+        # a stray control_model scope must NOT load silently
+        sd["control_model.zero_convs.0.0.weight"] = torch.zeros(1)
+        torch.save({"state_dict": sd}, path)
+        with pytest.raises(ValueError, match="outside every model scope"):
+            load_sd_pipeline(path, cfg)
