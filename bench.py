@@ -245,14 +245,46 @@ def main():
             times.append(time.perf_counter() - t0)
             log(f"[sdxl] iter {i}: {times[-1]*1e3:.0f} ms")
         p50 = float(np.median(times))
-        print(json.dumps({
+        result = {
             "metric": (f"sdxl_base_{res}x{res}_{steps}step_bf16_b1_"
                        "sample_decode_p50"),
             "value": round(p50, 4),
             "unit": "s",
             # no reference analog; bar = the flagship's 2 s/img target
             "vs_baseline": round(2.0 / p50, 3),
-        }), flush=True)
+        }
+        try:
+            # MFU lower bound: (CFG-eval FLOPs x steps + decode FLOPs) over
+            # the WALL p50 (includes the ~3 MB tunnel fetch; real device
+            # time is lower) / v5e peak 197 bf16 TFLOP/s
+            from stablediffusioneo_tpu.models.unet import unet_apply
+
+            abs_u = jax.tree.map(
+                lambda s: jax.ShapeDtypeStruct(s.shape, bf16(s)), sh["unet"])
+            abs_v = jax.tree.map(
+                lambda s: jax.ShapeDtypeStruct(s.shape, bf16(s)), sh["vae"])
+            sds = jax.ShapeDtypeStruct
+            ev = jax.jit(
+                lambda up, x, t, c, y: unet_apply(up, xcfg.unet, x, t, c,
+                                                  y=y)
+            ).lower(
+                abs_u, sds((2, h, h, 4), jnp.bfloat16),
+                sds((2,), jnp.float32),
+                sds((2, 77, xcfg.unet.context_dim), jnp.bfloat16),
+                sds((2, xcfg.unet.adm_in_channels), jnp.bfloat16),
+            ).compile()
+            dec = jax.jit(
+                lambda vp, z: vae_decode(vp, xcfg.vae, z, scaled=True)
+            ).lower(abs_v, sds((1, h, h, 4), jnp.bfloat16)).compile()
+            fl = ((ev.cost_analysis().get("flops") or 0) * steps
+                  + (dec.cost_analysis().get("flops") or 0))
+            if fl:
+                result["mfu_wall_est"] = round(fl / p50 / 197e12, 4)
+                log(f"[sdxl] {fl/1e12:.1f} TFLOP total -> "
+                    f"wall MFU {result['mfu_wall_est']}")
+        except Exception as e:  # noqa: BLE001
+            log(f"[sdxl] MFU estimate failed: {e!r}")
+        print(json.dumps(result), flush=True)
         return
 
     from stablediffusioneo_tpu.config import sd15_pipeline, sd21_pipeline
