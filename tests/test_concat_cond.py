@@ -344,3 +344,50 @@ class TestPlainTxt2Img:
         torch.save({"state_dict": sd}, path)
         with pytest.raises(ValueError, match="outside every model scope"):
             load_sd_pipeline(path, cfg)
+
+
+class TestConcatImg2Img:
+    def test_zero_eps_analytic_and_tail_slice(self, rng):
+        """eps == 0: output = noised entry latent through the closed-form
+        tail recursion; full-depth t_enc == n with the same noise bits
+        differs from txt2img only by the entry state construction."""
+        from stablediffusioneo_tpu.pipeline.concat_cond import (
+            sd_concat_img2img,
+        )
+
+        ucfg = _tiny_unet_cfg(5)
+        up = init_unet(jax.random.PRNGKey(0), ucfg)
+        sched = DiffusionSchedule().ddim(6)
+        z0 = jnp.asarray(rng.standard_normal((1, 8, 8, 4), dtype=np.float32))
+        cc = jnp.asarray(rng.standard_normal((1, 8, 8, 1), dtype=np.float32))
+        ctx = jnp.asarray(
+            rng.standard_normal((1, 5, ucfg.context_dim)).astype(np.float32))
+        key = jax.random.PRNGKey(3)
+        t_enc = 4
+        out = np.asarray(sd_concat_img2img(
+            up, ucfg, sched, z0, t_enc, cc, ctx, ctx, jnp.asarray(9.0), key))
+        _, kn = jax.random.split(key)
+        n = len(sched["timesteps"])
+        tail = {k: np.asarray(v)[n - t_enc:] for k, v in sched.items()}
+        noise = np.asarray(jax.random.normal(kn, z0.shape, jnp.float32))
+        x = (np.sqrt(tail["alphas"][0]) * np.asarray(z0, np.float64)
+             + np.sqrt(1 - tail["alphas"][0]) * noise)
+        for i in range(t_enc):
+            x = np.sqrt(tail["alphas_prev"][i]) * x / np.sqrt(tail["alphas"][i])
+        np.testing.assert_allclose(out, x, rtol=1e-4, atol=1e-5)
+
+    def test_t_enc_validated(self, rng):
+        from stablediffusioneo_tpu.pipeline.concat_cond import (
+            sd_concat_img2img,
+        )
+
+        ucfg = _tiny_unet_cfg(5)
+        up = init_unet(jax.random.PRNGKey(0), ucfg)
+        sched = DiffusionSchedule().ddim(3)
+        with pytest.raises(ValueError, match="t_enc"):
+            sd_concat_img2img(
+                up, ucfg, sched, jnp.zeros((1, 8, 8, 4)), 4,
+                jnp.zeros((1, 8, 8, 1)),
+                jnp.zeros((1, 5, ucfg.context_dim)),
+                jnp.zeros((1, 5, ucfg.context_dim)),
+                jnp.asarray(9.0), jax.random.PRNGKey(0))
