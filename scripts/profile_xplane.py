@@ -65,6 +65,67 @@ def capture(outdir: str):
     print("trace written to", outdir, flush=True)
 
 
+def capture_sdxl(outdir: str):
+    """PROFILE_FAMILY=sdxl: trace the fused SDXL-base 1024^2 sample+decode
+    engine (the BENCH_FAMILY=sdxl workload) instead of the CNSD flagship."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from stablediffusioneo_tpu.models import init_unet, init_vae
+    from stablediffusioneo_tpu.models.sdxl import SDXLConfig, sdxl_txt2img_scan
+    from stablediffusioneo_tpu.models.vae import vae_decode
+    from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
+    from stablediffusioneo_tpu.runtime.cache import enable_persistent_cache
+    from stablediffusioneo_tpu.runtime.engine import Engine
+    from stablediffusioneo_tpu.runtime.profiling import _hard_sync
+
+    enable_persistent_cache(None)
+    res = int(os.environ.get("PROFILE_RESOLUTION", "1024"))
+    steps = int(os.environ.get("PROFILE_STEPS", "20"))
+    xcfg = SDXLConfig()
+    sh = {
+        "unet": jax.eval_shape(lambda k: init_unet(k, xcfg.unet),
+                               jax.random.PRNGKey(0)),
+        "vae": jax.eval_shape(lambda k: init_vae(k, xcfg.vae),
+                              jax.random.PRNGKey(1)),
+    }
+    bf16 = lambda s: jnp.bfloat16 if s.dtype == jnp.float32 else s.dtype  # noqa: E731
+    params = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, bf16(s)), sh))()
+    sched = jax.tree.map(jnp.asarray, DiffusionSchedule().ddim(steps))
+    h = res // 8
+
+    def run(up, vp, sc, x_T, ctx2, y2, key):
+        z = sdxl_txt2img_scan(up, xcfg, sc, x_T, ctx2[:1], ctx2[1:],
+                              y2[:1], y2[1:], jnp.float32(5.0), key)
+        img = vae_decode(vp, xcfg.vae, z, scaled=True)
+        return jnp.clip(img.astype(jnp.float32) * 127.5 + 127.5,
+                        0, 255).astype(jnp.uint8)
+
+    eng = Engine(run, name=f"sdxl_profile_{steps}x1x{res}")
+    rng = np.random.default_rng(0)
+    args = (
+        jnp.asarray(rng.standard_normal((1, h, h, 4)).astype(np.float32)
+                    ).astype(jnp.bfloat16),
+        jnp.asarray(rng.standard_normal((2, 77, xcfg.unet.context_dim)
+                                        ).astype(np.float32)
+                    ).astype(jnp.bfloat16),
+        jnp.asarray(rng.standard_normal((2, xcfg.unet.adm_in_channels)
+                                        ).astype(np.float32)
+                    ).astype(jnp.bfloat16),
+        jax.random.PRNGKey(0),
+    )
+    print("warmup (compile)...", flush=True)
+    _hard_sync(eng(params["unet"], params["vae"], sched, *args))
+    print("tracing one fused sdxl call...", flush=True)
+    jax.profiler.start_trace(outdir)
+    out = eng(params["unet"], params["vae"], sched, *args)
+    _hard_sync(out)
+    jax.profiler.stop_trace()
+    print("trace written to", outdir, flush=True)
+
+
 def _category(name: str) -> str:
     """HLO op name -> coarse category (xprof-style)."""
     base = name.split(".")[0].split("-")[0].lstrip("%")
@@ -150,5 +211,8 @@ def parse(outdir: str, top: int = 35):
 if __name__ == "__main__":
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sdeo_xplane"
     if os.environ.get("PARSE_ONLY") != "1":
-        capture(outdir)
+        if os.environ.get("PROFILE_FAMILY") == "sdxl":
+            capture_sdxl(outdir)
+        else:
+            capture(outdir)
     parse(outdir)
