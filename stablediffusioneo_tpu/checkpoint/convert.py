@@ -395,19 +395,12 @@ def load_sdxl_pipeline(
       first_stage_model.*                -> vae
 
     strict=True runs per-tree key accounting (every in-scope key consumed;
-    orphans raise naming themselves)."""
-    from stablediffusioneo_tpu.checkpoint.accounting import (
-        SD_KNOWN_UNUSED, account,
-    )
-    from stablediffusioneo_tpu.checkpoint.torch_reader import (
-        load_torch_state_dict,
-    )
+    orphans raise naming themselves) + global scope coverage — keys
+    outside every model scope must match SD_KNOWN_UNUSED (a foreign
+    top-level tree must not load silently with its weights dropped)."""
     from stablediffusioneo_tpu.models.sdxl import SDXLConfig
 
-    import re as _re
-
     cfg = cfg or SDXLConfig()
-    sd = load_torch_state_dict(path)
     jobs = (
         ("unet", convert_unet, "model.diffusion_model.", cfg.unet, ()),
         ("clip_l", convert_clip, "conditioner.embedders.0.transformer.",
@@ -416,30 +409,7 @@ def load_sdxl_pipeline(
          cfg.clip_g, (r".*attn_mask", r".*logit_scale")),
         ("vae", convert_vae, "first_stage_model.", cfg.vae, ()),
     )
-    out: Dict[str, Dict] = {}
-    for name, fn, prefix, sub_cfg, ignore in jobs:
-        if strict:
-            out[name] = account(
-                fn, sd, sub_cfg, prefix=prefix, scope_prefix=prefix,
-                ignore=ignore, dtype=dtype,
-            ).assert_complete(f"sdxl.{name}").tree
-        else:
-            out[name] = fn(sd, sub_cfg, prefix=prefix, dtype=dtype)
-    if strict:
-        # GLOBAL coverage: keys outside every scope must match a documented
-        # known-unused pattern (schedule buffers, EMA leftovers) — a
-        # foreign top-level tree (lora_*, a misspelled embedder index)
-        # must not load silently with its weights dropped
-        prefixes = tuple(j[2] for j in jobs)
-        loose = [k for k in sd if not k.startswith(prefixes)]
-        unused_re = [_re.compile(p) for p in SD_KNOWN_UNUSED]
-        foreign = [k for k in loose
-                   if not any(r.fullmatch(k) for r in unused_re)]
-        if foreign:
-            raise ValueError(
-                f"load_sdxl_pipeline: {len(foreign)} key(s) outside every "
-                f"model scope and not known-unused: {sorted(foreign)[:8]}")
-    return out
+    return _load_concat_family(path, jobs, dtype, strict, "sdxl")
 
 
 def convert_openclip_text(

@@ -357,16 +357,12 @@ def sdxl_refine_latents(
     (the last t_enc entries of the num_steps discretization, the
     DDIMSampler.img2img convention) and run the refiner UNet over the
     tail — the SDXL base->refiner ensemble-of-experts handoff in LATENT
-    space (both stages share the VAE, so no decode/re-encode)."""
-    n = len(schedule["timesteps"])
-    if not 0 < t_enc <= n:
-        raise ValueError(f"t_enc must be in (0, {n}], got {t_enc}")
-    tail = {k: np.asarray(v)[n - t_enc:] for k, v in schedule.items()}
-    key, kn = jax.random.split(key)
-    a0 = jnp.asarray(tail["alphas"][0], jnp.float32)
-    noise = jax.random.normal(kn, z0.shape, jnp.float32)
-    x_T = (jnp.sqrt(a0) * z0.astype(jnp.float32)
-           + jnp.sqrt(1.0 - a0) * noise).astype(z0.dtype)
+    space (both stages share the VAE, so no decode/re-encode).
+    Entry-step noising via pipeline.ddim.stochastic_tail_entry (shared
+    with sd_concat_img2img and the engine img2img variant)."""
+    from stablediffusioneo_tpu.pipeline.ddim import stochastic_tail_entry
+
+    tail, x_T, key = stochastic_tail_entry(schedule, t_enc, z0, key)
     return sdxl_txt2img_scan(
         unet_params, cfg, tail, x_T, ctx_cond, ctx_uncond, y_cond,
         y_uncond, scale, key, parameterization=parameterization)

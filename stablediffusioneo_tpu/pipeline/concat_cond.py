@@ -114,17 +114,11 @@ def sd_concat_img2img(
     init image's latent z0 is stochastic-encoded to the entry step (the
     last t_enc entries of the num_steps discretization) and only the tail
     runs, with the conditioning channels concatenated at every eval —
-    denoise strength = t_enc / num_steps. Same handoff shape as
-    models.sdxl.sdxl_refine_latents."""
-    n = len(schedule["timesteps"])
-    if not 0 < t_enc <= n:
-        raise ValueError(f"t_enc must be in (0, {n}], got {t_enc}")
-    tail = {k: np.asarray(v)[n - t_enc:] for k, v in schedule.items()}
-    key, kn = jax.random.split(key)
-    a0 = jnp.asarray(tail["alphas"][0], jnp.float32)
-    noise = jax.random.normal(kn, z0.shape, jnp.float32)
-    x_T = (jnp.sqrt(a0) * z0.astype(jnp.float32)
-           + jnp.sqrt(1.0 - a0) * noise).astype(z0.dtype)
+    denoise strength = t_enc / num_steps. Same handoff as
+    models.sdxl.sdxl_refine_latents (shared stochastic_tail_entry)."""
+    from stablediffusioneo_tpu.pipeline.ddim import stochastic_tail_entry
+
+    tail, x_T, key = stochastic_tail_entry(schedule, t_enc, z0, key)
     return sd_concat_sample_scan(
         unet_params, ucfg, tail, x_T, c_concat, ctx_cond, ctx_uncond,
         scale, key, temperature=temperature,

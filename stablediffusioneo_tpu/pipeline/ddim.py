@@ -446,6 +446,24 @@ def stochastic_encode(
             + jnp.sqrt(1.0 - a) * noise.astype(jnp.float32)).astype(x0.dtype)
 
 
+def stochastic_tail_entry(schedule, t_enc: int, z0: jax.Array, key: jax.Array):
+    """Shared img2img/refine entry: slice the LAST t_enc entries of a
+    DDIM-schedule dict (sampling order) and forward-diffuse z0 to the
+    entry step's noise level. Returns (tail_schedule, x_T, scan_key).
+    The key-split order (key, kn = split(key); noise from kn) is pinned
+    bit-exactly by the engine/serving parity tests — keep it."""
+    n = len(schedule["timesteps"])
+    if not 0 < t_enc <= n:
+        raise ValueError(f"t_enc must be in (0, {n}], got {t_enc}")
+    tail = {k: np.asarray(v)[n - t_enc:] for k, v in schedule.items()}
+    key, kn = jax.random.split(key)
+    a0 = jnp.asarray(tail["alphas"][0], jnp.float32)
+    noise = jax.random.normal(kn, z0.shape, jnp.float32)
+    x_T = (jnp.sqrt(a0) * z0.astype(jnp.float32)
+           + jnp.sqrt(1.0 - a0) * noise).astype(z0.dtype)
+    return tail, x_T, key
+
+
 class DDIMSampler:
     """User-facing sampler wrapper (DDIMSampler, cldm/ddim_hacked.py:10-120).
 

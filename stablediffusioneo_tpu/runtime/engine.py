@@ -376,9 +376,17 @@ class CNSDRuntime:
         hint_u8="packed": the hint is bit-packed binary (B, H, W//8) uint8
         (see _with_packed_hint) — the canny production path."""
         ctx_len = ctx_len or self.cfg.clip.max_length
-        # dpmpp spacings share ONE program: the spacing only changes the
-        # schedule arrays, which are engine inputs (dpm_solver.py)
+        # sigma-spacing suffixes share ONE program: the spacing only
+        # changes the schedule arrays, which are engine inputs
         sampler = _canon_sampler(sampler)
+        if gen_xT in ("img2img", "img2img-seeds") and sampler != "ddim":
+            # the in-graph re-noise reads the DDIM schedule's alphas and
+            # consumes a tail slice of the trained discretization — the
+            # dpmpp/unipc/kdiff schedule dicts carry different keys (and a
+            # Karras tail would need entry-sigma renormalization)
+            raise ValueError("img2img (init_image/denoise_strength) is a "
+                             f"DDIM-path feature (sampler='ddim', got "
+                             f"{sampler!r})")
         key_t = ("sample_decode", sampler, num_steps, batch, h, w, guess_mode,
                  encoder_cache_interval, ctx_len, hint_u8, gen_xT, inpaint)
         if key_t in self._engines:
@@ -687,7 +695,9 @@ class CNSDRuntime:
         hint_u8=False,  # False | True | "packed"
     ) -> Engine:
         """Compiled denoise loop for (steps, batch, HxW). H,W are image-space
-        (latent is H/8 x W/8). sampler: "ddim" | "dpmpp". ctx_len: context
+        (latent is H/8 x W/8). sampler: "ddim" | "plms" | "dpmpp[-karras]" |
+        "unipc[-karras]" | "euler[-a][-uniform]" | "heun[-uniform]"
+        (spacing suffixes share one program). ctx_len: context
         token length (default 77; 231 for the 3x77 windowed long-prompt
         bucket). hint_u8: engine ingests the control hint as uint8 pixels
         and divides by 255 in-graph — the production path (a 512^2 f32

@@ -2,6 +2,7 @@
 scan math, conditioning helpers, torch-mirror parity of the widened
 conv_in, and strict checkpoint accounting for both loaders."""
 
+import os
 import sys
 
 import numpy as np
@@ -26,7 +27,7 @@ from stablediffusioneo_tpu.pipeline.concat_cond import (
     sd_concat_sample_scan,
 )
 
-sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from torch_ref import TorchUNet  # noqa: E402
 
 pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier

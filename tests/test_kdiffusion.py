@@ -260,4 +260,16 @@ class TestEngineIntegration:
         img = np.zeros((64, 64, 3), np.uint8)
         with pytest.raises(ValueError, match="unknown sampler"):
             pipe.process(img, "x", num_samples=1, image_resolution=64,
-                         ddim_steps=1, seed=0, sampler="plms")
+                         ddim_steps=1, seed=0, sampler="ddpm")
+
+
+class TestImg2ImgGuard:
+    def test_img2img_requires_ddim(self):
+        """init_image + a non-DDIM sampler must fail with the clean guard,
+        not a KeyError from the schedule dict (review finding)."""
+        pipe = TestEngineIntegration()._pipe()
+        img = np.zeros((64, 64, 3), np.uint8)
+        with pytest.raises(ValueError, match="DDIM-path"):
+            pipe.process(img, "x", num_samples=1, image_resolution=64,
+                         ddim_steps=2, seed=0, sampler="euler",
+                         init_image=img, denoise_strength=0.5)

@@ -121,11 +121,12 @@ class TestCheckpointLoader:
         """A real-prefix sgm checkpoint (model.diffusion_model /
         conditioner.embedders.0/1 / first_stage_model) loads with strict
         per-tree key accounting and drives the txt2img scan."""
+        import os
         import sys
 
         import torch
 
-        sys.path.insert(0, "/root/repo/tests")
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from transformers import CLIPTextConfig as HFConfig, CLIPTextModel
 
         from stablediffusioneo_tpu.checkpoint.convert import (

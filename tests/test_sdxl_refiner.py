@@ -2,6 +2,7 @@
 bigG-only conditioning with aesthetic-score micro-conditioning, the
 latent-space refine handoff, and strict checkpoint accounting."""
 
+import os
 import sys
 
 import numpy as np
@@ -21,7 +22,7 @@ from stablediffusioneo_tpu.models.sdxl import (
 )
 from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
 
-sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from torch_ref import TorchUNet  # noqa: E402
 
 pytestmark = pytest.mark.slow  # compile-heavy; excluded from the fast tier
