@@ -37,7 +37,7 @@ from stablediffusioneo_tpu.models.clip import (
 )
 from stablediffusioneo_tpu.models.unet import unet_apply
 from stablediffusioneo_tpu.ops.schedule import timestep_embedding
-from stablediffusioneo_tpu.pipeline.ddim import _bc_scale, _ddim_update
+from stablediffusioneo_tpu.pipeline.ddim import _cfg_combine, _ddim_update
 
 
 # ------------------------------------------------------------------ configs
@@ -194,6 +194,7 @@ def sdxl_txt2img_scan(
     scale: jax.Array,
     key: jax.Array,
     parameterization: str = "eps",
+    cfg_rescale: float = 0.0,
 ) -> jax.Array:
     """DDIM txt2img loop for the (ControlNet-free) SDXL base: CFG batch-2
     through one UNet eval per step, ADM y riding alongside the context.
@@ -223,7 +224,7 @@ def sdxl_txt2img_scan(
         eps2 = unet_apply(unet_params, cfg.unet, x2, t2, ctx2, y=y2,
                           ctx_kv=ctx_kv)
         e_c, e_u = eps2[:b], eps2[b:]
-        model_out = e_u + _bc_scale(scale, x) * (e_c - e_u)
+        model_out = _cfg_combine(e_c, e_u, scale, x, cfg_rescale)
         x_next = _ddim_update(x, model_out, per_step, key, 1.0,
                               parameterization)
         return x_next, ()
@@ -352,6 +353,7 @@ def sdxl_refine_latents(
     scale: jax.Array,
     key: jax.Array,
     parameterization: str = "eps",
+    cfg_rescale: float = 0.0,
 ) -> jax.Array:
     """Refine base-model latents: stochastic-encode z0 to the entry step
     (the last t_enc entries of the num_steps discretization, the
@@ -365,4 +367,5 @@ def sdxl_refine_latents(
     tail, x_T, key = stochastic_tail_entry(schedule, t_enc, z0, key)
     return sdxl_txt2img_scan(
         unet_params, cfg, tail, x_T, ctx_cond, ctx_uncond, y_cond,
-        y_uncond, scale, key, parameterization=parameterization)
+        y_uncond, scale, key, parameterization=parameterization,
+        cfg_rescale=cfg_rescale)

@@ -150,6 +150,7 @@ class Canny2ImagePipeline:
         prompt_emphasis: bool = False,
         hires_upscale: float = 0.0,
         hires_denoise: float = 0.7,
+        cfg_rescale: float = 0.0,
     ) -> List[np.ndarray]:
         """Returns [detected_map] + generated uint8 HWC images
         (canny2image gradio convention).
@@ -277,6 +278,7 @@ class Canny2ImagePipeline:
             guess_mode=guess_mode,
             sampler=sampler,
             encoder_cache_interval=encoder_cache_interval,
+            cfg_rescale=cfg_rescale,
         )
         if inpaint_image is not None:
             if inpaint_mask is None:

@@ -37,7 +37,7 @@ import numpy as np
 from stablediffusioneo_tpu.config import UNetConfig, VAEConfig
 from stablediffusioneo_tpu.models.unet import precompute_context_kv, unet_apply
 from stablediffusioneo_tpu.models.vae import vae_encode
-from stablediffusioneo_tpu.pipeline.ddim import _bc_scale, _ddim_update
+from stablediffusioneo_tpu.pipeline.ddim import _cfg_combine, _ddim_update
 
 
 def sd_concat_sample_scan(
@@ -52,6 +52,7 @@ def sd_concat_sample_scan(
     key: jax.Array,
     temperature: float = 1.0,
     parameterization: str = "eps",
+    cfg_rescale: float = 0.0,
 ) -> jax.Array:
     """DDIM loop for a concat-conditioned (ControlNet-free) SD UNet.
 
@@ -87,7 +88,7 @@ def sd_concat_sample_scan(
         xin = jnp.concatenate([x2, cc2], axis=-1)
         eps2 = unet_apply(unet_params, ucfg, xin, t2, ctx2, ctx_kv=ctx_kv)
         e_c, e_u = eps2[:b], eps2[b:]
-        model_out = e_u + _bc_scale(scale, x) * (e_c - e_u)
+        model_out = _cfg_combine(e_c, e_u, scale, x, cfg_rescale)
         x_next = _ddim_update(x, model_out, per_step, key, temperature,
                               parameterization)
         return x_next, ()
@@ -109,6 +110,7 @@ def sd_concat_img2img(
     key: jax.Array,
     temperature: float = 1.0,
     parameterization: str = "eps",
+    cfg_rescale: float = 0.0,
 ) -> jax.Array:
     """The upstream depth2img flow (gradio_depth2img.py semantics): the
     init image's latent z0 is stochastic-encoded to the entry step (the
@@ -122,7 +124,7 @@ def sd_concat_img2img(
     return sd_concat_sample_scan(
         unet_params, ucfg, tail, x_T, c_concat, ctx_cond, ctx_uncond,
         scale, key, temperature=temperature,
-        parameterization=parameterization)
+        parameterization=parameterization, cfg_rescale=cfg_rescale)
 
 
 def sd_txt2img_scan(
@@ -136,6 +138,7 @@ def sd_txt2img_scan(
     key: jax.Array,
     temperature: float = 1.0,
     parameterization: str = "eps",
+    cfg_rescale: float = 0.0,
 ) -> jax.Array:
     """Plain (ControlNet-free, concat-free) SD txt2img DDIM loop for the
     SD-1.x/2.x families — the stock LatentDiffusion sampling path the
@@ -161,7 +164,7 @@ def sd_txt2img_scan(
         x2 = jnp.concatenate([x, x], axis=0)
         eps2 = unet_apply(unet_params, ucfg, x2, t2, ctx2, ctx_kv=ctx_kv)
         e_c, e_u = eps2[:b], eps2[b:]
-        model_out = e_u + _bc_scale(scale, x) * (e_c - e_u)
+        model_out = _cfg_combine(e_c, e_u, scale, x, cfg_rescale)
         x_next = _ddim_update(x, model_out, per_step, key, temperature,
                               parameterization)
         return x_next, ()

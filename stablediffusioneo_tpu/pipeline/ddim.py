@@ -166,6 +166,24 @@ def _bc_scale(scale, x):
     return s
 
 
+def _cfg_combine(e_c, e_u, scale, x, rescale: float = 0.0):
+    """CFG combine with optional guidance rescale (Lin et al.,
+    arXiv:2305.08891 §3.4; diffusers' guidance_rescale): renormalize the
+    combined prediction's per-sample std toward the conditional branch's,
+    then lerp by `rescale` — fixes v-prediction over-saturation at high
+    scales. rescale is a STATIC trace-time float; 0.0 (default) traces
+    the plain combine, so existing engines are bit-identical."""
+    out = e_u + _bc_scale(scale, x) * (e_c - e_u)
+    if rescale:
+        dims = tuple(range(1, out.ndim))
+        of = out.astype(jnp.float32)
+        std_pos = jnp.std(e_c.astype(jnp.float32), axis=dims, keepdims=True)
+        std_cfg = jnp.std(of, axis=dims, keepdims=True)
+        renorm = of * (std_pos / jnp.maximum(std_cfg, 1e-8))
+        out = (rescale * renorm + (1.0 - rescale) * of).astype(out.dtype)
+    return out
+
+
 def ddim_scan_step(
     unet_params,
     controlnet_params,
@@ -182,6 +200,7 @@ def ddim_scan_step(
     key,
     parameterization: str = "eps",
     hoisted_kv=None,
+    cfg_rescale: float = 0.0,
 ):
     """One DDIM step (p_sample_ddim equivalent). step_consts =
     (t, a_t, a_prev, sigma_t, sqrt_one_minus_at, step_idx). guided_hint is
@@ -198,7 +217,7 @@ def ddim_scan_step(
         ctx_cond, ctx_uncond, control_scales, guess_mode,
         hoisted_kv=hoisted_kv,
     )
-    model_out = e_uncond + _bc_scale(scale, x) * (e_cond - e_uncond)
+    model_out = _cfg_combine(e_cond, e_uncond, scale, x, cfg_rescale)
     # fp32 island for the state update: tiny per-step errors compound over
     # the scan, so x is carried in fp32 even when the nets run bf16.
     xf = x.astype(jnp.float32)
@@ -234,8 +253,10 @@ def ddim_sample_scan(
     encoder_cache_interval: int = 1,
     inpaint_latent: Optional[jax.Array] = None,
     inpaint_mask: Optional[jax.Array] = None,
+    cfg_rescale: float = 0.0,
 ) -> jax.Array:
     """Full DDIM sampling loop as one lax.scan. Returns x_0 latents.
+    cfg_rescale: static guidance-rescale weight (see _cfg_combine).
 
     schedule: dict from DiffusionSchedule.ddim() (already in sampling order).
 
@@ -296,7 +317,7 @@ def ddim_sample_scan(
             unet_params, controlnet_params, cfg, consts, n_steps, x_T,
             guided_hint, ctx_cond, ctx_uncond, scale, control_scales, key,
             temperature, parameterization, encoder_cache_interval,
-            hoisted_kv,
+            hoisted_kv, cfg_rescale,
         )
 
     # per-step forward-diffusion noise for the kept region derives from a
@@ -313,7 +334,7 @@ def ddim_sample_scan(
             unet_params, controlnet_params, cfg, guess_mode, temperature,
             x, per_step, guided_hint, ctx_cond, ctx_uncond, scale,
             control_scales, key, parameterization=parameterization,
-            hoisted_kv=hoisted_kv,
+            hoisted_kv=hoisted_kv, cfg_rescale=cfg_rescale,
         )
         if inpaint_latent is not None:
             a_prev, step_idx = per_step[2], per_step[5]
@@ -356,6 +377,7 @@ def _ddim_scan_enc_cached(
     unet_params, controlnet_params, cfg, consts, n_steps, x_T,
     guided_hint, ctx_cond, ctx_uncond, scale, control_scales, key,
     temperature, parameterization, interval, hoisted_kv=None,
+    cfg_rescale: float = 0.0,
 ):
     """Encoder-cached DDIM loop (arXiv:2312.09608): key steps run
     ControlNet + full UNet and refresh the cached control-merged features;
@@ -422,7 +444,7 @@ def _ddim_scan_enc_cached(
         cache = jax.lax.cond(is_full, do_full, do_cached, cache)
         eps2 = decode_eps(cache[0], cache[1], t2)
         e_cond, e_uncond = eps2[:b], eps2[b:]
-        model_out = e_uncond + _bc_scale(scale, x) * (e_cond - e_uncond)
+        model_out = _cfg_combine(e_cond, e_uncond, scale, x, cfg_rescale)
         x_next = _ddim_update(x, model_out, per_step, key, temperature,
                               parameterization)
         return (x_next, cache), ()

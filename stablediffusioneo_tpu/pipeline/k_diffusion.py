@@ -49,7 +49,7 @@ from stablediffusioneo_tpu.config import ControlNetConfig
 from stablediffusioneo_tpu.models.controlnet import hint_block_apply
 from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
 from stablediffusioneo_tpu.pipeline.ddim import (
-    _bc_scale,
+    _cfg_combine,
     _cfg_eval,
     _hoist_context_kv,
     _step_noise,
@@ -130,6 +130,7 @@ def kdiff_sample_scan(
     sampler: str = "euler",
     guess_mode: bool = False,
     parameterization: str = "eps",
+    cfg_rescale: float = 0.0,
 ) -> jax.Array:
     """Euler / Euler-ancestral / Heun loop. Returns x0 latents.
 
@@ -161,7 +162,7 @@ def kdiff_sample_scan(
             ctx_cond, ctx_uncond, control_scales, guess_mode,
             hoisted_kv=hoisted_kv,
         )
-        m = (e_u + _bc_scale(scale, x) * (e_c - e_u)).astype(jnp.float32)
+        m = _cfg_combine(e_c, e_u, scale, x, cfg_rescale).astype(jnp.float32)
         if parameterization == "v":
             # eps = alpha * v + sigma_vp * x, with sigma_vp = sigk * alpha
             return alpha_c * m + (sigk_c * alpha_c) * x.astype(jnp.float32)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from stablediffusioneo_tpu.config import ControlNetConfig
 from stablediffusioneo_tpu.models.controlnet import hint_block_apply
 from stablediffusioneo_tpu.pipeline.ddim import (
-    _bc_scale,
+    _cfg_combine,
     _cfg_eval,
     _hoist_context_kv,
 )
@@ -52,6 +52,7 @@ def plms_sample_scan(
     control_scales: jax.Array,
     guess_mode: bool = False,
     parameterization: str = "eps",
+    cfg_rescale: float = 0.0,
 ) -> jax.Array:
     """PLMS loop over a DiffusionSchedule.ddim(steps, eta=0) schedule.
     Deterministic; returns x0 latents."""
@@ -76,7 +77,7 @@ def plms_sample_scan(
             ctx_cond, ctx_uncond, control_scales, guess_mode,
             hoisted_kv=hoisted_kv,
         )
-        m = (e_u + _bc_scale(scale, x) * (e_c - e_u)).astype(jnp.float32)
+        m = _cfg_combine(e_c, e_u, scale, x, cfg_rescale).astype(jnp.float32)
         if parameterization == "v":
             return jnp.sqrt(a_t) * m + sqrt_1m_at * x.astype(jnp.float32)
         return m

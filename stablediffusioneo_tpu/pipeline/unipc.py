@@ -43,7 +43,7 @@ import numpy as np
 from stablediffusioneo_tpu.config import ControlNetConfig
 from stablediffusioneo_tpu.models.controlnet import hint_block_apply
 from stablediffusioneo_tpu.pipeline.ddim import (
-    _bc_scale,
+    _cfg_combine,
     _cfg_eval,
     _hoist_context_kv,
 )
@@ -62,6 +62,7 @@ def unipc_sample_scan(
     control_scales: jax.Array,
     guess_mode: bool = False,
     parameterization: str = "eps",
+    cfg_rescale: float = 0.0,
 ) -> jax.Array:
     """UniPC-2 (bh2) loop. Deterministic ODE sampler; returns x0 latents.
 
@@ -92,7 +93,7 @@ def unipc_sample_scan(
             ctx_cond, ctx_uncond, control_scales, guess_mode,
             hoisted_kv=hoisted_kv,
         )
-        m = (e_u + _bc_scale(scale, x) * (e_c - e_u)).astype(jnp.float32)
+        m = _cfg_combine(e_c, e_u, scale, x, cfg_rescale).astype(jnp.float32)
         xf = x.astype(jnp.float32)
         if parameterization == "v":
             return alpha * xf - sigma * m

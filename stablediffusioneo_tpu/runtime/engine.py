@@ -237,7 +237,8 @@ class CNSDRuntime:
     # ------------------------------------------------------------- engines
 
     def _sampler_fn(self, num_steps: int, guess_mode: bool, sampler: str,
-                    encoder_cache_interval: int = 1, inpaint: bool = False):
+                    encoder_cache_interval: int = 1, inpaint: bool = False,
+                    cfg_rescale: float = 0.0):
         cfg = self.cfg
 
         if sampler.startswith("dpmpp"):
@@ -253,6 +254,7 @@ class CNSDRuntime:
                     x_T, hint, ctx_c, ctx_u, scale, cscales,
                     guess_mode=guess_mode,
                     parameterization=cfg.diffusion.parameterization,
+                    cfg_rescale=cfg_rescale,
                 )
 
             return run
@@ -276,6 +278,7 @@ class CNSDRuntime:
                     x_T, hint, ctx_c, ctx_u, scale, cscales,
                     guess_mode=guess_mode,
                     parameterization=cfg.diffusion.parameterization,
+                    cfg_rescale=cfg_rescale,
                 )
 
             return run
@@ -293,6 +296,7 @@ class CNSDRuntime:
                     x_T, hint, ctx_c, ctx_u, scale, cscales, key,
                     sampler=sampler, guess_mode=guess_mode,
                     parameterization=cfg.diffusion.parameterization,
+                    cfg_rescale=cfg_rescale,
                 )
 
             return run
@@ -309,6 +313,7 @@ class CNSDRuntime:
                     parameterization=cfg.diffusion.parameterization,
                     encoder_cache_interval=encoder_cache_interval,
                     inpaint_latent=ilat, inpaint_mask=imask,
+                    cfg_rescale=cfg_rescale,
                 )
 
             return run
@@ -320,6 +325,7 @@ class CNSDRuntime:
                 guess_mode=guess_mode,
                 parameterization=cfg.diffusion.parameterization,
                 encoder_cache_interval=encoder_cache_interval,
+                cfg_rescale=cfg_rescale,
             )
 
         return run
@@ -364,8 +370,11 @@ class CNSDRuntime:
         hint_u8=False,  # False | True | "packed"
         gen_xT=False,  # False | True | "seeds"
         inpaint: bool = False,
+        cfg_rescale: float = 0.0,
     ) -> Engine:
         """Sampler + VAE decode + uint8 denorm as ONE compiled program.
+        cfg_rescale: static guidance-rescale weight (arXiv:2305.08891;
+        a distinct engine variant per value — users pick 0 or ~0.7).
 
         The production serving path: a single dispatch for the whole
         latent->pixels pipeline. On the tunneled single-chip setup this
@@ -388,11 +397,13 @@ class CNSDRuntime:
                              f"DDIM-path feature (sampler='ddim', got "
                              f"{sampler!r})")
         key_t = ("sample_decode", sampler, num_steps, batch, h, w, guess_mode,
-                 encoder_cache_interval, ctx_len, hint_u8, gen_xT, inpaint)
+                 encoder_cache_interval, ctx_len, hint_u8, gen_xT, inpaint,
+                 float(cfg_rescale))
         if key_t in self._engines:
             return self._engines[key_t]
         base = self._sampler_fn(num_steps, guess_mode, sampler,
-                                encoder_cache_interval, inpaint=inpaint)
+                                encoder_cache_interval, inpaint=inpaint,
+                                cfg_rescale=cfg_rescale)
         if hint_u8 == "packed":
             sfn = self._with_packed_hint(base)
         elif hint_u8 == "multi" or not hint_u8:
@@ -527,6 +538,7 @@ class CNSDRuntime:
         inpaint_mask: Optional[jax.Array] = None,
         init_latent: Optional[jax.Array] = None,
         t_enc: Optional[int] = None,
+        cfg_rescale: float = 0.0,
     ) -> jax.Array:
         """Fused sample+decode: returns uint8 (B, H, W, 3) ON DEVICE.
 
@@ -594,7 +606,8 @@ class CNSDRuntime:
             t_enc if img2img else num_steps, b, h, w,
             guess_mode, sampler,
             encoder_cache_interval, ctx_len=ctx_cond.shape[1],
-            hint_u8=hint_u8, gen_xT=gen_xT, inpaint=inpaint)
+            hint_u8=hint_u8, gen_xT=gen_xT, inpaint=inpaint,
+            cfg_rescale=cfg_rescale)
         sched = self._sched_device(
             num_steps, sampler, eta, t_enc=t_enc if img2img else None)
         scale_v, cscales = self._per_sample_scales(
@@ -693,6 +706,7 @@ class CNSDRuntime:
         guess_mode: bool = False, sampler: str = "ddim",
         encoder_cache_interval: int = 1, ctx_len: Optional[int] = None,
         hint_u8=False,  # False | True | "packed"
+        cfg_rescale: float = 0.0,
     ) -> Engine:
         """Compiled denoise loop for (steps, batch, HxW). H,W are image-space
         (latent is H/8 x W/8). sampler: "ddim" | "plms" | "dpmpp[-karras]" |
@@ -707,11 +721,13 @@ class CNSDRuntime:
         ctx_len = ctx_len or self.cfg.clip.max_length
         sampler = _canon_sampler(sampler)
         key_t = ("sampler", sampler, num_steps, batch, h, w, guess_mode,
-                 encoder_cache_interval, ctx_len, hint_u8)
+                 encoder_cache_interval, ctx_len, hint_u8,
+                 float(cfg_rescale))
         if key_t in self._engines:
             return self._engines[key_t]
         sfn = self._sampler_fn(num_steps, guess_mode, sampler,
-                               encoder_cache_interval)
+                               encoder_cache_interval,
+                               cfg_rescale=cfg_rescale)
         if hint_u8 == "packed":
             fn = self._with_packed_hint(sfn)
         elif hint_u8 == "multi" or not hint_u8:
@@ -979,6 +995,7 @@ class CNSDRuntime:
         guess_mode: bool = False,
         sampler: str = "ddim",
         encoder_cache_interval: int = 1,
+        cfg_rescale: float = 0.0,
     ) -> jax.Array:
         b, lh, lw, _ = x_T.shape
         f = self.cfg.vae.downsample_factor
@@ -1000,7 +1017,8 @@ class CNSDRuntime:
         eng = self.sampler_engine(num_steps, b, lh * f, lw * f, guess_mode,
                                   sampler, encoder_cache_interval,
                                   ctx_len=ctx_cond.shape[1],
-                                  hint_u8=hint_u8)
+                                  hint_u8=hint_u8,
+                                  cfg_rescale=cfg_rescale)
         sched = self._sched_device(num_steps, sampler, eta)
         scale_v, cscales = self._per_sample_scales(
             b, guidance_scale, strength, guess_mode)

@@ -35,7 +35,7 @@ _REQ_FIELDS = (
     "prompt", "a_prompt", "n_prompt", "image_resolution", "ddim_steps",
     "guess_mode", "strength", "scale", "seed", "eta", "low_threshold",
     "high_threshold", "sampler", "encoder_cache_interval", "clip_skip",
-    "denoise_strength", "prompt_emphasis", "long_prompt",
+    "denoise_strength", "prompt_emphasis", "long_prompt", "cfg_rescale",
 )
 
 

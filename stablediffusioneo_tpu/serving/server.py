@@ -108,6 +108,9 @@ class GenRequest:
     # fixed 3x77 windowed encoder, "auto" = minimal windows for the pair
     # (models/text_encoding.py). Requests batch per window count.
     long_prompt: Union[bool, str] = False
+    # guidance rescale (arXiv:2305.08891; 0 = off). Static per engine, so
+    # requests batch per value (distinct values are rare: 0 or ~0.7).
+    cfg_rescale: float = 0.0
 
 
 @dataclass
@@ -372,7 +375,8 @@ class DiffusionServer:
                 r.encoder_cache_interval, r.clip_skip, ctx_len,
                 hint_kind,
                 p.inpaint_src is not None,  # inpaint = own engine variant
-                p.t_enc)  # img2img entry step = own engine depth (0 = off)
+                p.t_enc,  # img2img entry step = own engine depth (0 = off)
+                float(r.cfg_rescale))  # static per engine variant
 
     def _cut_batch(self) -> Optional[List[_Pending]]:
         """Called under the lock. Returns the batch to run now, or None.
@@ -556,6 +560,7 @@ class DiffusionServer:
             guidance_scale=scales, strength=strengths, eta=r0.eta,
             guess_mode=r0.guess_mode, sampler=r0.sampler,
             encoder_cache_interval=r0.encoder_cache_interval,
+            cfg_rescale=r0.cfg_rescale,
             **extra_kw,
         )
         self._done_q.put((batch, images_dev, t0))

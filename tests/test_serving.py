@@ -256,6 +256,36 @@ class TestDiffusionServer:
             assert im.dtype == np.uint8
         assert server.stats.batches - b0 == 2
 
+    def test_cfg_rescale_groups_apart_and_matches_process(self, tiny_server):
+        """cfg_rescale is static per engine variant: distinct values must
+        not co-batch, and the serving output must match process() with the
+        same rescale weight."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, pipe = tiny_server
+        b0 = server.stats.snapshot()["batches"]
+        reqs = [
+            GenRequest(image=_img(30), prompt="a bird", image_resolution=64,
+                       ddim_steps=2, seed=11, scale=9.0),
+            GenRequest(image=_img(31), prompt="a dog", image_resolution=64,
+                       ddim_steps=2, seed=22, scale=9.0, cfg_rescale=0.7),
+        ]
+        futures = [server.submit(r) for r in reqs]
+        results = [f.result(timeout=600) for f in futures]
+        assert server.stats.snapshot()["batches"] - b0 == 2, \
+            "distinct cfg_rescale values co-batched"
+
+        for r, (det, im) in zip(reqs, results):
+            outs = pipe.process(
+                r.image, r.prompt, num_samples=1, image_resolution=64,
+                ddim_steps=2, seed=r.seed, scale=r.scale,
+                cfg_rescale=r.cfg_rescale)
+            np.testing.assert_array_equal(det, outs[0])
+            frac_off = (np.abs(outs[1].astype(np.int16)
+                               - im.astype(np.int16)) > 1).mean()
+            assert frac_off < 0.02, \
+                f"serving cfg_rescale diverged from process(): {frac_off}"
+
     def test_mixed_resolutions_route_to_separate_groups(self, tiny_server):
         """Requests at different resolutions form different compatibility
         groups (different engine buckets) and both complete."""
