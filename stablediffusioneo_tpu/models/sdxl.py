@@ -195,11 +195,19 @@ def sdxl_txt2img_scan(
     key: jax.Array,
     parameterization: str = "eps",
     cfg_rescale: float = 0.0,
+    inpaint_latent: Optional[jax.Array] = None,
+    inpaint_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """DDIM txt2img loop for the (ControlNet-free) SDXL base: CFG batch-2
     through one UNet eval per step, ADM y riding alongside the context.
-    Same one-lax.scan structure as pipeline/ddim.ddim_sample_scan."""
+    Same one-lax.scan structure as pipeline/ddim.ddim_sample_scan.
+
+    inpaint_latent/inpaint_mask enable blended-latent inpainting with the
+    same semantics (and key decorrelation) as ddim_sample_scan: mask is
+    (B, h, w, 1) in [0, 1] with 1 = generate; mask == 1 everywhere is
+    bit-identical to plain sampling, mask == 0 returns inpaint_latent."""
     from stablediffusioneo_tpu.models.unet import precompute_context_kv
+    from stablediffusioneo_tpu.pipeline.ddim import _step_noise
 
     b = x_T.shape[0]
     ctx2 = jnp.concatenate([ctx_cond, ctx_uncond], axis=0)
@@ -217,6 +225,14 @@ def sdxl_txt2img_scan(
         jnp.arange(n_steps, dtype=jnp.int32),
     )
 
+    # kept-region forward-diffusion noise: key decorrelated from the eta
+    # noise with the same fold tag as ddim_sample_scan
+    if inpaint_latent is not None:
+        ikey = (jax.vmap(lambda k: jax.random.fold_in(k, 0x1B9A1))(key)
+                if key.ndim == 2 else jax.random.fold_in(key, 0x1B9A1))
+    else:
+        ikey = None
+
     def body(x, per_step):
         t = per_step[0]
         t2 = jnp.full((2 * b,), t, jnp.float32)
@@ -227,10 +243,57 @@ def sdxl_txt2img_scan(
         model_out = _cfg_combine(e_c, e_u, scale, x, cfg_rescale)
         x_next = _ddim_update(x, model_out, per_step, key, 1.0,
                               parameterization)
+        if inpaint_latent is not None:
+            a_prev, step_idx = per_step[2], per_step[5]
+            noised = (jnp.sqrt(a_prev)
+                      * inpaint_latent.astype(jnp.float32)
+                      + jnp.sqrt(1.0 - a_prev)
+                      * _step_noise(ikey, step_idx, x_next.shape))
+            m = inpaint_mask.astype(jnp.float32)
+            x_next = (m * x_next.astype(jnp.float32)
+                      + (1.0 - m) * noised).astype(x_next.dtype)
         return x_next, ()
 
     x0, _ = jax.lax.scan(body, x_T, consts)
+    if inpaint_latent is not None:
+        m = inpaint_mask.astype(jnp.float32)
+        x0 = (m * x0.astype(jnp.float32)
+              + (1.0 - m) * inpaint_latent.astype(jnp.float32)
+              ).astype(x0.dtype)
     return x0
+
+
+def sdxl_img2img_latents(
+    unet_params: Dict,
+    cfg: SDXLConfig,
+    schedule: Dict[str, np.ndarray],
+    z0: jax.Array,
+    t_enc: int,
+    ctx_cond: jax.Array,
+    ctx_uncond: jax.Array,
+    y_cond: jax.Array,
+    y_uncond: jax.Array,
+    scale: jax.Array,
+    key: jax.Array,
+    parameterization: str = "eps",
+    cfg_rescale: float = 0.0,
+) -> jax.Array:
+    """SDXL-base img2img: stochastic-encode z0 to the entry step (the last
+    t_enc entries of the num_steps discretization — the DDIMSampler.img2img
+    convention shared with sd_concat_img2img and the engine img2img
+    variant) and denoise the tail with the base UNet.
+
+    Same flow as sdxl_refine_latents but with the BASE model and its
+    dual-tower conditioning (the refiner variant carries bigG-only ctx +
+    aesthetic-score time ids). The reference has no SDXL at all; this is
+    the diffusers StableDiffusionXLImg2ImgPipeline role."""
+    from stablediffusioneo_tpu.pipeline.ddim import stochastic_tail_entry
+
+    tail, x_T, key = stochastic_tail_entry(schedule, t_enc, z0, key)
+    return sdxl_txt2img_scan(
+        unet_params, cfg, tail, x_T, ctx_cond, ctx_uncond, y_cond,
+        y_uncond, scale, key, parameterization=parameterization,
+        cfg_rescale=cfg_rescale)
 
 
 # ------------------------------------------------------------------ refiner

@@ -116,6 +116,76 @@ class TestTxt2Img:
 
 
 @pytest.mark.slow
+class TestImg2ImgInpaint:
+    def _cond(self, params, rng):
+        ids = rng.integers(5, 900, (1, 16)).astype(np.int32)
+        uncond = np.zeros((1, 16), np.int32)
+        ctx_c, y_c = sdxl_conditioning(params, CFG, jnp.asarray(ids),
+                                       jnp.asarray(ids), size_hw=(64, 64))
+        ctx_u, y_u = sdxl_conditioning(params, CFG, jnp.asarray(uncond),
+                                       jnp.asarray(uncond), size_hw=(64, 64))
+        return ctx_c, ctx_u, y_c, y_u
+
+    def test_img2img_matches_manual_tail(self, params):
+        """sdxl_img2img_latents == stochastic_tail_entry + txt2img on the
+        tail (the shared img2img convention), and t_enc depth matters."""
+        from stablediffusioneo_tpu.models.sdxl import sdxl_img2img_latents
+        from stablediffusioneo_tpu.pipeline.ddim import stochastic_tail_entry
+
+        rng = np.random.default_rng(3)
+        ctx_c, ctx_u, y_c, y_u = self._cond(params, rng)
+        sched = DiffusionSchedule().ddim(4)
+        z0 = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+        key = jax.random.PRNGKey(9)
+        got = sdxl_img2img_latents(
+            params["unet"], CFG, sched, z0, 2, ctx_c, ctx_u, y_c, y_u,
+            jnp.asarray(5.0), key)
+        tail, x_T, k2 = stochastic_tail_entry(sched, 2, z0, key)
+        want = sdxl_txt2img_scan(params["unet"], CFG, tail, x_T,
+                                 ctx_c, ctx_u, y_c, y_u,
+                                 jnp.asarray(5.0), k2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        deeper = sdxl_img2img_latents(
+            params["unet"], CFG, sched, z0, 4, ctx_c, ctx_u, y_c, y_u,
+            jnp.asarray(5.0), key)
+        assert np.abs(np.asarray(deeper) - np.asarray(got)).max() > 1e-5
+
+    def test_inpaint_mask_extremes(self, params):
+        """mask == 1 is bit-identical to plain sampling; mask == 0 returns
+        the source latent exactly; a mixed mask keeps the masked-off region."""
+        rng = np.random.default_rng(4)
+        ctx_c, ctx_u, y_c, y_u = self._cond(params, rng)
+        sched = DiffusionSchedule().ddim(3)
+        x_T = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+        src = jnp.asarray(rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+        key = jax.random.PRNGKey(5)
+        plain = sdxl_txt2img_scan(params["unet"], CFG, sched, x_T,
+                                  ctx_c, ctx_u, y_c, y_u,
+                                  jnp.asarray(5.0), key)
+        ones = jnp.ones((1, 8, 8, 1), jnp.float32)
+        all_gen = sdxl_txt2img_scan(params["unet"], CFG, sched, x_T,
+                                    ctx_c, ctx_u, y_c, y_u,
+                                    jnp.asarray(5.0), key,
+                                    inpaint_latent=src, inpaint_mask=ones)
+        np.testing.assert_array_equal(np.asarray(all_gen), np.asarray(plain))
+        none_gen = sdxl_txt2img_scan(params["unet"], CFG, sched, x_T,
+                                     ctx_c, ctx_u, y_c, y_u,
+                                     jnp.asarray(5.0), key,
+                                     inpaint_latent=src,
+                                     inpaint_mask=ones * 0.0)
+        np.testing.assert_array_equal(np.asarray(none_gen), np.asarray(src))
+        half = ones.at[:, :4].set(0.0)
+        mixed = sdxl_txt2img_scan(params["unet"], CFG, sched, x_T,
+                                  ctx_c, ctx_u, y_c, y_u,
+                                  jnp.asarray(5.0), key,
+                                  inpaint_latent=src, inpaint_mask=half)
+        np.testing.assert_array_equal(np.asarray(mixed)[:, :4],
+                                      np.asarray(src)[:, :4])
+        assert np.abs(np.asarray(mixed)[:, 4:]
+                      - np.asarray(src)[:, 4:]).max() > 1e-5
+
+
+@pytest.mark.slow
 class TestCheckpointLoader:
     def test_load_sdxl_pipeline_sgm_layout(self, tmp_path):
         """A real-prefix sgm checkpoint (model.diffusion_model /
