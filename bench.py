@@ -103,6 +103,7 @@ def main():
     )
     sampler = os.environ.get("BENCH_SAMPLER", "ddim")
     enc_cache = int(os.environ.get("BENCH_ENC_CACHE", "1"))
+    tome = float(os.environ.get("BENCH_TOME", "0"))  # ToMe merge ratio
 
     import numpy as np
     import jax
@@ -503,7 +504,7 @@ def main():
         # compile+warm every engine at the bench shape (1 full process call)
         pipe.process(img, "a bird", num_samples=batch, image_resolution=res,
                      ddim_steps=steps, seed=2946901, sampler=sampler,
-                     encoder_cache_interval=enc_cache)
+                     encoder_cache_interval=enc_cache, tome_ratio=tome)
         log(f"[{res}px b{batch}] warmup (incl. compile): {time.perf_counter()-t0:.1f}s")
 
         times = []
@@ -511,7 +512,8 @@ def main():
             t0 = time.perf_counter()
             pipe.process(img, "a bird", num_samples=batch,
                          image_resolution=res, ddim_steps=steps, seed=2946901,
-                         sampler=sampler, encoder_cache_interval=enc_cache)
+                         sampler=sampler, encoder_cache_interval=enc_cache,
+                         tome_ratio=tome)
             times.append(time.perf_counter() - t0)
             log(f"[{res}px b{batch}] iter {i}: {times[-1]*1e3:.0f} ms  {pipe.last_timings}")
         results.append((res, float(np.median(times))))
@@ -547,6 +549,8 @@ def main():
         tag = "" if sampler == "ddim" else f"_{sampler}"
         if enc_cache > 1:
             tag += f"_enccache{enc_cache}"
+        if tome:
+            tag += f"_tome{tome}"
         if family != "sd15":
             tag += f"_{family}"
         result = {
@@ -564,6 +568,7 @@ def main():
                              image_resolution=res, ddim_steps=steps,
                              seed=2946901, sampler=sampler,
                              encoder_cache_interval=enc_cache,
+                             tome_ratio=tome,
                              granular_timings=True)
             tm = pipe.last_timings
             dev_ms = tm["sample_ms"] + tm["decode_ms"]

@@ -50,10 +50,12 @@ def capture(outdir: str):
     img = (rng.random((512, 512, 3)) * 255).astype(np.uint8)
 
     batch = int(os.environ.get("PROFILE_BATCH", "1"))
+    tome = float(os.environ.get("PROFILE_TOME", "0"))
 
     def run():
         return pipe.process(img, "a bird", num_samples=batch,
-                            image_resolution=512, ddim_steps=20, seed=1)
+                            image_resolution=512, ddim_steps=20, seed=1,
+                            tome_ratio=tome)
 
     print("warmup (compile)...", flush=True)
     run()

@@ -42,6 +42,13 @@ class UNetConfig:
     use_scale_shift_norm: bool = False
     groups: int = 32
     norm_eps: float = 1e-5
+    # Token Merging (ToMe, arXiv:2303.17604; ops/tome.py): fraction of
+    # self-attention tokens merged at sites with >= tome_min_tokens
+    # tokens. 0.0 (default) = off, bit-identical to the plain path.
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 4096
+    tome_sx: int = 2
+    tome_sy: int = 2
 
     @property
     def time_embed_dim(self) -> int:

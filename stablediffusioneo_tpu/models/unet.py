@@ -273,19 +273,44 @@ def _resblock_apply(p: dict, cfg: UNetConfig, x, emb):
     return skip + h
 
 
-def transformer_block_apply(p: dict, cfg: UNetConfig, x, context, ctx_kv=None):
+def transformer_block_apply(p: dict, cfg: UNetConfig, x, context, ctx_kv=None,
+                            grid_hw=None):
     """BasicTransformerBlock (attention.py:355-385): self-attn, cross-attn, GEGLU FF.
 
     ctx_kv: optional precomputed cross-attention (k, v) for this block (see
     precompute_context_kv) — the context projection is step-invariant, so
-    samplers hoist it out of the denoise scan."""
+    samplers hoist it out of the denoise scan.
+
+    grid_hw: the (h, w) token grid, enabling ToMe token merging around the
+    self-attention when cfg.tome_ratio > 0 and the site is large enough
+    (ops/tome.py; merge metric = the block input x, per tomesd)."""
     heads = cfg.heads_for(x.shape[-1])
+    n_tokens = x.shape[1]
+    tome_r = 0
+    if (cfg.tome_ratio > 0.0 and grid_hw is not None
+            and n_tokens >= cfg.tome_min_tokens):
+        from stablediffusioneo_tpu.ops.tome import build_merge, merge_count
+
+        tome_r = merge_count(grid_hw[0], grid_hw[1], cfg.tome_ratio,
+                             cfg.tome_sx, cfg.tome_sy)
     h = layer_norm(x, p["norm1"]["g"], p["norm1"]["b"], LN_EPS)
-    x = x + multi_head_attention(
-        h, None,
-        p["attn1"]["wq"]["w"], p["attn1"]["wk"]["w"], p["attn1"]["wv"]["w"],
-        p["attn1"]["wo"]["w"], p["attn1"]["wo"].get("b"), heads,
-    )
+    if tome_r > 0:
+        merge, unmerge, _ = build_merge(x, grid_hw[0], grid_hw[1], tome_r,
+                                        cfg.tome_sx, cfg.tome_sy)
+        a = multi_head_attention(
+            merge(h), None,
+            p["attn1"]["wq"]["w"], p["attn1"]["wk"]["w"],
+            p["attn1"]["wv"]["w"],
+            p["attn1"]["wo"]["w"], p["attn1"]["wo"].get("b"), heads,
+        )
+        x = x + unmerge(a)
+    else:
+        x = x + multi_head_attention(
+            h, None,
+            p["attn1"]["wq"]["w"], p["attn1"]["wk"]["w"],
+            p["attn1"]["wv"]["w"],
+            p["attn1"]["wo"]["w"], p["attn1"]["wo"].get("b"), heads,
+        )
     h = layer_norm(x, p["norm2"]["g"], p["norm2"]["b"], LN_EPS)
     x = x + multi_head_attention(
         h, context,
@@ -318,6 +343,7 @@ def _spatial_transformer_apply(p: dict, cfg: UNetConfig, x, context, ctx_kv=None
         h = transformer_block_apply(
             blk, cfg, h, context,
             ctx_kv=None if ctx_kv is None else ctx_kv[i],
+            grid_hw=(h_, w_),
         )
     h = linear(h, _conv1x1_as_linear(p["proj_out"]))
     h = h.reshape(n, h_, w_, c)

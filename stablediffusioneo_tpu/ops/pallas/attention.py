@@ -146,6 +146,15 @@ def _pick_block_q_packed(tq: int, s: int, c: int, batch: int = 1,
     for bq in (512, 256, 128):
         if tq % bq:
             continue
+        # bq=512 only at small logits tiles: Mosaic's real stack exceeds
+        # this naive model ~2.6x on the logits term — measured 24.71M
+        # (OOM over the 20.5M scoped limit) at (bq=512, s=2048, c=320),
+        # the ToMe-merged 512² shape, while the production
+        # (bq=512, s=1024, c=640) site compiles and runs. The cap keeps
+        # the latter and rejects the former; larger shapes fall to 256
+        # (which also measured FASTER at s=4096: 0.683 vs 0.770 s e2e).
+        if bq == 512 and bq * s * (4 + itemsize) > 3_500_000:
+            continue
         if (bq * s * (4 + itemsize) + kv_bytes
                 + 2 * bq * c * itemsize <= _VMEM_BUDGET):
             return bq

@@ -151,6 +151,7 @@ class Canny2ImagePipeline:
         hires_upscale: float = 0.0,
         hires_denoise: float = 0.7,
         cfg_rescale: float = 0.0,
+        tome_ratio: float = 0.0,
     ) -> List[np.ndarray]:
         """Returns [detected_map] + generated uint8 HWC images
         (canny2image gradio convention).
@@ -279,6 +280,7 @@ class Canny2ImagePipeline:
             sampler=sampler,
             encoder_cache_interval=encoder_cache_interval,
             cfg_rescale=cfg_rescale,
+            tome_ratio=tome_ratio,
         )
         if inpaint_image is not None:
             if inpaint_mask is None:

@@ -236,10 +236,24 @@ class CNSDRuntime:
 
     # ------------------------------------------------------------- engines
 
+    def _cfg_with_tome(self, tome_ratio: float):
+        """ControlNetConfig with ToMe enabled on the shared UNetConfig
+        (ops/tome.py) — both the UNet and ControlNet transformer sites
+        merge, covering all 7 seq-4096 self-attention sites at 512²."""
+        cn = self.cfg.controlnet
+        if not tome_ratio:
+            return cn
+        import dataclasses
+
+        return dataclasses.replace(
+            cn, unet=dataclasses.replace(cn.unet,
+                                         tome_ratio=float(tome_ratio)))
+
     def _sampler_fn(self, num_steps: int, guess_mode: bool, sampler: str,
                     encoder_cache_interval: int = 1, inpaint: bool = False,
-                    cfg_rescale: float = 0.0):
+                    cfg_rescale: float = 0.0, tome_ratio: float = 0.0):
         cfg = self.cfg
+        ccfg = self._cfg_with_tome(tome_ratio)
 
         if sampler.startswith("dpmpp"):
             from stablediffusioneo_tpu.pipeline.dpm_solver import dpmpp_sample_scan
@@ -250,7 +264,7 @@ class CNSDRuntime:
 
             def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale, cscales, key):
                 return dpmpp_sample_scan(
-                    unet_p, ctrl_p, cfg.controlnet, sched,
+                    unet_p, ctrl_p, ccfg, sched,
                     x_T, hint, ctx_c, ctx_u, scale, cscales,
                     guess_mode=guess_mode,
                     parameterization=cfg.diffusion.parameterization,
@@ -274,7 +288,7 @@ class CNSDRuntime:
 
             def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale, cscales, key):
                 return scan_fn(
-                    unet_p, ctrl_p, cfg.controlnet, sched,
+                    unet_p, ctrl_p, ccfg, sched,
                     x_T, hint, ctx_c, ctx_u, scale, cscales,
                     guess_mode=guess_mode,
                     parameterization=cfg.diffusion.parameterization,
@@ -292,7 +306,7 @@ class CNSDRuntime:
 
             def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale, cscales, key):
                 return kdiff_sample_scan(
-                    unet_p, ctrl_p, cfg.controlnet, sched,
+                    unet_p, ctrl_p, ccfg, sched,
                     x_T, hint, ctx_c, ctx_u, scale, cscales, key,
                     sampler=sampler, guess_mode=guess_mode,
                     parameterization=cfg.diffusion.parameterization,
@@ -307,7 +321,7 @@ class CNSDRuntime:
             def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale,
                     cscales, key, ilat, imask):
                 return ddim_sample_scan(
-                    unet_p, ctrl_p, cfg.controlnet, sched,
+                    unet_p, ctrl_p, ccfg, sched,
                     x_T, hint, ctx_c, ctx_u, scale, cscales, key,
                     guess_mode=guess_mode,
                     parameterization=cfg.diffusion.parameterization,
@@ -320,7 +334,7 @@ class CNSDRuntime:
 
         def run(unet_p, ctrl_p, sched, x_T, hint, ctx_c, ctx_u, scale, cscales, key):
             return ddim_sample_scan(
-                unet_p, ctrl_p, cfg.controlnet, sched,
+                unet_p, ctrl_p, ccfg, sched,
                 x_T, hint, ctx_c, ctx_u, scale, cscales, key,
                 guess_mode=guess_mode,
                 parameterization=cfg.diffusion.parameterization,
@@ -371,6 +385,7 @@ class CNSDRuntime:
         gen_xT=False,  # False | True | "seeds"
         inpaint: bool = False,
         cfg_rescale: float = 0.0,
+        tome_ratio: float = 0.0,
     ) -> Engine:
         """Sampler + VAE decode + uint8 denorm as ONE compiled program.
         cfg_rescale: static guidance-rescale weight (arXiv:2305.08891;
@@ -398,12 +413,13 @@ class CNSDRuntime:
                              f"{sampler!r})")
         key_t = ("sample_decode", sampler, num_steps, batch, h, w, guess_mode,
                  encoder_cache_interval, ctx_len, hint_u8, gen_xT, inpaint,
-                 float(cfg_rescale))
+                 float(cfg_rescale), float(tome_ratio))
         if key_t in self._engines:
             return self._engines[key_t]
         base = self._sampler_fn(num_steps, guess_mode, sampler,
                                 encoder_cache_interval, inpaint=inpaint,
-                                cfg_rescale=cfg_rescale)
+                                cfg_rescale=cfg_rescale,
+                                tome_ratio=tome_ratio)
         if hint_u8 == "packed":
             sfn = self._with_packed_hint(base)
         elif hint_u8 == "multi" or not hint_u8:
@@ -539,6 +555,7 @@ class CNSDRuntime:
         init_latent: Optional[jax.Array] = None,
         t_enc: Optional[int] = None,
         cfg_rescale: float = 0.0,
+        tome_ratio: float = 0.0,
     ) -> jax.Array:
         """Fused sample+decode: returns uint8 (B, H, W, 3) ON DEVICE.
 
@@ -607,7 +624,7 @@ class CNSDRuntime:
             guess_mode, sampler,
             encoder_cache_interval, ctx_len=ctx_cond.shape[1],
             hint_u8=hint_u8, gen_xT=gen_xT, inpaint=inpaint,
-            cfg_rescale=cfg_rescale)
+            cfg_rescale=cfg_rescale, tome_ratio=tome_ratio)
         sched = self._sched_device(
             num_steps, sampler, eta, t_enc=t_enc if img2img else None)
         scale_v, cscales = self._per_sample_scales(
@@ -707,6 +724,7 @@ class CNSDRuntime:
         encoder_cache_interval: int = 1, ctx_len: Optional[int] = None,
         hint_u8=False,  # False | True | "packed"
         cfg_rescale: float = 0.0,
+        tome_ratio: float = 0.0,
     ) -> Engine:
         """Compiled denoise loop for (steps, batch, HxW). H,W are image-space
         (latent is H/8 x W/8). sampler: "ddim" | "plms" | "dpmpp[-karras]" |
@@ -722,12 +740,13 @@ class CNSDRuntime:
         sampler = _canon_sampler(sampler)
         key_t = ("sampler", sampler, num_steps, batch, h, w, guess_mode,
                  encoder_cache_interval, ctx_len, hint_u8,
-                 float(cfg_rescale))
+                 float(cfg_rescale), float(tome_ratio))
         if key_t in self._engines:
             return self._engines[key_t]
         sfn = self._sampler_fn(num_steps, guess_mode, sampler,
                                encoder_cache_interval,
-                               cfg_rescale=cfg_rescale)
+                               cfg_rescale=cfg_rescale,
+                               tome_ratio=tome_ratio)
         if hint_u8 == "packed":
             fn = self._with_packed_hint(sfn)
         elif hint_u8 == "multi" or not hint_u8:
@@ -996,6 +1015,7 @@ class CNSDRuntime:
         sampler: str = "ddim",
         encoder_cache_interval: int = 1,
         cfg_rescale: float = 0.0,
+        tome_ratio: float = 0.0,
     ) -> jax.Array:
         b, lh, lw, _ = x_T.shape
         f = self.cfg.vae.downsample_factor
@@ -1018,7 +1038,8 @@ class CNSDRuntime:
                                   sampler, encoder_cache_interval,
                                   ctx_len=ctx_cond.shape[1],
                                   hint_u8=hint_u8,
-                                  cfg_rescale=cfg_rescale)
+                                  cfg_rescale=cfg_rescale,
+                                  tome_ratio=tome_ratio)
         sched = self._sched_device(num_steps, sampler, eta)
         scale_v, cscales = self._per_sample_scales(
             b, guidance_scale, strength, guess_mode)

@@ -36,6 +36,7 @@ _REQ_FIELDS = (
     "guess_mode", "strength", "scale", "seed", "eta", "low_threshold",
     "high_threshold", "sampler", "encoder_cache_interval", "clip_skip",
     "denoise_strength", "prompt_emphasis", "long_prompt", "cfg_rescale",
+    "tome_ratio",
 )
 
 

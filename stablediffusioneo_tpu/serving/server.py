@@ -111,6 +111,9 @@ class GenRequest:
     # guidance rescale (arXiv:2305.08891; 0 = off). Static per engine, so
     # requests batch per value (distinct values are rare: 0 or ~0.7).
     cfg_rescale: float = 0.0
+    # ToMe token-merge ratio (arXiv:2303.17604, ops/tome.py; 0 = off).
+    # Static per engine variant, so requests batch per value.
+    tome_ratio: float = 0.0
 
 
 @dataclass
@@ -376,7 +379,8 @@ class DiffusionServer:
                 hint_kind,
                 p.inpaint_src is not None,  # inpaint = own engine variant
                 p.t_enc,  # img2img entry step = own engine depth (0 = off)
-                float(r.cfg_rescale))  # static per engine variant
+                float(r.cfg_rescale),  # static per engine variant
+                float(r.tome_ratio))  # static per engine variant
 
     def _cut_batch(self) -> Optional[List[_Pending]]:
         """Called under the lock. Returns the batch to run now, or None.
@@ -561,6 +565,7 @@ class DiffusionServer:
             guess_mode=r0.guess_mode, sampler=r0.sampler,
             encoder_cache_interval=r0.encoder_cache_interval,
             cfg_rescale=r0.cfg_rescale,
+            tome_ratio=r0.tome_ratio,
             **extra_kw,
         )
         self._done_q.put((batch, images_dev, t0))

@@ -286,6 +286,35 @@ class TestDiffusionServer:
             assert frac_off < 0.02, \
                 f"serving cfg_rescale diverged from process(): {frac_off}"
 
+    def test_tome_groups_apart_and_matches_process(self, tiny_server):
+        """tome_ratio is static per engine variant: distinct values must
+        not co-batch, and serving must match process() per request.
+        (The tiny 8x8 grid is below tome_min_tokens, so the variant
+        compiles the same math — the test pins the routing + parity.)"""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, pipe = tiny_server
+        b0 = server.stats.snapshot()["batches"]
+        reqs = [
+            GenRequest(image=_img(40), prompt="a bird", image_resolution=64,
+                       ddim_steps=2, seed=51, scale=9.0),
+            GenRequest(image=_img(41), prompt="a dog", image_resolution=64,
+                       ddim_steps=2, seed=52, scale=9.0, tome_ratio=0.5),
+        ]
+        futures = [server.submit(r) for r in reqs]
+        results = [f.result(timeout=600) for f in futures]
+        assert server.stats.snapshot()["batches"] - b0 == 2, \
+            "distinct tome_ratio values co-batched"
+        for r, (det, im) in zip(reqs, results):
+            outs = pipe.process(
+                r.image, r.prompt, num_samples=1, image_resolution=64,
+                ddim_steps=2, seed=r.seed, scale=r.scale,
+                tome_ratio=r.tome_ratio)
+            frac_off = (np.abs(outs[1].astype(np.int16)
+                               - im.astype(np.int16)) > 1).mean()
+            assert frac_off < 0.02, \
+                f"serving tome diverged from process(): {frac_off}"
+
     def test_mixed_resolutions_route_to_separate_groups(self, tiny_server):
         """Requests at different resolutions form different compatibility
         groups (different engine buckets) and both complete."""
