@@ -111,13 +111,19 @@ def build_merge(metric: jax.Array, h: int, w: int, r: int,
     unm_sl = order[:, r:]                        # (B, n_unm)
     dst_of_merged = jnp.take_along_axis(node_idx, merged_sl, axis=1)
 
+    # global token ids of the unmerged/merged src slots: gathering from x
+    # directly skips materializing the full (B, n_src, C) src view twice
+    glob_unm = jnp.take_along_axis(
+        jnp.broadcast_to(src_idx, (b, n_src)), unm_sl, axis=1)
+    glob_mrg = jnp.take_along_axis(
+        jnp.broadcast_to(src_idx, (b, n_src)), merged_sl, axis=1)
+
     def merge(x: jax.Array) -> jax.Array:
-        src = jnp.take(x, src_idx, axis=1)       # (B, n_src, C')
         dst = jnp.take(x, dst_idx, axis=1)       # (B, n_dst, C')
         unm = jnp.take_along_axis(
-            src, unm_sl[..., None], axis=1)      # (B, n_unm, C')
+            x, glob_unm[..., None], axis=1)      # (B, n_unm, C')
         mrg = jnp.take_along_axis(
-            src, merged_sl[..., None], axis=1)   # (B, r, C')
+            x, glob_mrg[..., None], axis=1)      # (B, r, C')
         # mean-reduce merged srcs into their dst (fp32 accumulation)
         dstf = dst.astype(jnp.float32)
         summed = jax.vmap(
