@@ -125,7 +125,11 @@ def unipc_sample_scan(
         # corrector: eval at the predicted point, reuse as next m_cur
         m_t = x0_at(x_p.astype(dtype), ps["t_next"], a_n, s_n)
         d1_t = m_t - m_cur
-        c1 = (b1 - b2) / (1.0 - r1)
+        # guard the denominator like the r1 divide above: on the first step
+        # (have_prev=0, lam_prev=0) r1 can be ~1, making c1 inf/NaN — the
+        # value is masked out by the have_prev where(), but an unguarded
+        # NaN would still poison any future vjp/grad through the sampler
+        c1 = (b1 - b2) / jnp.where(jnp.abs(1.0 - r1) > 1e-12, 1.0 - r1, 1.0)
         c2_2 = b1 - c1                                # order-2 rhos_c
         corr2 = c1 * d1_prev + c2_2 * d1_t
         corr1 = 0.5 * d1_t                            # order-1 rhos_c

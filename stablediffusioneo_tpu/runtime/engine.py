@@ -255,6 +255,15 @@ class CNSDRuntime:
         cfg = self.cfg
         ccfg = self._cfg_with_tome(tome_ratio)
 
+        if encoder_cache_interval != 1 and _canon_sampler(sampler) != "ddim":
+            # the interval is threaded only into ddim_sample_scan; letting
+            # it through for other solvers would mint a duplicate engine
+            # (it is part of the cache key) that behaves like interval=1
+            raise ValueError(
+                "encoder_cache_interval is a DDIM-path feature "
+                f"(sampler='ddim'); got interval {encoder_cache_interval} "
+                f"with sampler {sampler!r}")
+
         if sampler.startswith("dpmpp"):
             from stablediffusioneo_tpu.pipeline.dpm_solver import dpmpp_sample_scan
 
@@ -679,7 +688,17 @@ class CNSDRuntime:
         discretization (sampling order) — the entry point of
         DDIMSampler.img2img; a t_enc-step engine consumes it directly
         since schedules are engine inputs, not baked constants."""
-        ck = (sampler, num_steps, float(eta), t_enc)
+        # eta is a DDIM-only knob: the other solvers never read it, so
+        # normalize it out of the cache key (a nonzero eta would otherwise
+        # cache a second, identical schedule) — and fail loudly for PLMS,
+        # whose upstream sampler asserts ddim_eta == 0
+        base = _canon_sampler(sampler)
+        if base == "plms" and float(eta) != 0.0:
+            raise ValueError(
+                f"PLMS requires eta == 0 (got {eta}); the upstream "
+                "PLMSSampler asserts ddim_eta == 0")
+        ck = (sampler, num_steps, float(eta) if base == "ddim" else 0.0,
+              t_enc)
         cached = self._sched_cache.get(ck)
         if cached is None:
             sched = self._make_schedule(num_steps, sampler, eta=eta)
@@ -711,6 +730,10 @@ class CNSDRuntime:
             return kdiff_schedule(self.schedule, num_steps, spacing=sp)
         if base == "plms":
             # PLMS is eta-0 only (upstream PLMSSampler asserts ddim_eta == 0)
+            if float(eta) != 0.0:
+                raise ValueError(
+                    f"PLMS requires eta == 0 (got {eta}); the upstream "
+                    "PLMSSampler asserts ddim_eta == 0")
             return self.schedule.ddim(num_steps, eta=0.0)
         if base != "ddim":
             raise ValueError(f"unknown sampler {sampler!r} (expected 'ddim', "

@@ -285,6 +285,28 @@ class DiffusionServer:
             raise RuntimeError("server not started — call start()")
         from stablediffusioneo_tpu.annotators.util import HWC3, resize_image
 
+        # cfg_rescale / tome_ratio are CONTINUOUS knobs that are static per
+        # compiled engine (they sit in the engine cache key): validate the
+        # range and snap to a 0.05 grid so a client sweeping float values
+        # cannot force unbounded compilations (each distinct value would
+        # otherwise mint a new 20-step program)
+        if not (0.0 <= req.cfg_rescale <= 1.0):
+            raise ValueError(
+                f"cfg_rescale must be in [0, 1], got {req.cfg_rescale}")
+        if not (0.0 <= req.tome_ratio <= 0.75):
+            raise ValueError(
+                f"tome_ratio must be in [0, 0.75], got {req.tome_ratio}")
+        quant = {}
+        for field in ("cfg_rescale", "tome_ratio"):
+            v = getattr(req, field)
+            q = round(v * 20.0) / 20.0
+            if q != v:
+                quant[field] = q
+        if quant:
+            import dataclasses
+
+            req = dataclasses.replace(req, **quant)  # caller's req untouched
+
         p = _Pending(req=req, future=Future(), t_submit=time.perf_counter())
         img = resize_image(HWC3(req.image), req.image_resolution)
         p.hw = img.shape[:2]

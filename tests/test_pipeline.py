@@ -71,6 +71,26 @@ class TestEngine:
         kinds = {k[0] for k in rt._engines}
         assert kinds == {"clip", "sampler", "decoder", "sample_decode"}
 
+    def test_sampler_knob_guards(self, tiny_params):
+        """Round-4 advisor fixes: knobs that only one sampler family reads
+        must fail loudly elsewhere instead of minting duplicate engines."""
+        rt = CNSDRuntime(tiny_params, CFG, persistent_cache=False)
+        # encoder_cache_interval is threaded only into ddim_sample_scan
+        with pytest.raises(ValueError, match="encoder_cache_interval"):
+            rt.sampler_engine(2, 1, 64, 64, sampler="euler",
+                              encoder_cache_interval=3)
+        # PLMS is eta-0-only (upstream PLMSSampler asserts ddim_eta == 0)
+        with pytest.raises(ValueError, match="PLMS"):
+            rt._sched_device(2, "plms", eta=0.5)
+        # eta is normalized out of the schedule-cache key for non-DDIM
+        # solvers (they never read it); for DDIM it is a real knob
+        a = rt._sched_device(2, "dpmpp", eta=0.0)
+        b = rt._sched_device(2, "dpmpp", eta=0.3)
+        assert a is b
+        n = len(rt._sched_cache)
+        rt._sched_device(2, "ddim", eta=0.3)
+        assert len(rt._sched_cache) == n + 1
+
     def test_encode_image(self, tiny_params):
         rt = CNSDRuntime(tiny_params, CFG, persistent_cache=False)
         img = jax.numpy.zeros((1, 64, 64, 3))

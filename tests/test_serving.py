@@ -626,6 +626,35 @@ class TestLongPromptServing:
                 [("a bird", 86), ("a dog", 87)], results):
             assert im.dtype == np.uint8
 
+    def test_continuous_knobs_validated_and_quantized(self, tiny_server):
+        """Round-4 advisor fix: cfg_rescale/tome_ratio sit in the engine
+        cache key, so unvalidated floats from HTTP could force unbounded
+        compilations. Out-of-range values are rejected; in-range values
+        snap to a 0.05 grid (so near-equal values co-batch)."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, _ = tiny_server
+        with pytest.raises(ValueError, match="cfg_rescale"):
+            server.submit(GenRequest(image=_img(90), prompt="x",
+                                     image_resolution=64, ddim_steps=2,
+                                     cfg_rescale=1.5))
+        with pytest.raises(ValueError, match="tome_ratio"):
+            server.submit(GenRequest(image=_img(91), prompt="x",
+                                     image_resolution=64, ddim_steps=2,
+                                     tome_ratio=0.9))
+        b0 = server.stats.snapshot()["batches"]
+        reqs = [GenRequest(image=_img(92 + i), prompt="a bird",
+                           image_resolution=64, ddim_steps=2, seed=31 + i,
+                           cfg_rescale=v)
+                for i, v in enumerate((0.69, 0.71))]
+        futures = [server.submit(r) for r in reqs]
+        for f in futures:
+            f.result(timeout=600)
+        assert server.stats.snapshot()["batches"] - b0 == 1, \
+            "0.69 and 0.71 must both quantize to 0.7 and co-batch"
+        # quantization must not mutate the caller's request objects
+        assert [r.cfg_rescale for r in reqs] == [0.69, 0.71]
+
     def test_emphasis_long_prompt_conflict_rejected(self, tiny_server):
         from stablediffusioneo_tpu.serving import GenRequest
 

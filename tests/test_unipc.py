@@ -148,6 +148,31 @@ class TestUniPC:
         ref = numpy_unipc_zero_eps(sched, x_T)
         np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
+    def test_grad_finite_through_sampler(self):
+        """Round-4 advisor fix: the first-step corrector coefficient
+        c1 = (b1-b2)/(1-r1) is value-masked by jnp.where but its
+        UNGUARDED denominator would propagate NaN cotangents through the
+        unselected branch under vjp — the sampler must be differentiable."""
+        ks = jax.random.split(jax.random.PRNGKey(2), 2)
+        up = _randomized_unet(ks[0])
+        cp = init_controlnet(ks[1], CFG.controlnet)
+        sched = dpmpp_schedule(DiffusionSchedule(), 3)
+        rng = np.random.default_rng(0)
+        hint = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+        ctx = jnp.asarray(rng.standard_normal(
+            (1, 5, CFG.unet.context_dim)).astype(np.float32))
+
+        def loss(x_T):
+            out = unipc_sample_scan(
+                up, cp, CFG.controlnet, sched, x_T, hint, ctx, ctx,
+                jnp.asarray(9.0), jnp.ones(5, jnp.float32))
+            return jnp.sum(out ** 2)
+
+        x_T = jnp.asarray(
+            rng.standard_normal((1, 8, 8, 4)).astype(np.float32))
+        g = jax.grad(loss)(x_T)
+        assert bool(jnp.isfinite(g).all()), "NaN/inf gradient through UniPC"
+
     def test_pipeline_integration_and_program_sharing(self):
         from stablediffusioneo_tpu.models import init_clip_text, init_vae
         from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
