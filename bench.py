@@ -1,616 +1,20 @@
-"""Benchmark: canny2image end-to-end on one TPU chip.
+"""Benchmark entry point — implementation: stablediffusioneo_tpu/cli/bench.py
+(installed console script: ``sdeo-bench``).
 
-Workload = BASELINE.md north star: 512x512, 20-step DDIM + CFG, bf16,
-batch 1 (the reference's compute_score workload at the target resolution,
-compute_score.py:44-64). Weights are random-init (timing is
-weight-independent); the tokenizer is the built-in toy vocab (host-side,
-not timed meaningfully).
-
-Prints ONE JSON line:
-  {"metric": ..., "value": p50_seconds, "unit": "s", "vs_baseline": ...}
-vs_baseline = 2.0 / p50  (>1 means faster than the 2 s/img target).
-
-Extra detail goes to stderr.
+The driver runs ``python bench.py`` from the repo root and reads JSON lines
+from stdout: the flagship 512x512 20-step metric first, then one line per
+tracked config as it completes, then a "tracked_configs" summary. This shim
+only makes the repo-checkout invocation work without ``pip install -e .``.
 """
 
-import json
 import os
 import sys
-import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
-def _sub_bench(env_overrides, timeout=3000):
-    """Run one tracked config as a subprocess (fresh jax state; engine
-    compiles hit the persistent XLA cache) and parse its JSON line."""
-    import subprocess
-
-    env = dict(os.environ)
-    env.update(env_overrides)
-    env["BENCH_TABLE"] = "0"  # no recursion
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, timeout=timeout)
-        for line in reversed(out.stdout.strip().splitlines()):
-            try:
-                return json.loads(line)
-            except json.JSONDecodeError:
-                continue
-        return {"error": f"no json (rc {out.returncode}): "
-                         f"{out.stderr.strip()[-300:]}"}
-    except subprocess.TimeoutExpired:
-        return {"error": f"timeout after {timeout}s"}
-
-
-# the tracked configs of docs/performance.md, driver-visible (VERDICT r2 #3)
-_TABLE_CONFIGS = (
-    ("batch4", {"BENCH_MODE": "batch4"}),
-    ("multires", {"BENCH_MODE": "multires"}),
-    ("serving", {"BENCH_MODE": "serving"}),
-    ("annotators", {"BENCH_MODE": "annotators"}),
-    ("yolo", {"BENCH_MODE": "yolo"}),
-    ("train", {"BENCH_MODE": "train"}),
-    ("sd21", {"BENCH_FAMILY": "sd21"}),
-    ("sdxl", {"BENCH_FAMILY": "sdxl"}),
-)
-
-
-def _config_table():
-    configs = {}
-    for name, env in _TABLE_CONFIGS:
-        t0 = time.perf_counter()
-        r = _sub_bench(env)
-        r = {k: r[k] for k in
-             ("metric", "value", "unit", "vs_baseline", "detail", "error")
-             if k in r}
-        log(f"[table] {name}: {r}  ({time.perf_counter()-t0:.0f}s)")
-        configs[name] = r
-    return configs
-
-
-def main():
-    """Default: the flagship 512x512 20-step metric. BENCH_MODE selects the
-    other BASELINE.md tracked configs:
-      batch4     — batch-4 throughput at 512x512 (images/sec/chip)
-      multires   — batch-4 384/512/768 bucket sweep (tracked config 3,
-        the onnx2trt_dynamic analog; BENCH_MULTIRES_BUCKETS overrides)
-      serving    — DiffusionServer cross-request batching throughput
-        (BENCH_CONCURRENCY requests, mixed prompts/scales/seeds)
-      annotators — tracked config 4: canny/HED/MiDaS/OpenPose conditioning,
-        one full process() per annotator family
-      yolo       — tracked config 5: YOLOv5 1120^2 e2e (pre+net+post)
-      train      — ControlNet fine-tune steps/s (BENCH_TRAIN_BATCH, 256^2)
-    """
-    mode = os.environ.get("BENCH_MODE", "default")
-    resolution = int(os.environ.get("BENCH_RESOLUTION", "512"))
-    steps = int(os.environ.get("BENCH_STEPS", "20"))
-    iters = int(os.environ.get(
-        "BENCH_ITERS", "3" if mode == "multires" else "5"))
-    # BASELINE.json tracked config 3 is literally "batch 4 with 384/512/768
-    # shape buckets" — multires therefore defaults to batch 4
-    batch = int(os.environ.get(
-        "BENCH_BATCH", "4" if mode in ("batch4", "multires") else "1"))
-    resolutions = (
-        tuple(int(r) for r in os.environ.get(
-            "BENCH_MULTIRES_BUCKETS", "384,512,768").split(","))
-        if mode == "multires" else (resolution,)
-    )
-    sampler = os.environ.get("BENCH_SAMPLER", "ddim")
-    enc_cache = int(os.environ.get("BENCH_ENC_CACHE", "1"))
-    tome = float(os.environ.get("BENCH_TOME", "0"))  # ToMe merge ratio
-
-    import numpy as np
-    import jax
-
-    # Honor an explicit JAX_PLATFORMS=cpu (CPU smoke runs of the harness):
-    # the axon TPU plugin's sitecustomize force-sets jax_platforms via
-    # jax.config, overriding the env var — override it back.
-    if os.environ.get("JAX_PLATFORMS") == "cpu" \
-            and jax.config.jax_platforms != "cpu":
-        jax.config.update("jax_platforms", "cpu")
-
-    log(f"devices: {jax.devices()}")
-
-    if mode == "yolo":
-        # tracked config 5 (BASELINE.md): the secondary YOLOv5 workload at
-        # the reference's engine shape (1120x1120, trt_yolov5.py:59-62)
-        import jax.numpy as jnp
-
-        from stablediffusioneo_tpu.yolo import PostProcessor, PreProcessor
-        from stablediffusioneo_tpu.yolo.model import init_yolov5, yolov5_detect
-
-        side = int(os.environ.get("BENCH_YOLO_SIDE", "1120"))
-        topk = int(os.environ.get("BENCH_YOLO_TOPK", "300"))
-        t0 = time.perf_counter()
-        # one compiled init program — issuing the hundreds of per-layer init
-        # ops individually through the device tunnel takes minutes
-        params = jax.jit(lambda k: init_yolov5(k))(jax.random.PRNGKey(0))
-        jax.block_until_ready(params)
-        log(f"[yolo] param init: {time.perf_counter()-t0:.1f}s")
-        # uint8 upload + device-side top-k filter: fetching the raw
-        # (1, 77175, 85) f32 tensor (26 MB) dominates e2e on the tunnel
-        detect = jax.jit(lambda p, u8: yolov5_detect(p, u8, k=topk))
-        pre = PreProcessor(side, side)
-        img = (np.random.default_rng(0).random((720, 1280, 3)) * 255
-               ).astype(np.uint8)
-        x, _, left, top = pre(img)
-        u8 = (x * 255.0).astype(np.uint8)[None]
-        t0 = time.perf_counter()
-        pred = np.asarray(detect(params, jnp.asarray(u8)))
-        log(f"[yolo] compile+first: {time.perf_counter()-t0:.1f}s, "
-            f"pred {pred.shape}")
-        # conf 0.99: random-weight logits sit near 0 (sigmoid ~0.5), so the
-        # reference's 0.25 threshold would pass ALL 77k anchors into the
-        # O(n^2) NMS. 0.99 keeps the detection set realistic (sparse) so
-        # the timing reflects pre+net+post at deployment-like box counts.
-        post = PostProcessor(0.99, 0.45, left, top,
-                             img.shape[1] / side, img.shape[0] / side)
-        times = []
-        for _ in range(8):
-            t0 = time.perf_counter()
-            x, _, left, top = pre(img)
-            u8 = (x * 255.0).astype(np.uint8)[None]
-            pred = np.asarray(detect(params, jnp.asarray(u8)))
-            post(pred)
-            times.append(time.perf_counter() - t0)
-        p50 = float(np.median(times))
-        log(f"[yolo] e2e pre+net+post p50 {p50*1e3:.1f} ms")
-        print(json.dumps({
-            "metric": f"yolov5_{side}x{side}_e2e_imgs_per_sec",
-            "value": round(1.0 / p50, 3),
-            "unit": "img/s",
-            # no published reference number (BASELINE.md); self-set bar:
-            # 2 img/s e2e through the tunneled single chip
-            "vs_baseline": round((1.0 / p50) / 2.0, 3),
-        }), flush=True)
-        return
-
-    if os.environ.get("BENCH_FAMILY") == "sdxl":
-        # SDXL-base txt2img (beyond the reference): the fused CFG scan +
-        # VAE decode as ONE program, 1024^2 default. Text towers excluded —
-        # context/y enter as engine inputs (the bigG encode is a per-prompt
-        # cost, ~once per request, not the per-image hot path).
-        import jax.numpy as jnp
-
-        from stablediffusioneo_tpu.models import init_unet, init_vae
-        from stablediffusioneo_tpu.models.sdxl import (
-            SDXLConfig, sdxl_txt2img_scan,
-        )
-        from stablediffusioneo_tpu.models.vae import vae_decode
-        from stablediffusioneo_tpu.ops.schedule import DiffusionSchedule
-        from stablediffusioneo_tpu.runtime.cache import (
-            enable_persistent_cache,
-        )
-        from stablediffusioneo_tpu.runtime.engine import Engine
-
-        enable_persistent_cache(None)
-        res = int(os.environ.get("BENCH_RESOLUTION", "1024"))
-        xcfg = SDXLConfig()
-        t0 = time.perf_counter()
-        sh = {
-            "unet": jax.eval_shape(
-                lambda k: init_unet(k, xcfg.unet), jax.random.PRNGKey(0)),
-            "vae": jax.eval_shape(
-                lambda k: init_vae(k, xcfg.vae), jax.random.PRNGKey(1)),
-        }
-        bf16 = lambda s: (jnp.bfloat16 if s.dtype == jnp.float32  # noqa: E731
-                          else s.dtype)
-        params = jax.jit(lambda: jax.tree.map(
-            lambda s: jnp.zeros(s.shape, bf16(s)), sh))()
-        jax.block_until_ready(params)
-        n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(sh))
-        log(f"[sdxl] param init (zeros, bf16, {n_params/1e6:.0f}M params): "
-            f"{time.perf_counter()-t0:.1f}s")
-        sched = jax.tree.map(jnp.asarray, DiffusionSchedule().ddim(steps))
-        h = res // 8
-
-        def run(up, vp, sc, x_T, ctx2, y2, key):
-            z = sdxl_txt2img_scan(
-                up, xcfg, sc, x_T, ctx2[:1], ctx2[1:], y2[:1], y2[1:],
-                jnp.float32(5.0), key)
-            img = vae_decode(vp, xcfg.vae, z, scaled=True)
-            img = jnp.clip(img.astype(jnp.float32) * 127.5 + 127.5, 0, 255)
-            return img.astype(jnp.uint8)
-
-        # no donation: the bf16 x_T buffer is not reusable by the uint8
-        # output and the donation warning would just be noise
-        eng = Engine(run, name=f"sdxl_{steps}x1x{res}")
-        rng_l = np.random.default_rng(0)
-
-        def inputs():
-            x_T = jnp.asarray(rng_l.standard_normal(
-                (1, h, h, 4)).astype(np.float32)).astype(jnp.bfloat16)
-            ctx2 = jnp.asarray(rng_l.standard_normal(
-                (2, 77, xcfg.unet.context_dim)).astype(np.float32)
-            ).astype(jnp.bfloat16)
-            y2 = jnp.asarray(rng_l.standard_normal(
-                (2, xcfg.unet.adm_in_channels)).astype(np.float32)
-            ).astype(jnp.bfloat16)
-            return x_T, ctx2, y2, jax.random.PRNGKey(0)
-
-        t0 = time.perf_counter()
-        out = np.asarray(eng(params["unet"], params["vae"], sched, *inputs()))
-        log(f"[sdxl] compile+first: {time.perf_counter()-t0:.1f}s "
-            f"out {out.shape}")
-        times = []
-        for i in range(iters):
-            t0 = time.perf_counter()
-            out = np.asarray(eng(params["unet"], params["vae"], sched,
-                                 *inputs()))
-            times.append(time.perf_counter() - t0)
-            log(f"[sdxl] iter {i}: {times[-1]*1e3:.0f} ms")
-        p50 = float(np.median(times))
-        result = {
-            "metric": (f"sdxl_base_{res}x{res}_{steps}step_bf16_b1_"
-                       "sample_decode_p50"),
-            "value": round(p50, 4),
-            "unit": "s",
-            # no reference analog; bar = the flagship's 2 s/img target
-            "vs_baseline": round(2.0 / p50, 3),
-        }
-        try:
-            # MFU lower bound: (CFG-eval FLOPs x steps + decode FLOPs) over
-            # the WALL p50 (includes the ~3 MB tunnel fetch; real device
-            # time is lower) / v5e peak 197 bf16 TFLOP/s
-            from stablediffusioneo_tpu.models.unet import unet_apply
-
-            abs_u = jax.tree.map(
-                lambda s: jax.ShapeDtypeStruct(s.shape, bf16(s)), sh["unet"])
-            abs_v = jax.tree.map(
-                lambda s: jax.ShapeDtypeStruct(s.shape, bf16(s)), sh["vae"])
-            sds = jax.ShapeDtypeStruct
-            ev = jax.jit(
-                lambda up, x, t, c, y: unet_apply(up, xcfg.unet, x, t, c,
-                                                  y=y)
-            ).lower(
-                abs_u, sds((2, h, h, 4), jnp.bfloat16),
-                sds((2,), jnp.float32),
-                sds((2, 77, xcfg.unet.context_dim), jnp.bfloat16),
-                sds((2, xcfg.unet.adm_in_channels), jnp.bfloat16),
-            ).compile()
-            dec = jax.jit(
-                lambda vp, z: vae_decode(vp, xcfg.vae, z, scaled=True)
-            ).lower(abs_v, sds((1, h, h, 4), jnp.bfloat16)).compile()
-            fl = ((ev.cost_analysis().get("flops") or 0) * steps
-                  + (dec.cost_analysis().get("flops") or 0))
-            if fl:
-                result["mfu_wall_est"] = round(fl / p50 / 197e12, 4)
-                log(f"[sdxl] {fl/1e12:.1f} TFLOP total -> "
-                    f"wall MFU {result['mfu_wall_est']}")
-        except Exception as e:  # noqa: BLE001
-            log(f"[sdxl] MFU estimate failed: {e!r}")
-        print(json.dumps(result), flush=True)
-        return
-
-    from stablediffusioneo_tpu.config import sd15_pipeline, sd21_pipeline
-    from stablediffusioneo_tpu.models import (
-        init_clip_text,
-        init_controlnet,
-        init_unet,
-        init_vae,
-    )
-    from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
-    from stablediffusioneo_tpu.pipeline.canny2image import Canny2ImagePipeline
-
-    # BENCH_FAMILY=sd21 runs the same workload on the SD-2.x family
-    # (v-prediction, OpenCLIP ViT-H context, num_head_channels attention)
-    family = os.environ.get("BENCH_FAMILY", "sd15")
-    cfg = (sd21_pipeline(dtype="bfloat16") if family == "sd21"
-           else sd15_pipeline(dtype="bfloat16"))
-
-    t0 = time.perf_counter()
-    key = jax.random.PRNGKey(0)
-    ks = jax.random.split(key, 4)
-    # Benchmark weights: zeros materialized directly on-device from
-    # eval_shape trees. Dense-op timing on TPU is data-independent, and this
-    # avoids dispatching thousands of tiny host->device init ops through the
-    # device tunnel (real deployments load a checkpoint instead).
-    import jax.numpy as jnp
-
-    shapes = {
-        "unet": jax.eval_shape(lambda k: init_unet(k, cfg.unet), ks[0]),
-        "controlnet": jax.eval_shape(
-            lambda k: init_controlnet(k, cfg.controlnet), ks[1]
-        ),
-        "vae": jax.eval_shape(lambda k: init_vae(k, cfg.vae), ks[2]),
-        "clip": jax.eval_shape(lambda k: init_clip_text(k, cfg.clip), ks[3]),
-    }
-    params = jax.jit(
-        lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    )()
-    n_params = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
-    log(f"param init (zeros, {n_params/1e6:.0f}M params): {time.perf_counter()-t0:.1f}s")
-
-    tok = toy_tokenizer(vocab_size=cfg.clip.vocab_size, max_length=cfg.clip.max_length)
-    int8 = os.environ.get("BENCH_INT8", "0") == "1"
-    if int8:
-        from stablediffusioneo_tpu.ops.dispatch import set_kernels
-
-        set_kernels(int8_linear=True)
-    if mode == "train":
-        # ControlNet fine-tune step throughput at SD-1.5 scale (the
-        # reference's training surface is PL hooks, cldm/cldm.py:416-423;
-        # no published numbers — self-set bar: 1 step/s at batch 2/512^2)
-        import functools
-
-        from stablediffusioneo_tpu.training.trainer import (
-            create_train_state, make_schedule_buffers, train_step,
-        )
-
-        # batch 8 is the measured throughput sweet spot on one v5e at 256²
-        # (samples/s: b2 9.4 / b8 16.35 — larger batches amortize the
-        # per-step overhead; b2 remains the latency-oriented config)
-        b = int(os.environ.get("BENCH_TRAIN_BATCH", "8"))
-        # default 256^2 for speed; 384^2 and 512^2 compile and run since the
-        # round-3 dtype-aware kernel VMEM fix (ladder: 256^2 4.68 / 384^2
-        # 3.02 / 512^2 1.31 steps/s at batch 2 — docs/performance.md)
-        res = int(os.environ.get("BENCH_RESOLUTION", "256"))
-        f = cfg.vae.downsample_factor
-        rng = np.random.default_rng(2946901)
-        state, tx = create_train_state(params["controlnet"])
-        sqrt_a, sqrt_1ma = make_schedule_buffers(cfg)
-        step_fn = jax.jit(functools.partial(train_step, tx=tx, cfg=cfg))
-        batch_h = {
-            "x0": rng.standard_normal((b, res // f, res // f, 4),
-                                      np.float32),
-            "hint": rng.random((b, res, res, 3)).astype(np.float32),
-            "ctx": rng.standard_normal((b, 77, cfg.unet.context_dim),
-                                       np.float32),
-        }
-        key = jax.random.PRNGKey(0)
-        t0 = time.perf_counter()
-        state, loss = step_fn(state, unet_params=params["unet"],
-                              sqrt_abar=sqrt_a, sqrt_one_minus_abar=sqrt_1ma,
-                              batch=batch_h, key=key)
-        log(f"[train] compile+first step: {time.perf_counter()-t0:.1f}s "
-            f"loss={float(loss):.4f}")
-        times = []
-        for _ in range(6):
-            t0 = time.perf_counter()
-            state, loss = step_fn(state, unet_params=params["unet"],
-                                  sqrt_abar=sqrt_a,
-                                  sqrt_one_minus_abar=sqrt_1ma,
-                                  batch=batch_h, key=key)
-            float(loss)  # force completion through a device->host fetch
-            times.append(time.perf_counter() - t0)
-        p50 = float(np.median(times))
-        sps = 1.0 / p50
-        log(f"[train] step p50 {p50*1e3:.0f} ms -> {sps:.2f} steps/s "
-            f"({sps*b:.2f} samples/s) at batch {b}, {res}^2")
-        print(json.dumps({
-            "metric": f"controlnet_train_{res}x{res}_b{b}_steps_per_sec",
-            "value": round(sps, 3),
-            "unit": "steps/s",
-            "vs_baseline": round(sps / 1.0, 3),
-        }), flush=True)
-        return
-
-    pipe = Canny2ImagePipeline(params, tok, cfg, quantize_linears=int8)
-    del params  # runtime holds the bf16 copy
-
-    rng = np.random.default_rng(2946901)
-
-    if mode == "annotators":
-        # tracked config 4 (BASELINE.md): multi-annotator conditioning —
-        # one full process() per annotator family (random-weight annotator
-        # nets; dense-op timing is data-independent)
-        from stablediffusioneo_tpu.annotators.canny import CannyDetector
-        from stablediffusioneo_tpu.annotators.hed import HEDdetector
-        from stablediffusioneo_tpu.annotators.midas import MidasDetector
-        from stablediffusioneo_tpu.annotators.openpose import OpenposeDetector
-
-        res = resolution
-        img = (rng.random((res, res, 3)) * 255).astype(np.uint8)
-        p50s = {}
-        for name, det in (
-            ("canny", CannyDetector()),
-            ("hed", HEDdetector()),
-            ("midas", MidasDetector(model_type="dpt_large")),
-            ("openpose", OpenposeDetector()),
-        ):
-            pipe.apply_canny = det
-            pipe.process(img, "a bird", num_samples=1, image_resolution=res,
-                         ddim_steps=steps, seed=1)  # compile/warm
-            times = []
-            for i in range(3):
-                t0 = time.perf_counter()
-                pipe.process(img, "a bird", num_samples=1,
-                             image_resolution=res, ddim_steps=steps, seed=1)
-                times.append(time.perf_counter() - t0)
-            p50s[name] = float(np.median(times))
-            log(f"[annotators] {name}: p50 {p50s[name]*1e3:.0f} ms "
-                f"(annotate {pipe.last_timings.get('preprocess_ms', 0):.0f} ms)")
-        worst = max(p50s.values())
-        print(json.dumps({
-            "metric": f"canny2image_{res}x{res}_{steps}step_multi_annotator_worst_p50",
-            "value": round(worst, 4),
-            "unit": "s",
-            "vs_baseline": round(2.0 / worst, 3),  # 2 s north star
-            "detail": {k: round(v, 4) for k, v in p50s.items()},
-        }), flush=True)
-        return
-
-    if mode == "serving":
-        from stablediffusioneo_tpu.serving import DiffusionServer, GenRequest
-
-        res = resolution
-        n_req = int(os.environ.get("BENCH_CONCURRENCY", "24"))
-        # throughput-oriented window: at ~2 s per batch-4 engine run, a
-        # 300 ms batching wait is noise, but it lets a burst of concurrent
-        # clients coalesce into full buckets instead of ramp-up singletons
-        # (measured: 300 ms + depth-2 dispatch -> all-full batch hist,
-        # 2.15 img/s vs 1.73 at 100 ms)
-        wait_ms = float(os.environ.get("BENCH_SERVING_WAIT_MS", "300"))
-        bucket_spec = os.environ.get("BENCH_SERVING_BUCKETS", "1,2,4")
-        buckets = tuple(int(b) for b in bucket_spec.split(","))
-        server = DiffusionServer(pipe, batch_buckets=buckets,
-                                 max_wait_ms=wait_ms).start()
-        t0 = time.perf_counter()
-        server.warmup(resolutions=(res,), steps=steps)
-        log(f"[serving] warmup ({len(buckets)} batch buckets): "
-            f"{time.perf_counter()-t0:.1f}s")
-        prompts = ["a bird", "a dog on grass", "an oil painting of a ship",
-                   "a red sports car"]
-
-        def mk(i):
-            return GenRequest(
-                image=(np.random.default_rng(i).random((res, res, 3)) * 255
-                       ).astype(np.uint8),
-                prompt=prompts[i % len(prompts)], image_resolution=res,
-                ddim_steps=steps, seed=1000 + i,
-                scale=7.0 + (i % 5), strength=0.8 + 0.1 * (i % 4))
-
-        # concurrent clients: submit() does host preprocess on the caller
-        # thread, so a single-threaded submitter would serialize arrivals
-        # and force ramp-up batch-1 cuts — real servers have parallel clients
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = ThreadPoolExecutor(max_workers=8)
-        # warm pass (compiles nothing new, fills caches)
-        [f.result(timeout=900)
-         for f in pool.map(lambda i: server.submit(mk(i)), range(4))]
-        server.stats.reset()  # measure only the timed phase
-        t0 = time.perf_counter()
-        futures = list(pool.map(lambda i: server.submit(mk(i)), range(n_req)))
-        for f in futures:
-            f.result(timeout=900)
-        dt = time.perf_counter() - t0
-        pool.shutdown()
-        st = server.stats.snapshot()
-        server.stop(drain=False)
-        ips = n_req / dt
-        log(f"[serving] {n_req} reqs in {dt:.2f}s -> {ips:.3f} img/s; "
-            f"stats {st}")
-        print(json.dumps({
-            "metric": f"canny2image_{res}x{res}_{steps}step_bf16_serving_imgs_per_sec",
-            "value": round(ips, 4),
-            "unit": "img/s",
-            "vs_baseline": round(ips / 0.5, 3),  # target: 0.5 img/s/chip
-        }), flush=True)
-        return
-
-    results = []
-    for res in resolutions:
-        # synthetic bird-ish input image
-        img = (rng.random((res, res, 3)) * 255).astype(np.uint8)
-
-        t0 = time.perf_counter()
-        # compile+warm every engine at the bench shape (1 full process call)
-        pipe.process(img, "a bird", num_samples=batch, image_resolution=res,
-                     ddim_steps=steps, seed=2946901, sampler=sampler,
-                     encoder_cache_interval=enc_cache, tome_ratio=tome)
-        log(f"[{res}px b{batch}] warmup (incl. compile): {time.perf_counter()-t0:.1f}s")
-
-        times = []
-        for i in range(iters):
-            t0 = time.perf_counter()
-            pipe.process(img, "a bird", num_samples=batch,
-                         image_resolution=res, ddim_steps=steps, seed=2946901,
-                         sampler=sampler, encoder_cache_interval=enc_cache,
-                         tome_ratio=tome)
-            times.append(time.perf_counter() - t0)
-            log(f"[{res}px b{batch}] iter {i}: {times[-1]*1e3:.0f} ms  {pipe.last_timings}")
-        results.append((res, float(np.median(times))))
-
-    if mode == "batch4":
-        res, p50 = results[0]
-        ips = batch / p50
-        result = {
-            "metric": f"canny2image_{res}x{res}_{steps}step_bf16_b{batch}_imgs_per_sec",
-            "value": round(ips, 4),
-            "unit": "img/s",
-            "vs_baseline": round(ips / 0.5, 3),  # target: 0.5 img/s/chip
-        }
-    elif mode == "multires":
-        vals = {f"{r}px_p50_s": round(p, 4) for r, p in results}
-        vals.update({f"{r}px_imgs_per_sec": round(batch / p, 3)
-                     for r, p in results})
-        log(f"multires: {vals}")
-        mid = min(range(len(results)),
-                  key=lambda i: abs(results[i][0] - 512))
-        res, p50 = results[mid]  # 512 bucket is the headline
-        ips = batch / p50
-        result = {
-            "metric": (f"canny2image_multires_b{batch}_{steps}step_bf16_"
-                       f"{res}_imgs_per_sec"),
-            "value": round(ips, 4),
-            "unit": "img/s",
-            "vs_baseline": round(ips / 0.5, 3),  # target: 0.5 img/s/chip
-            "detail": vals,
-        }
-    else:
-        res, p50 = results[0]
-        tag = "" if sampler == "ddim" else f"_{sampler}"
-        if enc_cache > 1:
-            tag += f"_enccache{enc_cache}"
-        if tome:
-            tag += f"_tome{tome}"
-        if family != "sd15":
-            tag += f"_{family}"
-        result = {
-            "metric": f"canny2image_{res}x{res}_{steps}step{tag}_bf16_b1_e2e_p50",
-            "value": round(p50, 4),
-            "unit": "s",
-            "vs_baseline": round(2.0 / p50, 3),
-        }
-        # device-time + MFU estimate (VERDICT r2 #3): one granular-timed
-        # call (hard sync between sample and decode) + the fused engine's
-        # XLA cost analysis; v5e peak 197 bf16 TFLOP/s
-        try:
-            for _ in range(2):  # 1st call compiles the granular engines
-                pipe.process(img, "a bird", num_samples=batch,
-                             image_resolution=res, ddim_steps=steps,
-                             seed=2946901, sampler=sampler,
-                             encoder_cache_interval=enc_cache,
-                             tome_ratio=tome,
-                             granular_timings=True)
-            tm = pipe.last_timings
-            dev_ms = tm["sample_ms"] + tm["decode_ms"]
-            # XLA cost analysis counts a while/scan body ONCE, so total
-            # program FLOPs = sampler-body flops x steps + decode flops.
-            # Reuse the sampler engine the granular-timed call just
-            # compiled (its hint variant — packed for canny — and
-            # encoder-cache interval are baked into the cache key;
-            # requesting a different variant here would AOT-compile a
-            # second, never-timed 20-step program)
-            cand = [v for k, v in pipe.runtime._engines.items()
-                    if k[:6] == ("sampler", sampler, steps, batch, res, res)
-                    and k[7] == enc_cache]
-            s_eng = cand[-1] if cand else pipe.runtime.sampler_engine(
-                steps, batch, res, res, sampler=sampler,
-                encoder_cache_interval=enc_cache, hint_u8=True)
-            d_eng = pipe.runtime.decoder_engine(batch, res, res)
-            fl = ((s_eng.get_engine_infor().get("flops") or 0) * steps
-                  + (d_eng.get_engine_infor().get("flops") or 0))
-            result["device_ms_est"] = round(dev_ms, 1)
-            if fl:
-                result["mfu_est"] = round(fl / (dev_ms / 1e3) / 197e12, 4)
-            log(f"device-time est {dev_ms:.0f} ms "
-                f"({fl/1e12:.2f} TFLOP -> MFU {result.get('mfu_est')})")
-        except Exception as e:  # noqa: BLE001 — estimates must not sink the bench
-            log(f"device-time/MFU estimate failed: {e!r}")
-        if os.environ.get("BENCH_TABLE", "1") == "1":
-            # flagship line goes out FIRST so a driver-side timeout during
-            # the (compile-heavy) table never loses the headline number;
-            # the table follows as a second JSON line (VERDICT r2 #3)
-            print(json.dumps(result), flush=True)
-            print(json.dumps({
-                "metric": "tracked_configs",
-                "value": result["value"],
-                "unit": "s",
-                "vs_baseline": result["vs_baseline"],
-                "flagship": {k: v for k, v in result.items()},
-                "configs": _config_table(),
-            }), flush=True)
-            return
-    print(json.dumps(result), flush=True)
-
+try:
+    from stablediffusioneo_tpu.cli.bench import main
+except ImportError:  # repo checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from stablediffusioneo_tpu.cli.bench import main
 
 if __name__ == "__main__":
     main()

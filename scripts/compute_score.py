@@ -1,116 +1,16 @@
-"""End-to-end scoring entry — the compute_score.py equivalent.
-
-Runs the canny2image pipeline over fixture images, compares against golden
-images with the perceptual-distance metric, and prints the hackathon score
-(compute_score.py:40-73 flow; fixtures are synthetic, scripts/make_fixtures).
-
-Usage:
-  python scripts/compute_score.py [--golden-dir DIR] [--steps 20] [--res 256]
-With no --golden-dir, goldens are generated by a first pass of the same
-pipeline (self-consistency mode: PD measures run-to-run determinism, which
-must be 0).
-"""
-
-import argparse
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--fixtures", default=None)
-    ap.add_argument("--golden-dir", default=None)
-    ap.add_argument("--ckpt", default=os.environ.get("SDEO_CKPT"))
-    ap.add_argument("--tokenizer", default=os.environ.get("SDEO_TOKENIZER"))
-    ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--res", type=int, default=256)
-    ap.add_argument("--n", type=int, default=5)
-    ap.add_argument("--seed", type=int, default=2946901)
-    args = ap.parse_args()
-
-    import cv2
-    import jax
-
-    from stablediffusioneo_tpu.scoring import ScoreHarness
-
-    # fixtures
-    if args.fixtures:
-        images = [
-            cv2.imread(os.path.join(args.fixtures, f"bird_{i}.jpg"))[:, :, ::-1]
-            for i in range(args.n)
-        ]
-    else:
-        from make_fixtures import make_scene
-
-        images = [make_scene(1000 + i, args.res) for i in range(args.n)]
-
-    # pipeline
-    if args.ckpt:
-        from stablediffusioneo_tpu.checkpoint import load_controlnet_pipeline
-        from stablediffusioneo_tpu.config import sd15_pipeline
-        from stablediffusioneo_tpu.models.tokenizer import CLIPTokenizer
-        from stablediffusioneo_tpu.pipeline.canny2image import Canny2ImagePipeline
-
-        cfg = sd15_pipeline()
-        pipe = Canny2ImagePipeline(
-            load_controlnet_pipeline(args.ckpt, cfg),
-            CLIPTokenizer.from_pretrained(args.tokenizer),
-            cfg,
-        )
-    else:
-        from stablediffusioneo_tpu.config import tiny_pipeline
-        from stablediffusioneo_tpu.models import (
-            init_clip_text, init_controlnet, init_unet, init_vae,
-        )
-        from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
-        from stablediffusioneo_tpu.pipeline.canny2image import Canny2ImagePipeline
-
-        cfg = tiny_pipeline()
-        ks = jax.random.split(jax.random.PRNGKey(0), 4)
-        pipe = Canny2ImagePipeline(
-            {
-                "unet": init_unet(ks[0], cfg.unet),
-                "controlnet": init_controlnet(ks[1], cfg.controlnet),
-                "vae": init_vae(ks[2], cfg.vae),
-                "clip": init_clip_text(ks[3], cfg.clip),
-            },
-            toy_tokenizer(max_length=cfg.clip.max_length),
-            cfg,
-        )
-        args.res = min(args.res, 64)
-        args.steps = min(args.steps, 2)
-
-    kwargs = dict(
-        prompt="a bird", ddim_steps=args.steps, image_resolution=args.res,
-        seed=args.seed,
-    )
-
-    # goldens
-    if args.golden_dir:
-        goldens = [
-            cv2.imread(os.path.join(args.golden_dir, f"bird_{i}.jpg"))[:, :, ::-1]
-            for i in range(args.n)
-        ]
-    else:
-        print("generating self-consistency goldens (first pass)...")
-        goldens = [
-            pipe.process(img, **{**kwargs, "num_samples": 1})[-1] for img in images
-        ]
-
-    harness = ScoreHarness(pipe.process)
-    result = harness.run(
-        images, goldens, prompt="a bird", ddim_steps=args.steps,
-        image_resolution=args.res, seed=args.seed,
-    )
-    print(f"mean latency: {result['mean_t_ms']:.0f} ms")
-    print(f"mean perceptual distance: {result['mean_pd']:.3f}")
-    print(f"mean score: {result['mean_score']:.3f}")
-
+"""Compat shim — the implementation moved to
+stablediffusioneo_tpu.cli.score (installed console script: ``sdeo-score``).
+Kept so the documented ``python scripts/compute_score.py`` invocation works from a
+repo checkout without ``pip install -e .``."""
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        from stablediffusioneo_tpu.cli.score import main
+    except ImportError:  # repo checkout without `pip install -e .`
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        from stablediffusioneo_tpu.cli.score import main
     main()

@@ -17,7 +17,11 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+try:
+    import stablediffusioneo_tpu  # noqa: F401 — installed or on PYTHONPATH
+except ImportError:  # repo checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
 
 
 def capture(outdir: str):

@@ -1,37 +1,16 @@
-"""Smoke test — the trt_check.py analog (trt_check.py:1-14): bring up the
-CLIP engine with random tokens and print the output stats.
-
-Usage: python scripts/smoke.py [--full]   (--full also runs one 1-step
-canny2image at 256px, mirroring warm_up).
-"""
-
-import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np
-
-
-def main():
-    import jax
-
-    from stablediffusioneo_tpu.config import sd15_pipeline, tiny_pipeline
-    from stablediffusioneo_tpu.models import init_clip_text
-    from stablediffusioneo_tpu.runtime.engine import CNSDRuntime
-
-    tiny = "--tiny" in sys.argv
-    cfg = tiny_pipeline() if tiny else sd15_pipeline()
-    params_clip = init_clip_text(jax.random.PRNGKey(0), cfg.clip)
-    rt = CNSDRuntime({"clip": params_clip, "unet": {}, "controlnet": {}, "vae": {}}, cfg)
-    ids = np.random.default_rng(0).integers(
-        0, cfg.clip.vocab_size, (1, cfg.clip.max_length)
-    ).astype(np.int32)
-    out = rt.encode_prompt(ids)
-    print("clip engine OK:", out.shape, out.dtype,
-          "mean|x|=", float(abs(np.asarray(out, np.float32)).mean()))
-    print(rt.clip_engine(1).get_engine_infor())
-
+"""Compat shim — the implementation moved to
+stablediffusioneo_tpu.cli.smoke (installed console script: ``sdeo-smoke``).
+Kept so the documented ``python scripts/smoke.py`` invocation works from a
+repo checkout without ``pip install -e .``."""
 
 if __name__ == "__main__":
+    try:
+        from stablediffusioneo_tpu.cli.smoke import main
+    except ImportError:  # repo checkout without `pip install -e .`
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        from stablediffusioneo_tpu.cli.smoke import main
     main()

@@ -24,4 +24,4 @@ Reference parity map (file:line cites are into the reference repo):
   - compute_score harness                 -> scoring               (compute_score.py)
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
