@@ -122,19 +122,15 @@ def _sdxl_record():
     return img.astype(np.uint8)[0]
 
 
-def build_golden_records() -> dict:
-    """All golden outputs, keyed by record name. Deterministic: seeded
-    weights, seeded inputs, fixed seeds through the samplers."""
+def _sd15_record_specs():
+    """(name, process-kwargs) per sd15 record. ddim/ddim_eta05 share one
+    compiled engine (eta rides the schedule arrays); the others each
+    compile their own program."""
     from stablediffusioneo_tpu.testing.fixtures import make_scene
 
-    img = make_scene(1001, _RES)
-    base = dict(num_samples=1, image_resolution=_RES, ddim_steps=_STEPS,
-                seed=_SEED)
-    records: dict = {}
-
-    pipe = build_sd15_pipe()
-    # one record per sampler family + the DDIM-path image modes
-    for name, kw in (
+    mask = np.zeros((_RES, _RES), np.uint8)
+    mask[16:48, 16:48] = 255
+    return (
         ("sd15_ddim", {}),
         ("sd15_ddim_eta05", dict(eta=0.5)),
         ("sd15_guess_mode", dict(guess_mode=True)),
@@ -144,20 +140,48 @@ def build_golden_records() -> dict:
         ("sd15_euler_a", dict(sampler="euler-a")),
         ("sd15_img2img", dict(init_image=make_scene(1002, _RES),
                               denoise_strength=0.5)),
-    ):
-        records[name] = pipe.process(img, "a bird", **{**base, **kw})[-1]
-    mask = np.zeros((_RES, _RES), np.uint8)
-    mask[16:48, 16:48] = 255
-    records["sd15_inpaint"] = pipe.process(
-        img, "a bird", inpaint_image=make_scene(1003, _RES),
-        inpaint_mask=mask, **base)[-1]
+        ("sd15_inpaint", dict(inpaint_image=make_scene(1003, _RES),
+                              inpaint_mask=mask)),
+    )
+
+
+def _build_records(only=None) -> dict:
+    """Golden outputs, keyed by record name. Deterministic: seeded
+    weights, seeded inputs, fixed seeds through the samplers."""
+    from stablediffusioneo_tpu.testing.fixtures import make_scene
+
+    img = make_scene(1001, _RES)
+    base = dict(num_samples=1, image_resolution=_RES, ddim_steps=_STEPS,
+                seed=_SEED)
+    want = (lambda n: only is None or n in only)
+    records: dict = {}
+
+    sd15 = [(n, kw) for n, kw in _sd15_record_specs() if want(n)]
+    if sd15:
+        pipe = build_sd15_pipe()
+        for name, kw in sd15:
+            records[name] = pipe.process(img, "a bird",
+                                         **{**base, **kw})[-1]
 
     # v-parameterization (the SD-2.x denoise math) on the same topology
-    records["sd21v_ddim"] = build_sd15_pipe(
-        parameterization="v").process(img, "a bird", **base)[-1]
+    if want("sd21v_ddim"):
+        records["sd21v_ddim"] = build_sd15_pipe(
+            parameterization="v").process(img, "a bird", **base)[-1]
 
-    records["sdxl_txt2img"] = _sdxl_record()
+    if want("sdxl_txt2img"):
+        records["sdxl_txt2img"] = _sdxl_record()
     return records
+
+
+def build_golden_records() -> dict:
+    return _build_records()
+
+
+def build_fast_records() -> dict:
+    """The fast-tier subset: one record per model family, minimal engine
+    compiles (ddim + ddim_eta05 share a program)."""
+    return _build_records(only={"sd15_ddim", "sd15_ddim_eta05",
+                                "sd21v_ddim", "sdxl_txt2img"})
 
 
 def default_path() -> str:
@@ -168,12 +192,27 @@ def default_path() -> str:
 
 
 def generate(out_dir: str | None = None) -> str:
-    # goldens are a CPU-backend artifact (the test environment); the axon
-    # TPU plugin's sitecustomize overrides JAX_PLATFORMS, so force it back
+    # Goldens are an artifact of the EXACT test environment
+    # (tests/conftest.py): CPU backend with 8 virtual devices. The device
+    # count changes XLA:CPU's intra-op thread partitioning and therefore
+    # float reduction order — generating on a 1-device CPU produces arrays
+    # that do NOT byte-match the test replay. Force the same config here
+    # (works as long as the CPU backend has not been initialized yet).
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+
     import jax
 
     if jax.config.jax_platforms != "cpu":
         jax.config.update("jax_platforms", "cpu")
+    n = jax.device_count()
+    if n != 8:
+        raise RuntimeError(
+            f"golden generation needs the test env (8 virtual CPU devices; "
+            f"got {n}) — run in a fresh process: "
+            "python scripts/make_fixtures.py --goldens")
     out = (os.path.join(out_dir, GOLDEN_FILE) if out_dir
            else default_path())
     os.makedirs(os.path.dirname(out), exist_ok=True)
