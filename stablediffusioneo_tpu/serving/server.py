@@ -143,6 +143,10 @@ class ServerStats:
     queue_ms_sum: float = 0.0
     run_ms_sum: float = 0.0
     batch_hist: Dict[int, int] = field(default_factory=dict)
+    # engine-health record (warmup census): {engine_name: load_error}.
+    # NOT cleared by reset() — it reflects compiled-program state, not
+    # request traffic.
+    aot_fallbacks: Dict[str, str] = field(default_factory=dict)
 
     def snapshot(self) -> Dict:
         b = max(self.batches, 1)
@@ -154,6 +158,7 @@ class ServerStats:
             "mean_batch_run_ms": self.run_ms_sum / b,
             "errors": self.errors,
             "batch_hist": dict(self.batch_hist),
+            "aot_fallbacks": dict(self.aot_fallbacks),
         }
 
     def reset(self):
@@ -251,9 +256,18 @@ class DiffusionServer:
                          timeout=max(0.0, deadline - time.perf_counter()))
         raise TimeoutError("serving queue did not drain")
 
-    def warmup(self, resolutions=(256,), steps=20, sampler="ddim"):
+    def warmup(self, resolutions=(256,), steps=20, sampler="ddim",
+               strict_aot=True):
         """Precompile the sample_decode + CLIP engines for every
-        (batch bucket, resolution) pair (the reference's warm_up analog)."""
+        (batch bucket, resolution) pair (the reference's warm_up analog).
+
+        strict_aot (default ON): an engine that silently degraded to
+        on-demand jit (Engine.load swallowed the AOT failure) means every
+        first request at that shape pays a compile cliff and per-shape
+        recompiles in production — warmup raises naming the engines and
+        their load errors instead. The census is also recorded in
+        ``stats.aot_fallbacks`` either way, so /stats exposes engine
+        health even with strict_aot=False."""
         from stablediffusioneo_tpu.annotators.canny import CannyDetector
 
         rt = self.pipe.runtime
@@ -268,11 +282,29 @@ class DiffusionServer:
             hint_mode = "packed"
         else:
             hint_mode = True
+        engines = []
         for res in resolutions:
             for b in self.buckets:
-                rt.sample_decode_engine(steps, b, res, res, sampler=sampler,
-                                        hint_u8=hint_mode, gen_xT="seeds")
-                rt.clip_engine(2 * b)
+                engines.append(rt.sample_decode_engine(
+                    steps, b, res, res, sampler=sampler,
+                    hint_u8=hint_mode, gen_xT="seeds"))
+                engines.append(rt.clip_engine(2 * b))
+        fell_back = {}
+        for eng in engines:
+            if eng.get_engine_infor().get("compiled"):
+                continue
+            if eng.load_error is None and rt.mesh is not None:
+                # deliberate: under a mesh, buckets that don't tile the dp
+                # axis skip AOT by design (_aot_ready) — not a failure
+                continue
+            fell_back[eng.name] = eng.load_error or "AOT never attempted"
+        self.stats.aot_fallbacks.update(fell_back)
+        if fell_back and strict_aot:
+            raise RuntimeError(
+                "serving warmup: engines degraded to on-demand jit "
+                f"instead of AOT-compiling: {fell_back} "
+                "(pass strict_aot=False to serve anyway; the degrade is "
+                "visible in ServerStats.snapshot()['aot_fallbacks'])")
         return self
 
     # ---------------------------------------------------------------- submit
