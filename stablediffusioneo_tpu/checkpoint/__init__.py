@@ -19,6 +19,12 @@ from stablediffusioneo_tpu.checkpoint.convert import (
     load_inpaint_pipeline,
     load_sd_pipeline,
 )
+from stablediffusioneo_tpu.checkpoint.diffusers import (
+    convert_clip_diffusers,
+    convert_clip_g_diffusers,
+    convert_unet_diffusers,
+    convert_vae_diffusers,
+)
 from stablediffusioneo_tpu.checkpoint.textual_inversion import (
     add_concepts,
     apply_textual_inversion,
@@ -31,6 +37,10 @@ __all__ = [
     "convert_controlnet",
     "convert_vae",
     "convert_clip",
+    "convert_unet_diffusers",
+    "convert_vae_diffusers",
+    "convert_clip_diffusers",
+    "convert_clip_g_diffusers",
     "load_controlnet_pipeline",
     "load_sdxl_pipeline",
     "load_sdxl_refiner_pipeline",
