@@ -626,6 +626,33 @@ class TestLongPromptServing:
                 [("a bird", 86), ("a dog", 87)], results):
             assert im.dtype == np.uint8
 
+    def test_submit_async_overlaps_and_matches_submit(self, tiny_server):
+        """submit_async: a SINGLE-threaded client's preprocess runs on the
+        server's worker pool (overlapping device compute); results match
+        submit() exactly, and preprocess errors surface via the future."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, _ = tiny_server
+
+        def mk(i):
+            return GenRequest(image=_img(200 + i), prompt="a bird",
+                              image_resolution=64, ddim_steps=2,
+                              seed=500 + i)
+
+        futures = [server.submit_async(mk(i)) for i in range(3)]
+        async_outs = [f.result(timeout=600) for f in futures]
+        sync_outs = [server.submit(mk(i)).result(timeout=600)
+                     for i in range(3)]
+        for (da, ia), (ds, _is) in zip(async_outs, sync_outs):
+            np.testing.assert_array_equal(da, ds)
+            np.testing.assert_array_equal(ia, _is)
+        # a preprocess-time error resolves the future, not the caller
+        bad = server.submit_async(GenRequest(
+            image=_img(210), prompt="x", image_resolution=64, ddim_steps=2,
+            cfg_rescale=5.0))
+        with pytest.raises(ValueError, match="cfg_rescale"):
+            bad.result(timeout=60)
+
     def test_warmup_strict_aot_fails_loud(self, tiny_server, monkeypatch):
         """Round-4 fix (VERDICT r3 weak #3): a poisoned engine must fail
         warmup loudly by default (a silent AOT degrade means first-request
