@@ -51,14 +51,15 @@ def capture(outdir: str):
     pipe = Canny2ImagePipeline(params, tok, cfg)
 
     rng = np.random.default_rng(0)
-    img = (rng.random((512, 512, 3)) * 255).astype(np.uint8)
+    res = int(os.environ.get("PROFILE_RESOLUTION", "512"))
+    img = (rng.random((res, res, 3)) * 255).astype(np.uint8)
 
     batch = int(os.environ.get("PROFILE_BATCH", "1"))
     tome = float(os.environ.get("PROFILE_TOME", "0"))
 
     def run():
         return pipe.process(img, "a bird", num_samples=batch,
-                            image_resolution=512, ddim_steps=20, seed=1,
+                            image_resolution=res, ddim_steps=20, seed=1,
                             tome_ratio=tome)
 
     print("warmup (compile)...", flush=True)
