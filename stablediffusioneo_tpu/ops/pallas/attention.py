@@ -45,23 +45,34 @@ except ImportError:  # pragma: no cover
 # We raise the kernel's limit via CompilerParams(vmem_limit_bytes) and size
 # blocks against our own budget (leaving room for Mosaic double-buffering).
 _VMEM_BUDGET = 14 * 1024 * 1024
+# Big-S tier: shapes whose K/V slab alone approaches the 14M budget (768^2
+# latents: S=9216, C=320 -> 11.8M of K+V) get a second chance under a 20M
+# naive working set + the raised scoped limit. Measured on v5e at the
+# (B=8, T=S=9216, C=320, H=8) CFG batch-4 768^2 site: packed bq=128 runs
+# 46.3 ms vs the per-head split fallback's 76.5 ms (1.65x, bit-identical) —
+# and the split path additionally pays two (B,T,C) relayouts per site.
+# Shapes that fit the standard budget keep their existing block pick.
+_VMEM_BUDGET_BIG = 20 * 1024 * 1024
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
-def _compiler_params(batch: int = 1, head_dim: int = 40, itemsize: int = 2):
+def _compiler_params(batch: int = 1, head_dim: int = 40, itemsize: int = 2,
+                     oversize: bool = False):
     """Raised scoped-vmem limit ONLY where Mosaic's stack accounting can
     overflow the default 16M: batch > 2 (measured OOM at batch 8), a
     head dim outside SD-1.5's {40, 80, 160} (SD-2.x head-channel mode
     d=64 OOMs at compile: 18.57M needed for the (2,1024,640) h=10 site —
     Mosaic's per-head buffer liveness doesn't follow the naive estimate,
-    so this is keyed on the measured shape family, not a size model), or
+    so this is keyed on the measured shape family, not a size model),
     f32 inputs (training-path VJP recompute at 384^2 measured 18.78M for
-    the (2,2304,320) f32 site under the 16M default).
+    the (2,2304,320) f32 site under the 16M default), or an oversize
+    (big-S tier) working set that exceeds the standard budget by design.
     The raised limit is not free: unconditionally setting it changed
     Mosaic's scheduling and cost ~40 ms e2e on the batch-1 flagship
     (0.688->0.725 s), so the measured bf16 SD-1.5 shapes keep the
     default."""
-    if ((batch > 2 or head_dim not in (40, 80, 160) or itemsize > 2)
+    if ((batch > 2 or head_dim not in (40, 80, 160) or itemsize > 2
+         or oversize)
             and _HAS_PLTPU and hasattr(pltpu, "CompilerParams")):
         return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
     return None
@@ -142,23 +153,43 @@ def _pick_block_q_packed(tq: int, s: int, c: int, batch: int = 1,
     # can exceed the naive accounting (OOM at batch 8 under the default
     # 16M scoped limit); the raised vmem_limit_bytes absorbs that.
     # itemsize keeps the accounting honest for f32 (training VJP) inputs.
+    # Two budget tiers: shapes that fit the standard 14M budget keep their
+    # existing pick; shapes that fit NO block under it (the 768^2 S=9216
+    # family, where the K/V slab alone is 11.8M) retry under the big tier,
+    # whose callers raise the scoped vmem limit (see _compiler_params).
     kv_bytes = 2 * s * c * itemsize
-    for bq in (512, 256, 128):
-        if tq % bq:
-            continue
-        # bq=512 only at small logits tiles: Mosaic's real stack exceeds
-        # this naive model ~2.6x on the logits term — measured 24.71M
-        # (OOM over the 20.5M scoped limit) at (bq=512, s=2048, c=320),
-        # the ToMe-merged 512² shape, while the production
-        # (bq=512, s=1024, c=640) site compiles and runs. The cap keeps
-        # the latter and rejects the former; larger shapes fall to 256
-        # (which also measured FASTER at s=4096: 0.683 vs 0.770 s e2e).
-        if bq == 512 and bq * s * (4 + itemsize) > 3_500_000:
-            continue
-        if (bq * s * (4 + itemsize) + kv_bytes
-                + 2 * bq * c * itemsize <= _VMEM_BUDGET):
-            return bq
+    # The big tier is bf16-only: it exists for the measured 768^2 inference
+    # shape; f32 (training VJP recompute) keeps its round-3 behavior (split
+    # fallback) rather than silently switching kernels on an unmeasured path.
+    tiers = ((_VMEM_BUDGET, _VMEM_BUDGET_BIG) if itemsize == 2
+             else (_VMEM_BUDGET,))
+    for budget in tiers:
+        for bq in (512, 256, 128):
+            if tq % bq:
+                continue
+            # bq=512 only at small logits tiles: Mosaic's real stack exceeds
+            # this naive model ~2.6x on the logits term — measured 24.71M
+            # (OOM over the 20.5M scoped limit) at (bq=512, s=2048, c=320),
+            # the ToMe-merged 512² shape, while the production
+            # (bq=512, s=1024, c=640) site compiles and runs. The cap keeps
+            # the latter and rejects the former; larger shapes fall to 256
+            # (which also measured FASTER at s=4096: 0.683 vs 0.770 s e2e;
+            # and at the big-tier S=9216 shape bq=128 measured faster than
+            # bq=256: 46.3 vs 48.3 ms).
+            if bq == 512 and bq * s * (4 + itemsize) > 3_500_000:
+                continue
+            if (bq * s * (4 + itemsize) + kv_bytes
+                    + 2 * bq * c * itemsize <= budget):
+                return bq
     return 0
+
+
+def _packed_working_set(bq: int, s: int, c: int, itemsize: int) -> int:
+    """Naive per-step VMEM accounting for the packed kernel (logits + exp
+    weights tile, K+V slabs, q/out tiles) — the quantity the budget tiers
+    in _pick_block_q_packed gate on."""
+    return bq * s * (4 + itemsize) + 2 * s * c * itemsize \
+        + 2 * bq * c * itemsize
 
 
 def fused_attention_packed_supported(q_shape, kv_len: int, heads: int,
@@ -336,6 +367,7 @@ def _packed_call(
     itemsize = jnp.dtype(q.dtype).itemsize
     bq = _pick_block_q_packed(tq, s, c, b, itemsize)
     assert bq > 0, f"unsupported packed attention shape {q.shape} x {k.shape}"
+    oversize = _packed_working_set(bq, s, c, itemsize) > _VMEM_BUDGET
     q = q * jnp.asarray(scale, q.dtype)
 
     def spec(block, index_map):
@@ -347,7 +379,8 @@ def _packed_call(
         functools.partial(_attn_kernel_packed, heads=heads),
         grid=(b, tq // bq),
         compiler_params=(None if interpret
-                         else _compiler_params(b, c // heads, itemsize)),
+                         else _compiler_params(b, c // heads, itemsize,
+                                               oversize)),
         in_specs=[
             spec((1, bq, c), lambda bi, j: (bi, j, 0)),
             spec((1, s, c), lambda bi, j: (bi, 0, 0)),

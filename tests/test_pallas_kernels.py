@@ -219,6 +219,31 @@ class TestFusedAttention:
         assert fused_attention_packed_supported((2, 1024, 640), 1024, 8, jnp.bfloat16)
         assert not fused_attention_packed_supported((2, 100, 320), 100, 8, jnp.bfloat16)
 
+    def test_packed_big_s_tier(self):
+        """768^2 latents (S=9216, C=320): the K/V slab alone (11.8M) busts
+        the standard 14M budget, but the bf16 big tier admits bq=128 under
+        the raised scoped limit (measured 46.3 ms vs the split fallback's
+        76.5 ms on v5e, bit-identical output). f32 at the same shape keeps
+        the round-3 split fallback (the big tier is bf16-only), and 1024^2
+        hires (S=16384, K/V 21M) stays out of the big tier too."""
+        from stablediffusioneo_tpu.ops.pallas.attention import (
+            _VMEM_BUDGET, _packed_working_set, _pick_block_q_packed,
+            fused_attention_packed_supported,
+        )
+
+        assert _pick_block_q_packed(9216, 9216, 320, 8, 2) == 128
+        assert fused_attention_packed_supported(
+            (8, 9216, 320), 9216, 8, jnp.bfloat16)
+        # the site is flagged oversize -> raised compiler limit at any batch
+        assert _packed_working_set(128, 9216, 320, 2) > _VMEM_BUDGET
+        # f32 is excluded from the big tier
+        assert _pick_block_q_packed(9216, 9216, 320, 8, 4) == 0
+        # 16384-token hires stays split (never measured under the big tier)
+        assert _pick_block_q_packed(16384, 16384, 320, 2, 2) == 0
+        # standard-budget shapes keep their existing picks
+        assert _pick_block_q_packed(4096, 4096, 320, 2, 2) == 256
+        assert _pick_block_q_packed(1024, 1024, 640, 2, 2) == 512
+
     def test_block_picking_is_dtype_aware(self):
         """f32 inputs (training-path VJP recompute) must be budgeted at
         4 B/elem: the bf16 block choices stay identical, and the 384^2 f32
