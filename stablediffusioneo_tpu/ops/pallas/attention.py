@@ -144,6 +144,59 @@ def _attn_kernel_packed(q_ref, k_ref, v_ref, o_ref, *, heads: int):
     o_ref[0] = jnp.concatenate(outs, axis=-1)
 
 
+def _attn_kernel_packed_stream(q_ref, k_ref, v_ref, o_ref,
+                               acc_ref, m_ref, l_ref, *, heads: int):
+    """K-blocked online-softmax (flash) form of the packed kernel, for
+    self-attention whose full K/V slab cannot live in VMEM (1024² hires:
+    S=16384, C=320 → 21M of K+V). Grid (B, Tq/bq, S/bk) with the K dim
+    innermost; the classic flash recurrence carries per-head running
+    (rowmax m, denom l) and the unnormalized accumulator across K blocks
+    in VMEM scratch. Heads stay unrolled over column slices exactly like
+    _attn_kernel_packed, so the (B, T, C) layout never leaves the kernel.
+    Same fp32-softmax island; normalization happens once at the last K
+    block (divide over (bq, C), not per block)."""
+    jk = pl.program_id(2)
+    nk = pl.num_programs(2)
+    q = q_ref[0]  # (bq, C) — scale pre-applied by the caller
+    k = k_ref[0]  # (bk, C)
+    v = v_ref[0]
+    c = q.shape[-1]
+    d = c // heads
+
+    @pl.when(jk == 0)
+    def _init():
+        # -1e30, not -inf: a fresh row does exp(m_old - m_new) and
+        # -inf - finite = -inf is fine, but -inf - (-inf) = nan would
+        # poison the accumulator if a block's logits ever hit -inf.
+        m_ref[...] = jnp.full_like(m_ref[...], -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref[...])
+        acc_ref[...] = jnp.zeros_like(acc_ref[...])
+
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        logits = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, bk) fp32 in VMEM
+        m_old = m_ref[h]                                   # (bq,)
+        m_new = jnp.maximum(m_old, jnp.max(logits, axis=-1))
+        alpha = jnp.exp(m_old - m_new)                     # (bq,)
+        p = jnp.exp(logits - m_new[:, None])
+        m_ref[h] = m_new
+        l_ref[h] = l_ref[h] * alpha + jnp.sum(p, axis=-1)
+        pv = jnp.dot(p.astype(v.dtype), v[:, sl],
+                     preferred_element_type=jnp.float32)
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha[:, None] + pv
+
+    @pl.when(jk == nk - 1)
+    def _finish():
+        outs = [
+            (acc_ref[:, h * d:(h + 1) * d] / l_ref[h][:, None])
+            for h in range(heads)
+        ]
+        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
 def _pick_block_q_packed(tq: int, s: int, c: int, batch: int = 1,
                          itemsize: int = 2) -> int:
     # K+V slabs are full-C here; logits/p buffers are per-head (bq, S).
@@ -192,6 +245,29 @@ def _packed_working_set(bq: int, s: int, c: int, itemsize: int) -> int:
         + 2 * bq * c * itemsize
 
 
+def _pick_blocks_stream(tq: int, s: int, c: int, itemsize: int):
+    """(bq, bk) for the K-blocked streaming kernel, or None.
+
+    The streaming kernel exists for shapes whose FULL K/V slab cannot live
+    in VMEM at all (1024² hires: S=16384, C=320 → 21M of K+V; Mosaic needs
+    a >100M scoped limit for the full-slab kernel there, nearly all of the
+    chip's 128M). bf16-only: the f32 path (training VJP recompute) never
+    reaches these token counts in practice and stays on the XLA fallback.
+    Block choice is measured on v5e at (B=2, T=S=16384, C=320, H=8) — see
+    docs/xplane_768.md round-4 addendum; the working set per grid step is
+    tiny (q/out tiles + one (bk, C) K/V block + per-head (bq, bk) logits),
+    so the standard compiler limit suffices."""
+    if itemsize != 2:
+        return None
+    for bq in (256, 512, 128):
+        if tq % bq:
+            continue
+        for bk in (2048, 1024, 512):
+            if s % bk == 0:
+                return bq, bk
+    return None
+
+
 def fused_attention_packed_supported(q_shape, kv_len: int, heads: int,
                                      dtype) -> bool:
     if not _HAS_PLTPU or len(q_shape) != 3:
@@ -199,8 +275,12 @@ def fused_attention_packed_supported(q_shape, kv_len: int, heads: int,
     b, tq, c = q_shape
     if tq % 128 or c % heads:
         return False
-    return _pick_block_q_packed(tq, kv_len, c, b,
-                                jnp.dtype(dtype).itemsize) > 0
+    itemsize = jnp.dtype(dtype).itemsize
+    if _pick_block_q_packed(tq, kv_len, c, b, itemsize) > 0:
+        return True
+    # self-attention beyond full-K/V-in-VMEM capacity: streaming kernel
+    return (tq == kv_len
+            and _pick_blocks_stream(tq, kv_len, c, itemsize) is not None)
 
 
 def fused_attention_packed(
@@ -366,8 +446,19 @@ def _packed_call(
     s = k.shape[1]
     itemsize = jnp.dtype(q.dtype).itemsize
     bq = _pick_block_q_packed(tq, s, c, b, itemsize)
-    assert bq > 0, f"unsupported packed attention shape {q.shape} x {k.shape}"
-    oversize = _packed_working_set(bq, s, c, itemsize) > _VMEM_BUDGET
+    if bq <= 0:
+        blocks = _pick_blocks_stream(tq, s, c, itemsize)
+        assert tq == s and blocks is not None, (
+            f"unsupported packed attention shape {q.shape} x {k.shape}")
+        return _packed_stream_call(q, k, v, heads, scale, blocks, interpret)
+    # d=160 long-S self-attention (1024² hires level-2: bq=512, s=1024,
+    # c=1280, h=8) measured a Mosaic stack of 18.38M vs this naive
+    # model's 11.0M — per-head fp32 staging at d=160 breaks the model,
+    # so the family joins the measured raised-limit keys. It only exists
+    # at >=1024² images (at 512²/768² the d=160 levels sit under the
+    # kernel's 1024-token dispatch gate), so no measured config changes.
+    oversize = (_packed_working_set(bq, s, c, itemsize) > _VMEM_BUDGET
+                or (c // heads == 160 and s >= 1024))
     q = q * jnp.asarray(scale, q.dtype)
 
     def spec(block, index_map):
@@ -388,6 +479,51 @@ def _packed_call(
         ],
         out_specs=spec((1, bq, c), lambda bi, j: (bi, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, tq, c), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _packed_stream_call(q, k, v, heads, scale, blocks, interpret=False):
+    b, tq, c = q.shape
+    s = k.shape[1]
+    bq, bk = blocks
+    q = q * jnp.asarray(scale, q.dtype)
+
+    def spec(block, index_map):
+        if _HAS_PLTPU:
+            return pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec(block, index_map)
+
+    assert _HAS_PLTPU  # the pickers never select streaming without pltpu
+    scratch = [
+        pltpu.VMEM((bq, c), jnp.float32),       # unnormalized acc
+        pltpu.VMEM((heads, bq), jnp.float32),   # running rowmax
+        pltpu.VMEM((heads, bq), jnp.float32),   # running denom
+    ]
+    itemsize = jnp.dtype(q.dtype).itemsize
+    # per-step naive working set: per-head logits+p tile, double-buffered
+    # K/V blocks, q/out tiles, fp32 acc scratch
+    ws = (bq * bk * (4 + itemsize) + 4 * bk * c * itemsize
+          + 2 * bq * c * itemsize + 4 * bq * c)
+    params = pltpu.CompilerParams(
+        # B and q-tile dims are embarrassingly parallel; the flash
+        # carry lives along the innermost (K) dim only.
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+        vmem_limit_bytes=(_VMEM_LIMIT if ws > _VMEM_BUDGET else None),
+    )
+
+    return pl.pallas_call(
+        functools.partial(_attn_kernel_packed_stream, heads=heads),
+        grid=(b, tq // bq, s // bk),
+        compiler_params=None if interpret else params,
+        in_specs=[
+            spec((1, bq, c), lambda bi, jq, jk: (bi, jq, 0)),
+            spec((1, bk, c), lambda bi, jq, jk: (bi, jk, 0)),
+            spec((1, bk, c), lambda bi, jq, jk: (bi, jk, 0)),
+        ],
+        out_specs=spec((1, bq, c), lambda bi, jq, jk: (bi, jq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, tq, c), q.dtype),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(q, k, v)
 

@@ -132,6 +132,7 @@ class TestVAELayout:
 
 
 class TestClipGDiffusers:
+    @pytest.mark.slow  # fast-tier budget: needs HF download-free transformers; 6 other diffusers tests stay fast
     def test_pooled_parity_vs_hf(self, rng):
         """text_encoder_2 (CLIPTextModelWithProjection) -> clip_g tree:
         projected pooled output must match HF's text_embeds."""

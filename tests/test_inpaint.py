@@ -60,6 +60,7 @@ class TestInpaintScan:
                                inpaint_latent=lat, inpaint_mask=zeros)
         np.testing.assert_array_equal(np.asarray(inp), np.asarray(lat))
 
+    @pytest.mark.slow  # fast-tier budget: all-zeros + all-ones cover the invariants
     def test_mixed_mask_keeps_and_regenerates(self, setup):
         up, cp, sched, args, lat = setup
         plain = np.asarray(

@@ -71,6 +71,7 @@ class TestUNetParity:
         out = np.asarray(unet_apply(params, CFG.unet, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx)))
         np.testing.assert_allclose(out, nhwc(ref), rtol=RTOL, atol=ATOL)
 
+    @pytest.mark.slow  # fast-tier budget: covered at fast tier by test_full_topology_parity controlled_unet
     def test_forward_with_control(self, rng, torch_unet, torch_controlnet):
         """Full ControlledUnet path incl. control skip additions (cldm.py:22-45)."""
         uparams = convert_unet(state_dict_numpy(torch_unet), CFG.unet, prefix="")
@@ -135,6 +136,7 @@ class TestControlNetParity:
 
 
 class TestVAEParity:
+    @pytest.mark.slow  # fast-tier budget: covered at fast tier by TestVAEFullTopology
     def test_encode_decode(self, rng):
         torch.manual_seed(2)
         tv = TorchVAE(CFG.vae).eval()

@@ -238,11 +238,56 @@ class TestFusedAttention:
         assert _packed_working_set(128, 9216, 320, 2) > _VMEM_BUDGET
         # f32 is excluded from the big tier
         assert _pick_block_q_packed(9216, 9216, 320, 8, 4) == 0
-        # 16384-token hires stays split (never measured under the big tier)
+        # 16384-token hires is beyond full-K/V capacity (goes to the
+        # streaming kernel instead, below)
         assert _pick_block_q_packed(16384, 16384, 320, 2, 2) == 0
         # standard-budget shapes keep their existing picks
         assert _pick_block_q_packed(4096, 4096, 320, 2, 2) == 256
         assert _pick_block_q_packed(1024, 1024, 640, 2, 2) == 512
+
+    def test_stream_picker_and_support(self):
+        """1024² hires (S=16384, C=320): the full K/V slab (21M) cannot
+        live in VMEM at any tier (Mosaic needed a >100M scoped limit of
+        the chip's 128M), and the XLA fallback OOMs HBM outright (16G of
+        fp32 logits at CFG batch-2). The K-blocked streaming kernel is
+        the only viable path — measured 51 ms/call on v5e vs 146 ms for
+        a chunked-XLA scan reference (the full-K/V form at a 110M limit
+        ran 39 ms but leaves no VMEM for anything else)."""
+        from stablediffusioneo_tpu.ops.pallas.attention import (
+            _pick_blocks_stream, fused_attention_packed_supported,
+        )
+
+        blocks = _pick_blocks_stream(16384, 16384, 320, 2)
+        assert blocks is not None and blocks[0] % 128 == 0 \
+            and 16384 % blocks[1] == 0
+        assert fused_attention_packed_supported(
+            (2, 16384, 320), 16384, 8, jnp.bfloat16)
+        # f32 (training VJP) never streams — unmeasured path
+        assert _pick_blocks_stream(16384, 16384, 320, 4) is None
+        # hires cross-attention (kv=77) still fits the full-K/V kernel
+        assert fused_attention_packed_supported(
+            (2, 16384, 320), 77, 8, jnp.bfloat16)
+
+    def test_stream_interpret_parity(self):
+        """Streaming (online-softmax) kernel vs the XLA reference math at
+        a multi-block shape: the flash recurrence must be numerically
+        equivalent to one-shot softmax within bf16 tolerance."""
+        from stablediffusioneo_tpu.ops.pallas.attention import (
+            _packed_math, _packed_stream_call,
+        )
+
+        B, T, C, H = 2, 384, 320, 8
+        rng = np.random.default_rng(7)
+        q = jnp.asarray(rng.standard_normal((B, T, C)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((B, T, C)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, T, C)), jnp.bfloat16)
+        scale = (C // H) ** -0.5
+        out = _packed_stream_call(q, k, v, H, scale, (128, 128),
+                                  interpret=True)
+        ref = _packed_math(q, k, v, H, scale)
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                    - ref.astype(jnp.float32))))
+        assert err < 0.05, err
 
     def test_block_picking_is_dtype_aware(self):
         """f32 inputs (training-path VJP recompute) must be budgeted at

@@ -171,6 +171,7 @@ class TestDiffusionServer:
             frac_off = (np.abs(ref - got) > 1).mean()
             assert frac_off < 0.02, f"serving diverged from process(): {frac_off}"
 
+    @pytest.mark.slow  # fast-tier budget: feature has faster fast-tier coverage
     def test_euler_a_batch_composition_reproducibility(self, tiny_server):
         """euler-a's ancestral noise rides the per-request seeds variant:
         a request's output must match batch-1 serving and process() no
@@ -201,6 +202,7 @@ class TestDiffusionServer:
             assert frac_off < 0.02, (
                 f"euler-a batched row diverged from {tag}: {frac_off}")
 
+    @pytest.mark.slow  # fast-tier budget: feature has faster fast-tier coverage
     def test_eta_batch_composition_reproducibility(self, tiny_server):
         """eta > 0: a request's output must be identical whether it was cut
         into a batch-4 or served alone — each row's x_T AND in-loop noise
@@ -256,6 +258,7 @@ class TestDiffusionServer:
             assert im.dtype == np.uint8
         assert server.stats.batches - b0 == 2
 
+    @pytest.mark.slow  # fast-tier budget: feature has faster fast-tier coverage
     def test_cfg_rescale_groups_apart_and_matches_process(self, tiny_server):
         """cfg_rescale is static per engine variant: distinct values must
         not co-batch, and the serving output must match process() with the
@@ -286,6 +289,7 @@ class TestDiffusionServer:
             assert frac_off < 0.02, \
                 f"serving cfg_rescale diverged from process(): {frac_off}"
 
+    @pytest.mark.slow  # fast-tier budget: feature has faster fast-tier coverage
     def test_tome_groups_apart_and_matches_process(self, tiny_server):
         """tome_ratio is static per engine variant: distinct values must
         not co-batch, and serving must match process() per request.
@@ -315,6 +319,7 @@ class TestDiffusionServer:
             assert frac_off < 0.02, \
                 f"serving tome diverged from process(): {frac_off}"
 
+    @pytest.mark.slow  # fast-tier budget: resolution bucketing also covered by engine-bucket tests
     def test_mixed_resolutions_route_to_separate_groups(self, tiny_server):
         """Requests at different resolutions form different compatibility
         groups (different engine buckets) and both complete."""
@@ -335,6 +340,7 @@ class TestDiffusionServer:
         assert outs[1][1].shape == (128, 128, 3)
         assert server.stats.batches - b0 == 2  # never co-batched
 
+    @pytest.mark.slow  # fast-tier budget: feature has faster fast-tier coverage
     def test_inpaint_requests_batch_and_match_process(self, tiny_server):
         """Inpaint requests form their own group (engine variant), batch
         together, and reproduce the single-request process() path (both
@@ -395,6 +401,7 @@ class TestDiffusionServer:
                                - im.astype(np.int16)) > 1).mean()
             assert frac_off < 0.02, f"emphasis serving diverged: {frac_off}"
 
+    @pytest.mark.slow  # fast-tier budget: feature has faster fast-tier coverage
     def test_img2img_requests_batch_and_match_process(self, tiny_server):
         """img2img requests with the same t_enc batch together (per-request
         seeds ride the img2img-seeds engine variant) and reproduce the
@@ -575,6 +582,7 @@ class TestDiffusionServer:
 
 
 class TestLongPromptServing:
+    @pytest.mark.slow  # fast-tier budget: feature has faster fast-tier coverage
     def test_long_prompt_matches_process_and_groups_apart(self, tiny_server):
         """A >77-token prompt through serving (windowed encoder) matches
         process(long_prompt=...) and never co-batches with truncated
