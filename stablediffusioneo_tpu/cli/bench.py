@@ -354,6 +354,41 @@ def _bench_annotators(pipe, resolution, steps):
     }
 
 
+def _bench_hires(pipe, resolution, steps, iters):
+    # Two-pass hires fix (beyond the reference; the A1111 recipe): base
+    # pass at `resolution`, bilinear 2x latent upscale, img2img refine at
+    # 2x with a FRESH annotation. First runnable in round 4 — the refine
+    # leg's S=(2*res/8)^2 self-attention needs the streaming flash kernel
+    # (docs/xplane_768.md round-4 addendum). Standalone mode only (not in
+    # the tracked table): BENCH_MODE=hires python bench.py
+    import numpy as np
+
+    rng = np.random.default_rng(2946901)
+    res = resolution
+    img = (rng.random((res, res, 3)) * 255).astype(np.uint8)
+    kw = dict(num_samples=1, image_resolution=res, ddim_steps=steps,
+              seed=2946901, hires_upscale=2.0, hires_denoise=0.5)
+    t0 = time.perf_counter()
+    pipe.process(img, "a bird", **kw)
+    log(f"[hires {res}->{2*res}] warmup (incl. compile): "
+        f"{time.perf_counter()-t0:.1f}s")
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        pipe.process(img, "a bird", **kw)
+        times.append(time.perf_counter() - t0)
+        log(f"[hires] iter {i}: {times[-1]*1e3:.0f} ms  {pipe.last_timings}")
+    p50 = float(np.median(times))
+    return {
+        "metric": f"canny2image_hires_{res}to{2*res}_{steps}step_bf16_p50_s",
+        "value": round(p50, 4),
+        "unit": "s",
+        # same 2 s/img north star the flagship row uses (the reference
+        # has no hires path to compare against)
+        "vs_baseline": round(2.0 / p50, 3),
+    }
+
+
 def _bench_serving(pipe, resolution, steps):
     import numpy as np
 
@@ -540,12 +575,15 @@ def main():
         one full process() per annotator family
       yolo       — tracked config 5: YOLOv5 1120^2 e2e (pre+net+post)
       train      — ControlNet fine-tune steps/s (BENCH_TRAIN_BATCH, 256^2)
+      hires      — two-pass hires fix, BENCH_RESOLUTION -> 2x (beyond the
+        reference; NOT in the tracked table — the 1024² refine leg needs
+        the S=16384 streaming attention kernel, docs/xplane_768.md)
     """
     mode = os.environ.get("BENCH_MODE", "default")
     resolution = int(os.environ.get("BENCH_RESOLUTION", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     iters = int(os.environ.get(
-        "BENCH_ITERS", "3" if mode == "multires" else "5"))
+        "BENCH_ITERS", "3" if mode in ("multires", "hires") else "5"))
     # BASELINE.json tracked config 3 is literally "batch 4 with 384/512/768
     # shape buckets" — multires therefore defaults to batch 4
     batch = int(os.environ.get(
@@ -641,6 +679,11 @@ def main():
 
     if mode == "serving":
         print(json.dumps(_bench_serving(pipe, resolution, steps)),
+              flush=True)
+        return
+
+    if mode == "hires":
+        print(json.dumps(_bench_hires(pipe, resolution, steps, iters)),
               flush=True)
         return
 

@@ -254,15 +254,21 @@ def _pick_blocks_stream(tq: int, s: int, c: int, itemsize: int):
     chip's 128M). bf16-only: the f32 path (training VJP recompute) never
     reaches these token counts in practice and stays on the XLA fallback.
     Block choice is measured on v5e at (B=2, T=S=16384, C=320, H=8) — see
-    docs/xplane_768.md round-4 addendum; the working set per grid step is
-    tiny (q/out tiles + one (bk, C) K/V block + per-head (bq, bk) logits),
-    so the standard compiler limit suffices."""
+    docs/xplane_768.md round-4 addendum. Sweep (ms/call): (256,4096) 50.0,
+    (512,2048) 50.0, (128,2048) 51.7, (256,2048) 52.5, (512,4096) 52.5,
+    (512,1024) 56.8, (256,1024) 64.9. Of the two winners, (512,2048)'s
+    Mosaic stack fits standalone but OOMs inside the full e2e program
+    (22.86M vs a 20.5M scoped limit — its 12.8M naive estimate stays
+    under the 14M threshold, so the raised limit never kicks in);
+    (256,4096)'s 17.5M estimate exceeds the threshold, so its call sites
+    always carry the raised 64M limit and it compiles everywhere —
+    that's the pick."""
     if itemsize != 2:
         return None
     for bq in (256, 512, 128):
         if tq % bq:
             continue
-        for bk in (2048, 1024, 512):
+        for bk in (4096, 2048, 1024, 512):
             if s % bk == 0:
                 return bq, bk
     return None
