@@ -9,6 +9,8 @@ elsewhere; override with set_kernels(...) or SDEO_DISABLE_PALLAS=1.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 from typing import Dict
 
@@ -27,7 +29,48 @@ _FLAGS: Dict[str, bool] = {
     # int8 weight-only linears: Pallas fused dequant-matmul kernel for
     # params converted via quantize_linear_tree (off = XLA dequant+matmul)
     "int8_linear": os.environ.get("SDEO_INT8_PALLAS", "0") == "1",
+    # partition-aware attention: wrap the Pallas attention kernels in
+    # jax.custom_partitioning so GSPMD/shardy can shard them over a mesh
+    # (batch->dp, heads->tp, query tokens->sp) instead of treating the
+    # pallas_call as an opaque custom call that forces replication. OFF on
+    # the single-chip path (the wrapper is pure overhead there); mesh
+    # engines enable it contextually via spmd_attention_scope.
+    "spmd_attention": os.environ.get("SDEO_SPMD_ATTN", "0") == "1",
 }
+
+# Contextual override for spmd_attention, set by mesh engines around
+# TRACING (jit body execution) so concurrent single-chip engines in the
+# same process keep the plain kernel path. contextvars (not a bare global)
+# because serving compiles engines from worker threads.
+_SPMD_CTX: contextvars.ContextVar = contextvars.ContextVar(
+    "sdeo_spmd_attention", default=None)
+
+
+def spmd_partitioning_enabled() -> bool:
+    """True when attention kernels should lower via custom_partitioning.
+    Contextual scope (mesh engines) wins over the global flag."""
+    ctx = _SPMD_CTX.get()
+    if ctx is not None:
+        return bool(ctx)
+    return _FLAGS["spmd_attention"]
+
+
+@contextlib.contextmanager
+def spmd_attention_scope(enabled: bool = True):
+    """Scope the partition-aware attention lowering to one trace. Wrap the
+    BODY of a to-be-jitted function (trace-time state), not the jit call."""
+    tok = _SPMD_CTX.set(bool(enabled))
+    try:
+        yield
+    finally:
+        _SPMD_CTX.reset(tok)
+
+
+def pallas_interpret_default() -> bool:
+    """Default `interpret` for Pallas entry points: SDEO_PALLAS_INTERPRET=1
+    forces interpret mode so the REAL kernel code paths run on the virtual
+    CPU mesh (multichip tests / dryrun) where no TPU exists."""
+    return os.environ.get("SDEO_PALLAS_INTERPRET", "0") == "1"
 
 
 def remat_enabled() -> bool:
@@ -42,5 +85,9 @@ def set_kernels(**kwargs: bool) -> None:
 
 
 def kernels_enabled(name: str) -> bool:
-    """True when the Pallas path should be used for `name` (TPU only)."""
-    return _FLAGS.get(name, False) and jax.default_backend() == "tpu"
+    """True when the Pallas path should be used for `name` (TPU, or any
+    backend under SDEO_PALLAS_INTERPRET=1 — the kernels then run in Pallas
+    interpret mode, used by the virtual-CPU-mesh multichip validation)."""
+    if not _FLAGS.get(name, False):
+        return False
+    return jax.default_backend() == "tpu" or pallas_interpret_default()

@@ -26,10 +26,13 @@ Supported when S*d and block_q*S fit the VMEM budget (true for SD up to
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from stablediffusioneo_tpu.ops.layers import mm_precision
 
@@ -295,7 +298,8 @@ def fused_attention_packed(
     v: jax.Array,
     heads: int,
     scale: float,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
+    spmd: Optional[bool] = None,
 ) -> jax.Array:
     """Head-packed layout: q (B, Tq, H*D), k/v (B, Tk, H*D) -> (B, Tq, H*D).
 
@@ -309,13 +313,29 @@ def fused_attention_packed(
     Differentiable: reverse-mode uses a custom VJP whose backward is the
     gradient of the mathematically-identical XLA attention (recompute
     form) — the Pallas forward has no native autodiff rule, and without
-    this, training at >=1024 latent tokens fails to trace."""
-    return _packed_vjp(q, k, v, heads, float(scale), bool(interpret))
+    this, training at >=1024 latent tokens fails to trace.
+
+    spmd (None = dispatch flag/scope): lower via custom_partitioning so
+    GSPMD/shardy shard the kernel over a mesh — batch stays dp-sharded,
+    heads tp-sharded (per-shard head slice), query tokens sp-shardable;
+    K/V sequence is gathered (replicated) per the attention math. Resolved
+    at TRACE time; mesh engines enable it via spmd_attention_scope."""
+    from stablediffusioneo_tpu.ops.dispatch import (
+        pallas_interpret_default,
+        spmd_partitioning_enabled,
+    )
+
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    if spmd is None:
+        spmd = spmd_partitioning_enabled()
+    return _packed_vjp(q, k, v, heads, float(scale), bool(interpret),
+                       bool(spmd))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _packed_vjp(q, k, v, heads, scale, interpret):
-    return _packed_call(q, k, v, heads, scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _packed_vjp(q, k, v, heads, scale, interpret, spmd):
+    return _packed_call(q, k, v, heads, scale, interpret, spmd)
 
 
 # KV lengths up to this use the plain one-shot XLA backward; beyond it the
@@ -410,8 +430,8 @@ def _packed_math(q, k, v, heads, scale):
     return out.astype(q.dtype).reshape(b, tq, c)
 
 
-def _packed_fwd(q, k, v, heads, scale, interpret):
-    out = _packed_call(q, k, v, heads, scale, interpret)
+def _packed_fwd(q, k, v, heads, scale, interpret, spmd):
+    out = _packed_call(q, k, v, heads, scale, interpret, spmd)
     return out, (q, k, v, out)
 
 
@@ -420,7 +440,9 @@ def _split_heads(x, heads):
     return x.reshape(b, t, heads, c // heads).transpose(0, 2, 1, 3)
 
 
-def _packed_bwd(heads, scale, interpret, res, g):
+def _packed_bwd(heads, scale, interpret, spmd, res, g):
+    # backward is XLA math (recompute form) — GSPMD partitions it natively,
+    # so the spmd flag only affects the forward lowering
     q, k, v, out = res
     s = k.shape[1]
     if s > _BWD_CHUNK_THRESHOLD and s % _BWD_CHUNK == 0:
@@ -439,8 +461,138 @@ def _packed_bwd(heads, scale, interpret, res, g):
 _packed_vjp.defvjp(_packed_fwd, _packed_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "scale", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("heads", "scale", "interpret", "spmd"))
 def _packed_call(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    scale: float,
+    interpret: bool = False,
+    spmd: bool = False,
+) -> jax.Array:
+    # spmd is STATIC (part of every jit cache key on the path down), so a
+    # mesh-engine trace and a single-chip trace can never alias.
+    if spmd:
+        return _packed_part(q, k, v, heads, scale, interpret)
+    return _packed_impl(q, k, v, heads, scale, interpret)
+
+
+# ------------------------------------------------------ SPMD partitioning
+#
+# pl.pallas_call lowers to an opaque custom call: without a partitioning
+# rule, GSPMD/shardy must fully replicate its operands — on a real
+# multi-chip mesh that all-gathers q/k/v (undoing the Megatron TP sharding
+# of the qkv projections, parallel/mesh.py) and replicates the attention
+# FLOPs on every chip. custom_partitioning teaches the partitioner the
+# kernel's algebra instead:
+#
+#   batch        -> shardable (dp): q tiles are independent per image
+#   query tokens -> shardable (sp): the grid is independent per q tile
+#   channels     -> shardable at head granularity (tp): the kernel slices
+#                   heads by column, so a c-shard IS a head-slice — each
+#                   device runs the same kernel with heads/n_tp heads
+#   K/V sequence -> replicated: every q row attends over all of K
+#
+# The partition callback degrades unsupported suggestions (head-indivisible
+# c shards, <128-token q tiles) back to replicated rather than failing, so
+# any mesh layout compiles; the sharding_rule drives shardy propagation and
+# the callbacks drive the GSPMD lowering.
+
+
+def _nshards(mesh, entry) -> int:
+    if entry is None:
+        return 1
+    names = entry if isinstance(entry, tuple) else (entry,)
+    n = 1
+    for nm in names:
+        n *= mesh.shape[nm]
+    return n
+
+
+def _norm_spec(sharding, ndim):
+    spec = list(getattr(sharding, "spec", None) or ())
+    spec += [None] * (ndim - len(spec))
+    return spec[:ndim]
+
+
+def _packed_rule(heads, scale, interpret, mesh, value_types, result_types):
+    del scale, interpret, mesh, result_types
+    c = value_types[0].shape[-1]
+    # need_replication order matters: shardy requires special factors
+    # sorted by factor index (first appearance: b, tq, h, d, s)
+    return ("b tq (h d), b s (h d), b s (h d) -> b tq (h d)",
+            {"need_replication_factors": ("d", "s"),
+             "h": heads, "d": c // heads})
+
+
+def _packed_partition(heads, scale, interpret, mesh, arg_shapes,
+                      result_shape):
+    del result_shape
+    q_a, k_a, _ = arg_shapes
+    b, tq, c = q_a.shape
+    s = k_a.shape[1]
+    itemsize = jnp.dtype(q_a.dtype).itemsize
+    spec = _norm_spec(q_a.sharding, 3)
+
+    def shard_ok(sp):
+        nb, ntq, nc = (_nshards(mesh, sp[0]), _nshards(mesh, sp[1]),
+                       _nshards(mesh, sp[2]))
+        if b % nb or tq % ntq or c % nc or heads % nc:
+            return False
+        ltq, lc, lh = tq // ntq, c // nc, heads // nc
+        if ltq % 128 or lc % lh:
+            return False
+        if _pick_block_q_packed(ltq, s, lc, b // nb, itemsize) > 0:
+            return True
+        return (ltq == s
+                and _pick_blocks_stream(ltq, s, lc, itemsize) is not None)
+
+    # degrade toward replicated until the PER-SHARD shape is supported;
+    # the all-replicated candidate equals the global shape, which the
+    # dispatch layer already vetted via fused_attention_packed_supported
+    for cand in (spec,
+                 [spec[0], None, spec[2]],
+                 [spec[0], spec[1], None],
+                 [spec[0], None, None],
+                 [None, None, None]):
+        if shard_ok(cand):
+            spec = cand
+            break
+    else:
+        raise ValueError(
+            f"packed attention unsupported even replicated: "
+            f"q {(b, tq, c)} x kv_len {s}, heads={heads}")
+
+    lheads = heads // _nshards(mesh, spec[2])
+    q_sh = NamedSharding(mesh, P(*spec))
+    kv_sh = NamedSharding(mesh, P(spec[0], None, spec[2]))
+
+    def lower_fn(q, k, v):
+        return _packed_impl(q, k, v, lheads, scale, interpret)
+
+    return mesh, lower_fn, q_sh, (q_sh, kv_sh, kv_sh)
+
+
+def _packed_infer(heads, scale, interpret, mesh, arg_shapes, result_shape):
+    del heads, scale, interpret, result_shape
+    return NamedSharding(mesh, P(*_norm_spec(arg_shapes[0].sharding, 3)))
+
+
+@functools.partial(custom_partitioning, static_argnums=(3, 4, 5))
+def _packed_part(q, k, v, heads, scale, interpret):
+    return _packed_impl(q, k, v, heads, scale, interpret)
+
+
+_packed_part.def_partition(
+    partition=_packed_partition,
+    infer_sharding_from_operands=_packed_infer,
+    sharding_rule=_packed_rule,
+)
+
+
+def _packed_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
@@ -539,17 +691,29 @@ def fused_attention(
     k: jax.Array,
     v: jax.Array,
     scale: float,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
+    spmd: Optional[bool] = None,
 ) -> jax.Array:
     """q: (B, H, Tq, d), k/v: (B, H, S, d) -> (B, H, Tq, d). No mask
     (SD latent self-attention is unmasked). Differentiable via a custom
-    VJP (XLA-recompute backward, see fused_attention_packed)."""
-    return _split_vjp(q, k, v, float(scale), bool(interpret))
+    VJP (XLA-recompute backward, see fused_attention_packed). spmd: see
+    fused_attention_packed — here batch and heads shard directly (dp/tp),
+    query tokens shard (sp), K/V sequence + head dim replicate."""
+    from stablediffusioneo_tpu.ops.dispatch import (
+        pallas_interpret_default,
+        spmd_partitioning_enabled,
+    )
+
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    if spmd is None:
+        spmd = spmd_partitioning_enabled()
+    return _split_vjp(q, k, v, float(scale), bool(interpret), bool(spmd))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _split_vjp(q, k, v, scale, interpret):
-    return _split_call(q, k, v, scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _split_vjp(q, k, v, scale, interpret, spmd):
+    return _split_call(q, k, v, scale, interpret, spmd)
 
 
 def _split_math(q, k, v, scale):
@@ -562,12 +726,12 @@ def _split_math(q, k, v, scale):
     return out.astype(q.dtype)
 
 
-def _split_fwd(q, k, v, scale, interpret):
-    out = _split_call(q, k, v, scale, interpret)
+def _split_fwd(q, k, v, scale, interpret, spmd):
+    out = _split_call(q, k, v, scale, interpret, spmd)
     return out, (q, k, v, out)
 
 
-def _split_bwd(scale, interpret, res, g):
+def _split_bwd(scale, interpret, spmd, res, g):
     q, k, v, out = res
     s = k.shape[2]
     if s > _BWD_CHUNK_THRESHOLD and s % _BWD_CHUNK == 0:
@@ -580,8 +744,81 @@ def _split_bwd(scale, interpret, res, g):
 _split_vjp.defvjp(_split_fwd, _split_bwd)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "spmd"))
 def _split_call(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    interpret: bool = False,
+    spmd: bool = False,
+) -> jax.Array:
+    if spmd:
+        return _split_part(q, k, v, scale, interpret)
+    return _split_impl(q, k, v, scale, interpret)
+
+
+def _split_rule(scale, interpret, mesh, value_types, result_types):
+    del scale, interpret, mesh, value_types, result_types
+    # sorted by factor index: d first appears before s (see _packed_rule)
+    return ("b h tq d, b h s d, b h s d -> b h tq d",
+            {"need_replication_factors": ("d", "s")})
+
+
+def _split_partition(scale, interpret, mesh, arg_shapes, result_shape):
+    del result_shape
+    q_a, k_a, _ = arg_shapes
+    b, h, tq, d = q_a.shape
+    s = k_a.shape[2]
+    itemsize = jnp.dtype(q_a.dtype).itemsize
+    spec = _norm_spec(q_a.sharding, 4)
+    spec[3] = None  # head dim is the QK^T contraction: never sharded
+
+    def shard_ok(sp):
+        nb, nh, ntq = (_nshards(mesh, sp[0]), _nshards(mesh, sp[1]),
+                       _nshards(mesh, sp[2]))
+        if b % nb or h % nh or tq % ntq or (tq // ntq) % 128:
+            return False
+        return _pick_block_q(tq // ntq, s, d, itemsize) > 0
+
+    for cand in (spec,
+                 [spec[0], spec[1], None, None],
+                 [None, None, None, None]):
+        if shard_ok(cand):
+            spec = cand
+            break
+    else:
+        raise ValueError(
+            f"split attention unsupported even replicated: "
+            f"q {(b, h, tq, d)} x kv_len {s}")
+
+    q_sh = NamedSharding(mesh, P(*spec))
+    kv_sh = NamedSharding(mesh, P(spec[0], spec[1], None, None))
+
+    def lower_fn(q, k, v):
+        return _split_impl(q, k, v, scale, interpret)
+
+    return mesh, lower_fn, q_sh, (q_sh, kv_sh, kv_sh)
+
+
+def _split_infer(scale, interpret, mesh, arg_shapes, result_shape):
+    del scale, interpret, result_shape
+    return NamedSharding(mesh, P(*_norm_spec(arg_shapes[0].sharding, 4)))
+
+
+@functools.partial(custom_partitioning, static_argnums=(3, 4))
+def _split_part(q, k, v, scale, interpret):
+    return _split_impl(q, k, v, scale, interpret)
+
+
+_split_part.def_partition(
+    partition=_split_partition,
+    infer_sharding_from_operands=_split_infer,
+    sharding_rule=_split_rule,
+)
+
+
+def _split_impl(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,

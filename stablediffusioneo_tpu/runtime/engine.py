@@ -70,6 +70,21 @@ def snap_to_bucket(value: int, buckets=DEFAULT_BUCKETS) -> int:
     return sorted(buckets)[-1]
 
 
+def _spmd_traced(fn: Callable) -> Callable:
+    """Wrap a traceable fn so partition-aware Pallas attention lowering is
+    active while its body runs (i.e. while jit traces it)."""
+    import functools
+
+    from stablediffusioneo_tpu.ops.dispatch import spmd_attention_scope
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with spmd_attention_scope(True):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 class Engine:
     """One AOT-compiled executable (the `.plan`+ExecutionContext analog).
 
@@ -84,8 +99,15 @@ class Engine:
         name: str = "engine",
         static_argnums: Tuple[int, ...] = (),
         donate_argnums: Tuple[int, ...] = (),
+        spmd: bool = False,
     ):
         self.name = name
+        if spmd:
+            # Mesh engines: trace with partition-aware Pallas attention
+            # (custom_partitioning) so GSPMD shards the kernels instead of
+            # replicating around opaque custom calls. The scope wraps the
+            # fn BODY — contextvar state is consulted at trace time.
+            fn = _spmd_traced(fn)
         self._jitted = jax.jit(
             fn, static_argnums=static_argnums, donate_argnums=donate_argnums
         )
@@ -493,7 +515,8 @@ class CNSDRuntime:
             img = jnp.clip(img.astype(jnp.float32) * 127.5 + 127.5, 0, 255)
             return img.astype(jnp.uint8)
 
-        eng = Engine(run, name=f"{sampler}+decode_{num_steps}x{batch}x{h}x{w}"
+        eng = Engine(run, spmd=self.mesh is not None,
+                     name=f"{sampler}+decode_{num_steps}x{batch}x{h}x{w}"
                      + ("_guess" if guess_mode else "")
                      + ("_bithint" if hint_u8 == "packed" else "")
                      + (f"_genxT-{gen_xT}" if isinstance(gen_xT, str)
@@ -776,7 +799,8 @@ class CNSDRuntime:
             fn = sfn  # float hints (incl. per-net tuples) pass through
         else:
             fn = self._with_u8_hint(sfn)
-        eng = Engine(fn, name=f"{sampler}_{num_steps}x{batch}x{h}x{w}"
+        eng = Engine(fn, spmd=self.mesh is not None,
+                     name=f"{sampler}_{num_steps}x{batch}x{h}x{w}"
                      + ("_guess" if guess_mode else "")
                      + (f"_ctx{ctx_len}" if ctx_len != self.cfg.clip.max_length
                         else ""),
@@ -828,7 +852,7 @@ class CNSDRuntime:
                 out = clip_text_apply(clip_p, cfg.clip, ids)
             return out.astype(self.dtype)
 
-        eng = Engine(run, name=f"clip_b{batch}"
+        eng = Engine(run, spmd=self.mesh is not None, name=f"clip_b{batch}"
                      + (f"_skip{clip_skip}" if clip_skip > 1 else ""))
         ids = self._abs_data((batch, cfg.clip.max_length), jnp.int32)
         params_abs = self._abs_tree(self.params["clip"])
@@ -850,7 +874,8 @@ class CNSDRuntime:
             return img.astype(jnp.uint8)
 
         # no donation: the latent is tiny and users may decode it twice
-        eng = Engine(run, name=f"decoder_b{batch}_{h}x{w}")
+        eng = Engine(run, spmd=self.mesh is not None,
+                     name=f"decoder_b{batch}_{h}x{w}")
         f = self.cfg.vae.downsample_factor
         z = self._abs_data((batch, h // f, w // f, 4), self.dtype)
         params_abs = self._abs_tree(self.params["vae"])
@@ -882,7 +907,8 @@ class CNSDRuntime:
                 return dist.sample(key) * jnp.asarray(cfg.vae.scale_factor,
                                                       img.dtype)
 
-        eng = Engine(run, name=f"encoder_b{batch}_{h}x{w}"
+        eng = Engine(run, spmd=self.mesh is not None,
+                     name=f"encoder_b{batch}_{h}x{w}"
                      + ("_det" if deterministic else ""))
         img = self._abs_data((batch, h, w, 3), self.dtype)
         params_abs = self._abs_tree(self.params["vae"])
