@@ -10,10 +10,20 @@ shardings on params + batch inputs, let GSPMD insert collectives over ICI.
        heads split over tp (head-count divisible), one psum per block
        riding ICI, inserted automatically by GSPMD from the param
        shardings below.
+  sp — spatial/sequence axis: the latent's H dim (NHWC) shards over sp,
+       and GSPMD propagates it through the whole UNet — convs get halo
+       exchanges (XLA spatial partitioning), GroupNorm moments get
+       cross-shard reductions, and the flatten into transformer tokens
+       carries the shard onto the token dim, where the partition-aware
+       Pallas attention keeps q sharded and gathers only K/V
+       (ops/pallas/attention.py). This is the single-image LATENCY axis:
+       batch-1 CFG work only fills dp=2, so sp puts the remaining chips
+       on one image's pixels. Params are replicated over sp.
 
-Convs stay replicated in round 1 (channel-sharded GroupNorm needs a fused
+Convs stay channel-replicated (channel-sharded GroupNorm needs a fused
 cross-shard moment reduction — a later Pallas optimization); at SD latent
-resolutions attention+MLP dominate the shardable FLOPs.
+resolutions attention+MLP dominate the tp-shardable FLOPs, while sp
+shards conv + norm + attention FLOPs alike.
 """
 
 from __future__ import annotations
@@ -29,16 +39,24 @@ def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
     devices: Optional[Sequence] = None,
+    sp: int = 1,
 ) -> Mesh:
-    """Create a (dp, tp) mesh. dp=None -> all remaining devices."""
+    """Create a (dp, tp) or (dp, sp, tp) mesh. dp=None -> all remaining
+    devices. sp=1 keeps the two-axis mesh (specs/tests stay unchanged);
+    sp>1 inserts the spatial axis BETWEEN dp and tp so tp stays innermost
+    (its per-block psums ride the fastest ICI links)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-        dp = n // tp
-    assert dp * tp <= n, f"mesh {dp}x{tp} > {n} devices"
-    arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        assert n % (tp * sp) == 0, \
+            f"{n} devices not divisible by tp={tp}*sp={sp}"
+        dp = n // (tp * sp)
+    assert dp * sp * tp <= n, f"mesh {dp}x{sp}x{tp} > {n} devices"
+    if sp == 1:
+        arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+        return Mesh(arr, axis_names=("dp", "tp"))
+    arr = np.asarray(devices[: dp * sp * tp]).reshape(dp, sp, tp)
+    return Mesh(arr, axis_names=("dp", "sp", "tp"))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:
@@ -48,6 +66,15 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Shard the leading (batch) dim over dp, replicate the rest."""
     return NamedSharding(mesh, P("dp", *([None] * (ndim - 1))))
+
+
+def latent_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard an NHWC latent/image: batch over dp, H over sp (when the
+    mesh has one). GSPMD propagates the sp shard through the UNet; see
+    the module docstring. ndim<2 (timesteps etc.) falls back to dp-only."""
+    if "sp" not in mesh.shape or ndim < 2:
+        return data_sharding(mesh, ndim)
+    return NamedSharding(mesh, P("dp", "sp", *([None] * (ndim - 2))))
 
 
 # --------------------------------------------------------------- param rules

@@ -931,14 +931,28 @@ class CNSDRuntime:
             return tuple(self._put_batch(v, ndim) for v in x)
         if self.mesh is None:
             return jnp.asarray(x)
-        from stablediffusioneo_tpu.parallel.mesh import data_sharding
-
         nd = ndim if ndim is not None else np.ndim(x)
         b = np.shape(x)[0] if nd else 0
         if nd == 0 or b % self.mesh.shape.get("dp", 1) != 0:
             return self._put_rep(x)
         return jax.device_put(np.asarray(x) if not hasattr(x, "sharding") else x,
-                              data_sharding(self.mesh, nd))
+                              self._io_sharding(np.shape(x)))
+
+    def _io_sharding(self, shape):
+        """Input/abstract-arg sharding: batch over dp always; NHWC spatial
+        inputs (latents, hints, images) additionally shard H over sp when
+        the mesh has the axis and H tiles it — GSPMD propagates the sp
+        shard through the UNet (conv halos, norm moments, token-sharded
+        attention; see parallel/mesh.py). Non-spatial inputs (ids, ctx)
+        and sp-indivisible heights stay dp-only."""
+        from stablediffusioneo_tpu.parallel.mesh import (
+            data_sharding, latent_sharding)
+
+        nd = len(shape)
+        sp = self.mesh.shape.get("sp", 1)
+        if sp > 1 and nd >= 4 and shape[1] % sp == 0:
+            return latent_sharding(self.mesh, nd)
+        return data_sharding(self.mesh, nd)
 
     def _norm_hint(self, hh):
         """Per-net hint element (multi-ControlNet): uint8 maps normalize
@@ -978,13 +992,12 @@ class CNSDRuntime:
                                            sharding=x.sharding), tree)
 
     def _abs_data(self, shape, dtype):
-        """Batch-dp-sharded abstract array (replicated without a mesh)."""
+        """Batch-dp (+ spatial-sp, see _io_sharding) abstract array
+        (replicated without a mesh)."""
         if self.mesh is None:
             return jax.ShapeDtypeStruct(shape, dtype)
-        from stablediffusioneo_tpu.parallel.mesh import data_sharding
-
         return jax.ShapeDtypeStruct(shape, dtype,
-                                    sharding=data_sharding(self.mesh, len(shape)))
+                                    sharding=self._io_sharding(shape))
 
     def _abs_rep(self, shape, dtype):
         if self.mesh is None:
