@@ -105,12 +105,10 @@ def clip_text_apply(
     mask = jnp.asarray(causal)[None, None]
 
     hidden_states = []
+    block = _layer_fn(cfg)
     for p in params["layers"]:
         hidden_states.append(x)
-        h = layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.layer_norm_eps)
-        x = x + _self_attn(p, cfg, h, mask)
-        h = layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], cfg.layer_norm_eps)
-        x = x + linear(_act(cfg)(linear(h, p["fc1"])), p["fc2"])
+        x = block(p, x, mask)
 
     if layer == "penultimate":
         h = hidden_states[-1]
@@ -125,6 +123,60 @@ def clip_text_apply(
     return layer_norm(
         x, params["final_ln"]["g"], params["final_ln"]["b"], cfg.layer_norm_eps
     )
+
+
+def _layer_fn(cfg: CLIPTextConfig):
+    """One pre-LN CLIP block as a pure (params, x, mask) -> x function —
+    the exact body of clip_text_apply's layer loop, shared with the
+    pipeline-parallel path so the two can never drift."""
+    def f(p, x, mask):
+        h = layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.layer_norm_eps)
+        x = x + _self_attn(p, cfg, h, mask)
+        h = layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], cfg.layer_norm_eps)
+        return x + linear(_act(cfg)(linear(h, p["fc1"])), p["fc2"])
+    return f
+
+
+def clip_text_apply_pp(
+    params: dict,
+    cfg: CLIPTextConfig,
+    input_ids: jax.Array,
+    mesh,
+    layer: Optional[str] = None,
+    microbatches: Optional[int] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """clip_text_apply with the transformer stack pipeline-parallel over
+    the mesh's `pp` axis (parallel/pipeline.py — GPipe schedule, stage
+    params sharded over pp, batch over dp). Numerically identical to the
+    sequential path; pp is the scale-out story for towers that outgrow
+    one chip's HBM (OpenCLIP bigG / T5-XXL-class conditioners), not a
+    latency win at SD-1.5 text sizes (the bubble dominates 77-token
+    encodes). params["layers"] may be the usual list or a pre-stacked
+    tree (stack_layer_params) — pre-stack once for repeated calls."""
+    from stablediffusioneo_tpu.parallel.pipeline import (
+        pipeline_apply, stack_layer_params)
+
+    layer = layer or cfg.layer
+    b, t = input_ids.shape
+    x = jnp.take(params["token_embedding"], input_ids, axis=0)
+    x = x + params["position_embedding"][None, :t, :].astype(x.dtype)
+    mask = np.triu(np.full((t, t), MASK_NEG, np.float32), k=1)[None, None]
+
+    stacked = params["layers"]
+    if isinstance(stacked, (list, tuple)):
+        stacked = stack_layer_params(stacked)
+    out, pen = pipeline_apply(
+        _layer_fn(cfg), stacked, x, mesh, extra=(mask,),
+        microbatches=microbatches, capture_last_input=True, remat=remat)
+
+    if layer == "penultimate":
+        return layer_norm(pen, params["final_ln"]["g"],
+                          params["final_ln"]["b"], cfg.layer_norm_eps)
+    if layer == "penultimate_raw":
+        return pen
+    return layer_norm(out, params["final_ln"]["g"],
+                      params["final_ln"]["b"], cfg.layer_norm_eps)
 
 
 def clip_text_apply_with_pooled(
@@ -147,10 +199,7 @@ def clip_text_apply_with_pooled(
         b, t = input_ids.shape
         causal = np.triu(np.full((t, t), MASK_NEG, np.float32), k=1)
         mask = jnp.asarray(causal)[None, None]
-        h = layer_norm(x, p["ln1"]["g"], p["ln1"]["b"], cfg.layer_norm_eps)
-        x = x + _self_attn(p, cfg, h, mask)
-        h = layer_norm(x, p["ln2"]["g"], p["ln2"]["b"], cfg.layer_norm_eps)
-        x = x + linear(_act(cfg)(linear(h, p["fc1"])), p["fc2"])
+        x = _layer_fn(cfg)(p, x, mask)
         last = layer_norm(x, params["final_ln"]["g"], params["final_ln"]["b"],
                           cfg.layer_norm_eps)
     else:

@@ -19,6 +19,12 @@ shardings on params + batch inputs, let GSPMD insert collectives over ICI.
        (ops/pallas/attention.py). This is the single-image LATENCY axis:
        batch-1 CFG work only fills dp=2, so sp puts the remaining chips
        on one image's pixels. Params are replicated over sp.
+  pp — pipeline axis: GPipe stage scheduling for homogeneous transformer
+       stacks (parallel/pipeline.py — explicit shard_map + ppermute; the
+       one axis GSPMD annotations can't express). Used by the
+       conditioner towers (models/clip.py clip_text_apply_pp), NOT the
+       UNet (skip connections make stage cuts carry the whole encoder
+       activation set; dp/tp/sp cover it).
 
 Convs stay channel-replicated (channel-sharded GroupNorm needs a fused
 cross-shard moment reduction — a later Pallas optimization); at SD latent
@@ -40,23 +46,28 @@ def make_mesh(
     tp: int = 1,
     devices: Optional[Sequence] = None,
     sp: int = 1,
+    pp: int = 1,
 ) -> Mesh:
-    """Create a (dp, tp) or (dp, sp, tp) mesh. dp=None -> all remaining
-    devices. sp=1 keeps the two-axis mesh (specs/tests stay unchanged);
-    sp>1 inserts the spatial axis BETWEEN dp and tp so tp stays innermost
-    (its per-block psums ride the fastest ICI links)."""
+    """Create a (dp, tp) / (dp, sp, tp) / (pp, dp[, sp], tp) mesh.
+    dp=None -> all remaining devices. Size-1 extra axes are omitted so
+    existing two-axis specs/tests stay unchanged. Axis order = collective
+    cost order: pp OUTERMOST (point-to-point, once per stage per
+    microbatch — tolerates the slowest links, even DCN), then dp (one
+    grad all-reduce per step), sp, and tp INNERMOST (per-block psums ride
+    the fastest ICI)."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % (tp * sp) == 0, \
-            f"{n} devices not divisible by tp={tp}*sp={sp}"
-        dp = n // (tp * sp)
-    assert dp * sp * tp <= n, f"mesh {dp}x{sp}x{tp} > {n} devices"
-    if sp == 1:
-        arr = np.asarray(devices[: dp * tp]).reshape(dp, tp)
-        return Mesh(arr, axis_names=("dp", "tp"))
-    arr = np.asarray(devices[: dp * sp * tp]).reshape(dp, sp, tp)
-    return Mesh(arr, axis_names=("dp", "sp", "tp"))
+        assert n % (tp * sp * pp) == 0, \
+            f"{n} devices not divisible by tp={tp}*sp={sp}*pp={pp}"
+        dp = n // (tp * sp * pp)
+    assert pp * dp * sp * tp <= n, f"mesh {pp}x{dp}x{sp}x{tp} > {n} devices"
+    dims = [("pp", pp), ("dp", dp), ("sp", sp), ("tp", tp)]
+    keep = [(name, size) for name, size in dims
+            if size > 1 or name in ("dp", "tp")]
+    shape = tuple(size for _, size in keep)
+    arr = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(arr, axis_names=tuple(name for name, _ in keep))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:
