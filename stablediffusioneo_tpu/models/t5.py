@@ -196,14 +196,27 @@ def t5_encode(
         neg = jnp.where(mask[:, None, None, :].astype(bool), 0.0, -1e9)
         bias = bias + neg.astype(jnp.float32)
 
-    def attn(p, h):
-        q = (h @ p["q"]["w"].astype(dtype)).reshape(B, T, H, dk)
-        k = (h @ p["k"]["w"].astype(dtype)).reshape(B, T, H, dk)
-        v = (h @ p["v"]["w"].astype(dtype)).reshape(B, T, H, dk)
+    block = _block_fn(cfg, dtype)
+    for p in params["blocks"]:
+        x = block(p, x, bias)
+    return _rms_norm(x, params["final_norm"]["g"], cfg.layer_norm_eps)
+
+
+def _block_fn(cfg: T5Config, dtype):
+    """One T5 encoder block as a pure (params, x, bias) -> x function —
+    shape-agnostic (batch/seq read from x), shared by the sequential loop
+    above and the pipeline-parallel path so the two can never drift."""
+    H, dk = cfg.num_heads, cfg.d_kv
+
+    def attn(p, h, bias):
+        b, t = h.shape[0], h.shape[1]
+        q = (h @ p["q"]["w"].astype(dtype)).reshape(b, t, H, dk)
+        k = (h @ p["k"]["w"].astype(dtype)).reshape(b, t, H, dk)
+        v = (h @ p["v"]["w"].astype(dtype)).reshape(b, t, H, dk)
         # T5: no 1/sqrt(dk) scaling
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) + bias
         w = jax.nn.softmax(logits, axis=-1).astype(dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, T, H * dk)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, t, H * dk)
         return out @ p["o"]["w"].astype(dtype)
 
     def mlp(p, h):
@@ -211,9 +224,61 @@ def t5_encode(
         hidden = hidden * (h @ p["wi_1"]["w"].astype(dtype))
         return hidden @ p["wo"]["w"].astype(dtype)
 
-    for p in params["blocks"]:
-        x = x + attn(p, _rms_norm(x, p["norm1"]["g"], cfg.layer_norm_eps))
-        x = x + mlp(p, _rms_norm(x, p["norm2"]["g"], cfg.layer_norm_eps))
+    def block(p, x, bias):
+        x = x + attn(p, _rms_norm(x, p["norm1"]["g"], cfg.layer_norm_eps),
+                     bias)
+        return x + mlp(p, _rms_norm(x, p["norm2"]["g"], cfg.layer_norm_eps))
+
+    return block
+
+
+def t5_encode_pp(
+    params: Dict,
+    cfg: T5Config,
+    ids: jax.Array,
+    mesh,
+    mask: Optional[jax.Array] = None,
+    dtype=jnp.float32,
+    microbatches: Optional[int] = None,
+    remat: bool = False,
+) -> jax.Array:
+    """t5_encode with the block stack pipeline-parallel over the mesh's
+    `pp` axis (parallel/pipeline.py). T5-XXL-class encoders (the
+    imagen-style conditioner this tower exists for) outgrow one chip's
+    HBM; stage-sharding the 24-block stack is how they run at all.
+
+    The relative-position bias is the GPipe-subtle part: without a mask
+    it is batch-independent and broadcasts to every stage (`extra`);
+    with a padding mask it is per-sample, so it must be microbatched
+    WITH the activations (`batched_extra` — each stage indexes the
+    microbatch it is working on this tick, not tick-0's).
+
+    params["blocks"] may be the usual list or pre-stacked
+    (parallel.stack_layer_params); numerics match t5_encode."""
+    from stablediffusioneo_tpu.parallel.pipeline import (
+        pipeline_apply, stack_layer_params)
+
+    B, T = ids.shape
+    x = params["token_embedding"][ids].astype(dtype)
+    buckets = jnp.asarray(_rel_pos_buckets(
+        T, T, cfg.relative_attention_num_buckets,
+        cfg.relative_attention_max_distance))
+    bias = params["rel_bias"][buckets].astype(jnp.float32)
+    bias = jnp.transpose(bias, (2, 0, 1))[None]
+    stacked = params["blocks"]
+    if isinstance(stacked, (list, tuple)):
+        stacked = stack_layer_params(stacked)
+    if mask is not None:
+        neg = jnp.where(mask[:, None, None, :].astype(bool), 0.0, -1e9)
+        bias = jnp.broadcast_to(bias + neg.astype(jnp.float32),
+                                (B, *bias.shape[1:]))
+        x = pipeline_apply(_block_fn(cfg, dtype), stacked, x, mesh,
+                           batched_extra=(bias,),
+                           microbatches=microbatches, remat=remat)
+    else:
+        x = pipeline_apply(_block_fn(cfg, dtype), stacked, x, mesh,
+                           extra=(bias,),
+                           microbatches=microbatches, remat=remat)
     return _rms_norm(x, params["final_norm"]["g"], cfg.layer_norm_eps)
 
 

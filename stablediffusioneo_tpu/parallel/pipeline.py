@@ -22,6 +22,13 @@ total ticks M + S - 1, bubble fraction (S-1)/(M+S-1). Stage-local layers
 run under one `lax.scan` (optionally rematerialized), so the whole
 pipeline is a single compiled program — no per-microbatch dispatch.
 
+Side inputs: `extra` entries are whole-tensor broadcast to every layer
+call (attention masks, scales). `batched_extra` entries carry a leading
+batch dim and are microbatched alongside `x` — each stage indexes ITS
+OWN current microbatch (tick t, stage s -> microbatch t - s), which is
+the GPipe subtlety a naive "index extras by t" would get wrong for every
+stage but the first.
+
 Autodiff: everything inside is scan/ppermute/dynamic-slice, so
 `jax.grad` through `pipeline_apply` yields the standard GPipe backward
 (reverse ppermutes) with per-stage parameter grads landing sharded over
@@ -30,7 +37,6 @@ Autodiff: everything inside is scan/ppermute/dynamic-slice, so
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -60,6 +66,7 @@ def pipeline_apply(
     mesh: Mesh,
     *,
     extra: Tuple = (),
+    batched_extra: Tuple = (),
     axis: str = "pp",
     microbatches: Optional[int] = None,
     batch_axis: Optional[str] = "dp",
@@ -68,10 +75,14 @@ def pipeline_apply(
 ):
     """Run `x` through L stacked layers pipelined over the mesh's `axis`.
 
-    layer_fn(p, x, *extra) -> y with y.shape == x.shape (a residual
-    transformer block); `extra` entries are broadcast to every stage
-    unchanged (e.g. an attention mask). `stacked_params` leaves carry a
-    leading L dim (see `stack_layer_params`); L must tile the stage count.
+    layer_fn(p, x, *batched_extra, *extra) -> y with y.shape == x.shape
+    (a residual transformer block). `extra` entries reach every layer
+    call whole (attention masks, scalars); `batched_extra` entries have
+    x's leading batch dim and are microbatched with it (per-sample
+    biases). Both are passed through shard_map as real inputs, so traced
+    values (e.g. a bias computed from params) are fine. `stacked_params`
+    leaves carry a leading L dim (see `stack_layer_params`); L must tile
+    the stage count.
 
     The batch dim of `x` additionally shards over `batch_axis` when the
     mesh has it (pp composes with dp for free — each dp replica runs its
@@ -102,20 +113,30 @@ def pipeline_apply(
     if b_local % M != 0:
         raise ValueError(
             f"local batch {b_local} does not tile {M} microbatches")
+    for e in batched_extra:
+        if int(np.shape(e)[0]) != b_total:
+            raise ValueError(
+                f"batched_extra leading dim {np.shape(e)[0]} != batch "
+                f"{b_total}")
 
     f = jax.checkpoint(layer_fn) if remat else layer_fn
+    nb = len(batched_extra)
 
-    def stage_block(p_local, xin):
+    def stage_block(p_local, xin, bex, rex):
         """All of one stage's layers; also the input to its last layer
         (only the LAST stage's value is the global penultimate)."""
         head = jax.tree.map(lambda a: a[:-1], p_local)
         p_last = jax.tree.map(lambda a: a[-1], p_local)
-        x1, _ = lax.scan(lambda c, p: (f(p, c, *extra), None), xin, head)
-        return f(p_last, x1, *extra), x1
+        x1, _ = lax.scan(
+            lambda c, p: (f(p, c, *bex, *rex), None), xin, head)
+        return f(p_last, x1, *bex, *rex), x1
 
-    def body(p_local, x_local):
+    def body(p_local, x_local, *ex_local):
+        rex = ex_local[nb:]  # replicated extras, whole
         idx = lax.axis_index(axis)
         xm = x_local.reshape(M, b_local // M, *x_local.shape[1:])
+        exm = [e.reshape(M, e.shape[0] // M, *e.shape[1:])
+               for e in ex_local[:nb]]
         zero_mb = jnp.zeros_like(xm[0])
 
         def tick(carry, t):
@@ -123,7 +144,12 @@ def pipeline_apply(
             mb = lax.dynamic_index_in_dim(
                 xm, jnp.clip(t, 0, M - 1), 0, keepdims=False)
             xin = jnp.where(idx == 0, mb, buf)
-            y, pen = stage_block(p_local, xin)
+            # stage s works on microbatch t - s this tick: index ITS
+            # current microbatch of each batched extra
+            ms = jnp.clip(t - idx, 0, M - 1)
+            bex = [lax.dynamic_index_in_dim(e, ms, 0, keepdims=False)
+                   for e in exm]
+            y, pen = stage_block(p_local, xin, bex, rex)
             nxt = lax.ppermute(
                 y, axis, [(i, i + 1) for i in range(S - 1)]
             ) if S > 1 else y
@@ -155,10 +181,11 @@ def pipeline_apply(
     out, pen = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(jax.tree.map(lambda _: pspec, stacked_params), bspec),
+        in_specs=(jax.tree.map(lambda _: pspec, stacked_params), bspec,
+                  *([bspec] * nb), *([P()] * len(extra))),
         out_specs=(bspec, bspec),
         check_vma=False,
-    )(stacked_params, x)
+    )(stacked_params, x, *batched_extra, *jax.tree.map(jnp.asarray, extra))
     return (out, pen) if capture_last_input else out
 
 

@@ -171,6 +171,28 @@ class TestClipPP:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_batched_extra_per_stage_indexing(self):
+        """A per-sample side input must travel with its microbatch: at
+        tick t stage s works on microbatch t-s, so indexing extras by t
+        alone would hand stages>0 the wrong slice. Catch it with a layer
+        that ADDS the per-sample extra (any mis-slice shifts outputs)."""
+        def fn(p, x, e):
+            return jnp.tanh(x @ p["w"]) + e
+
+        d = 8
+        layers = [{"w": jax.random.normal(jax.random.PRNGKey(i), (d, d))
+                   * 0.3} for i in range(4)]
+        x = jax.random.normal(jax.random.PRNGKey(9), (8, 3, d))
+        e = jax.random.normal(jax.random.PRNGKey(10), (8, 3, d))
+        mesh = make_mesh(dp=2, tp=1, pp=4)
+        got = pipeline_apply(fn, stack_layer_params(layers), x, mesh,
+                             batched_extra=(e,), microbatches=2)
+        want = x
+        for p in layers:
+            want = fn(p, want, e)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_clip_pp_prestacked(self, tower):
         params, ids = tower
         mesh = make_mesh(dp=2, tp=1, pp=2)
@@ -178,5 +200,46 @@ class TestClipPP:
         pre["layers"] = stack_layer_params(params["layers"])
         got = clip_text_apply_pp(pre, CFG.clip, ids, mesh)
         want = clip_text_apply(params, CFG.clip, ids)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+class TestT5PP:
+    @pytest.fixture(scope="class")
+    def tower(self):
+        from stablediffusioneo_tpu.models.t5 import init_t5, tiny_t5
+
+        cfg = tiny_t5()
+        params = init_t5(jax.random.PRNGKey(3), cfg)
+        rng = np.random.default_rng(3)
+        ids = rng.integers(0, cfg.vocab_size,
+                           (4, cfg.max_length)).astype(np.int32)
+        return cfg, params, ids
+
+    def test_t5_pp_parity_no_mask(self, tower):
+        from stablediffusioneo_tpu.models.t5 import t5_encode, t5_encode_pp
+
+        cfg, params, ids = tower
+        mesh = make_mesh(dp=2, tp=1, pp=2)
+        got = t5_encode_pp(params, cfg, jnp.asarray(ids), mesh)
+        want = t5_encode(params, cfg, jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_t5_pp_parity_padding_mask(self, tower):
+        """The per-sample bias (mask path) rides batched_extra — wrong
+        per-stage indexing would corrupt every padded row."""
+        from stablediffusioneo_tpu.models.t5 import t5_encode, t5_encode_pp
+
+        cfg, params, ids = tower
+        mask = np.ones_like(ids)
+        mask[0, 5:] = 0
+        mask[2, 9:] = 0
+        mask[3, 2:] = 0
+        mesh = make_mesh(dp=2, tp=1, pp=2)
+        got = t5_encode_pp(params, cfg, jnp.asarray(ids), mesh,
+                           mask=jnp.asarray(mask), microbatches=2)
+        want = t5_encode(params, cfg, jnp.asarray(ids),
+                         mask=jnp.asarray(mask))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
