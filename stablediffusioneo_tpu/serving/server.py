@@ -184,8 +184,19 @@ class DiffusionServer:
         max_wait_ms: float = 25.0,
         max_inflight_batches: int = 2,
         preprocess_workers: int = 4,
+        max_steps: int = 200,
+        max_resolution: int = 1024,
     ):
         self.pipe = pipeline
+        # ddim_steps is the scan LENGTH of the compiled sampler — every
+        # distinct value is a new multi-second engine compile, and
+        # image_resolution picks the shape bucket (arbitrarily large
+        # values compile arbitrarily large programs). Bound both at the
+        # serving boundary so a client sweeping them cannot mint
+        # unbounded compilations (same policy as the cfg_rescale /
+        # tome_ratio grid in submit()).
+        self.max_steps = int(max_steps)
+        self.max_resolution = int(max_resolution)
         self.buckets = tuple(sorted(batch_buckets))
         if self.buckets[0] != 1:
             # without a batch-1 engine a lone request could never dispatch
@@ -333,6 +344,22 @@ class DiffusionServer:
         # range and snap to a 0.05 grid so a client sweeping float values
         # cannot force unbounded compilations (each distinct value would
         # otherwise mint a new 20-step program)
+        if not (1 <= req.ddim_steps <= self.max_steps):
+            raise ValueError(
+                f"ddim_steps must be in [1, {self.max_steps}] (every "
+                f"distinct value compiles a new engine; raise "
+                f"DiffusionServer(max_steps=...) to widen), got "
+                f"{req.ddim_steps}")
+        if not (64 <= req.image_resolution <= self.max_resolution):
+            raise ValueError(
+                f"image_resolution must be in [64, {self.max_resolution}] "
+                f"(shape buckets compile per /64 value; raise "
+                f"DiffusionServer(max_resolution=...) to widen), got "
+                f"{req.image_resolution}")
+        if not (1 <= req.encoder_cache_interval <= req.ddim_steps):
+            raise ValueError(
+                f"encoder_cache_interval must be in [1, ddim_steps], got "
+                f"{req.encoder_cache_interval}")
         if not (0.0 <= req.cfg_rescale <= 1.0):
             raise ValueError(
                 f"cfg_rescale must be in [0, 1], got {req.cfg_rescale}")

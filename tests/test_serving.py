@@ -722,6 +722,34 @@ class TestLongPromptServing:
         # quantization must not mutate the caller's request objects
         assert [r.cfg_rescale for r in reqs] == [0.69, 0.71]
 
+    def test_engine_minting_knobs_bounded(self, tiny_server):
+        """ddim_steps is the compiled scan length and image_resolution the
+        shape bucket — every distinct value is a fresh multi-second
+        compile, so the serving boundary bounds both (DiffusionServer
+        max_steps / max_resolution), and encoder_cache_interval must fit
+        inside the step count."""
+        from stablediffusioneo_tpu.serving import GenRequest
+
+        server, _ = tiny_server
+        with pytest.raises(ValueError, match="ddim_steps"):
+            server.submit(GenRequest(image=_img(95), prompt="x",
+                                     image_resolution=64,
+                                     ddim_steps=server.max_steps + 1))
+        with pytest.raises(ValueError, match="ddim_steps"):
+            server.submit(GenRequest(image=_img(95), prompt="x",
+                                     image_resolution=64, ddim_steps=0))
+        with pytest.raises(ValueError, match="image_resolution"):
+            server.submit(GenRequest(image=_img(96), prompt="x",
+                                     image_resolution=server.max_resolution
+                                     + 64, ddim_steps=2))
+        with pytest.raises(ValueError, match="image_resolution"):
+            server.submit(GenRequest(image=_img(96), prompt="x",
+                                     image_resolution=32, ddim_steps=2))
+        with pytest.raises(ValueError, match="encoder_cache_interval"):
+            server.submit(GenRequest(image=_img(97), prompt="x",
+                                     image_resolution=64, ddim_steps=2,
+                                     encoder_cache_interval=3))
+
     def test_emphasis_long_prompt_conflict_rejected(self, tiny_server):
         from stablediffusioneo_tpu.serving import GenRequest
 
