@@ -133,6 +133,62 @@ def capture_sdxl(outdir: str):
     print("trace written to", outdir, flush=True)
 
 
+def capture_train(outdir: str):
+    """PROFILE_MODE=train: trace one ControlNet fine-tune step (the
+    BENCH_MODE=train workload — forward + flash-attention VJP + AdamW)
+    at PROFILE_RESOLUTION (default 256) x PROFILE_BATCH (default 8)."""
+    import functools
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from stablediffusioneo_tpu.config import sd15_pipeline
+    from stablediffusioneo_tpu.models import init_controlnet, init_unet
+    from stablediffusioneo_tpu.runtime.profiling import _hard_sync
+    from stablediffusioneo_tpu.training.trainer import (
+        create_train_state, make_schedule_buffers, train_step,
+    )
+
+    cfg = sd15_pipeline(dtype="bfloat16")
+    res = int(os.environ.get("PROFILE_RESOLUTION", "256"))
+    b = int(os.environ.get("PROFILE_BATCH", "8"))
+    f = cfg.vae.downsample_factor
+    sh = {
+        "unet": jax.eval_shape(lambda k: init_unet(k, cfg.unet),
+                               jax.random.PRNGKey(0)),
+        "controlnet": jax.eval_shape(
+            lambda k: init_controlnet(k, cfg.controlnet),
+            jax.random.PRNGKey(1)),
+    }
+    params = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), sh))()
+    state, tx = create_train_state(params["controlnet"])
+    sqrt_a, sqrt_1ma = make_schedule_buffers(cfg)
+    step_fn = jax.jit(functools.partial(train_step, tx=tx, cfg=cfg))
+    rng = np.random.default_rng(0)
+    batch = {
+        "x0": rng.standard_normal((b, res // f, res // f, 4), np.float32),
+        "hint": rng.random((b, res, res, 3)).astype(np.float32),
+        "ctx": rng.standard_normal((b, 77, cfg.unet.context_dim),
+                                   np.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    print("warmup (compile)...", flush=True)
+    state, loss = step_fn(state, unet_params=params["unet"],
+                          sqrt_abar=sqrt_a, sqrt_one_minus_abar=sqrt_1ma,
+                          batch=batch, key=key)
+    _hard_sync(loss)
+    print(f"tracing one train step ({res}^2 b{b})...", flush=True)
+    jax.profiler.start_trace(outdir)
+    state, loss = step_fn(state, unet_params=params["unet"],
+                          sqrt_abar=sqrt_a, sqrt_one_minus_abar=sqrt_1ma,
+                          batch=batch, key=key)
+    _hard_sync(loss)
+    jax.profiler.stop_trace()
+    print("trace written to", outdir, flush=True)
+
+
 def _category(name: str) -> str:
     """HLO op name -> coarse category (xprof-style)."""
     base = name.split(".")[0].split("-")[0].lstrip("%")
@@ -220,6 +276,8 @@ if __name__ == "__main__":
     if os.environ.get("PARSE_ONLY") != "1":
         if os.environ.get("PROFILE_FAMILY") == "sdxl":
             capture_sdxl(outdir)
+        elif os.environ.get("PROFILE_MODE") == "train":
+            capture_train(outdir)
         else:
             capture(outdir)
     parse(outdir)
