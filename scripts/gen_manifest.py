@@ -59,6 +59,35 @@ def write_universe(name, keys_shapes):
     }
 
 
+def sdxl_base_universe():
+    """SDXL-base sgm-layout universe from the same mirrors
+    load_sdxl_pipeline's converters are parity-tested against."""
+    from transformers import CLIPTextConfig as HFConfig, CLIPTextModel
+
+    from stablediffusioneo_tpu.models.sdxl import SDXLConfig
+    from test_key_accounting import _openclip_text_mirror
+    from torch_ref import TorchUNet, TorchVAE
+
+    cfg = SDXLConfig()
+    uni = {}
+    for k, s in meta_state_dict(TorchUNet, cfg.unet).items():
+        uni["model.diffusion_model." + k] = s
+    hf_cfg = HFConfig(
+        vocab_size=cfg.clip_l.vocab_size, hidden_size=cfg.clip_l.hidden_size,
+        intermediate_size=cfg.clip_l.intermediate_size,
+        num_hidden_layers=cfg.clip_l.num_layers,
+        num_attention_heads=cfg.clip_l.num_heads,
+        max_position_embeddings=cfg.clip_l.max_length,
+        hidden_act="gelu")
+    for k, s in meta_state_dict(CLIPTextModel, hf_cfg).items():
+        uni["conditioner.embedders.0.transformer." + k] = s
+    for k, s in meta_state_dict(_openclip_text_mirror, cfg.clip_g).items():
+        uni["conditioner.embedders.1.model." + k] = s
+    for k, s in meta_state_dict(TorchVAE, cfg.vae).items():
+        uni["first_stage_model." + k] = s
+    return uni
+
+
 def sd15_canny_universe():
     from transformers import CLIPTextConfig as HFConfig, CLIPTextModel
 
@@ -110,13 +139,42 @@ def main():
         "SD-1.5 + canny ControlNet pipeline (UNet/ControlNet/VAE/CLIP)",
         sd15_canny_universe(), allowed_extra=SD_KNOWN_UNUSED)
 
-    from test_annotators_text import _TorchHED
+    torch_entry(
+        "sdxl_base", "sd_xl_base_1.0.safetensors",
+        "https://huggingface.co/stabilityai/stable-diffusion-xl-base-1.0/"
+        "resolve/main/sd_xl_base_1.0.safetensors",
+        "SDXL-base txt2img pipeline (UNet/CLIP-L/OpenCLIP-bigG/VAE)",
+        sdxl_base_universe(),
+        allowed_extra=list(SD_KNOWN_UNUSED) + [
+            r"conditioner\.embedders\.0\.transformer\..*position_ids",
+            r"conditioner\.embedders\.1\.model\..*attn_mask",
+            r"conditioner\.embedders\.1\.model\..*logit_scale",
+        ])
+
+    # HED universe comes from the PRODUCTION widths (annotators.hed._BLOCKS,
+    # the upstream ControlNetHED_Apache2 64/128/256/512 ladder), not the
+    # tiny test mirror _TorchHED — the r4 manifest shipped the tiny-mirror
+    # shapes and would have rejected the real ControlNetHED.pth download.
+    from stablediffusioneo_tpu.annotators.hed import _BLOCKS as HED_BLOCKS
+
+    def hed_universe():
+        ks = {"norm": (1, 3, 1, 1)}
+        for bi, (cin, cout, n) in enumerate(HED_BLOCKS):
+            base = f"block{bi + 1}"
+            c = cin
+            for i in range(n):
+                ks[f"{base}.convs.{i}.weight"] = (cout, c, 3, 3)
+                ks[f"{base}.convs.{i}.bias"] = (cout,)
+                c = cout
+            ks[f"{base}.projection.weight"] = (1, cout, 1, 1)
+            ks[f"{base}.projection.bias"] = (1,)
+        return ks
 
     torch_entry(
         "hed", "ControlNetHED.pth",
         "https://huggingface.co/lllyasviel/Annotators/resolve/main/"
         "ControlNetHED.pth",
-        "HED soft-edge annotator", meta_state_dict(_TorchHED))
+        "HED soft-edge annotator", hed_universe())
 
     from test_pose_depth_mlsd import (
         _torch_body, _torch_hand, _torch_mlsd_large,

@@ -131,7 +131,31 @@ def main():
                          "then record sha256+size into the manifest")
     ap.add_argument("--manifest", default=None,
                     help="manifest json path (default: the packaged one)")
+    ap.add_argument("--offline-drill", nargs="*", metavar="FAMILY",
+                    help="zero-egress real-weight drill: synthesize "
+                         "FULL-WIDTH state dicts from the packaged key "
+                         "universes, write real .pth/.safetensors files, "
+                         "then run manifest verify -> strict load -> "
+                         "convert -> one inference per family. No FAMILYs "
+                         "= all (sd15 sdxl hed openpose mlsd dpt_hybrid "
+                         "uniformer inception); the diffusion families "
+                         "take minutes of XLA-CPU compile each")
+    ap.add_argument("--drill-res", type=int, default=256,
+                    help="sample resolution for the drill's sd15/sdxl legs")
+    ap.add_argument("--drill-steps", type=int, default=1,
+                    help="sampler steps for the drill's sd15/sdxl legs")
     args = ap.parse_args()
+
+    if args.offline_drill is not None:
+        from stablediffusioneo_tpu.testing.offline_drill import (
+            ALL_FAMILIES, run_drill)
+
+        fams = tuple(args.offline_drill) or ALL_FAMILIES
+        reports = run_drill(fams, res=args.drill_res,
+                            steps=args.drill_steps)
+        print(f"OFFLINE DRILL: PASS ({len(reports)} families: "
+              f"{[r['family'] for r in reports]})")
+        sys.exit(0)
 
     if args.pin_manifest or args.verify_manifest is not None:
         from stablediffusioneo_tpu.checkpoint.manifest import (

@@ -38,7 +38,10 @@ def quantized_linear(x: jax.Array, p: dict) -> jax.Array:
     """Linear layer with int8 weights: {'w_q': (K,N) int8, 'scale': (1,N),
     'b'?: (N,)}. Dispatches to the Pallas fused dequant-matmul on TPU,
     plain XLA dequant+matmul elsewhere. Accepts any leading batch dims."""
-    from stablediffusioneo_tpu.ops.dispatch import kernels_enabled
+    from stablediffusioneo_tpu.ops.dispatch import (
+        kernels_enabled,
+        pallas_interpret_default,
+    )
 
     lead = x.shape[:-1]
     k = x.shape[-1]
@@ -49,7 +52,12 @@ def quantized_linear(x: jax.Array, p: dict) -> jax.Array:
     bn = next((b for b in (512, 256, 128) if n_out % b == 0), None)
     bm = next((b for b in (512, 256, 128, 64, 32, 16, 8) if m % b == 0), None)
     if kernels_enabled("int8_linear") and bm and bm >= 8 and bn:
-        out = quantized_matmul(x2, p["w_q"], p["scale"], block_m=bm, block_n=bn)
+        # interpret follows SDEO_PALLAS_INTERPRET so the kernel runs on
+        # non-TPU backends (kernels_enabled admits them in that mode)
+        out = quantized_matmul(
+            x2, p["w_q"], p["scale"], block_m=bm, block_n=bn,
+            interpret=pallas_interpret_default(),
+        )
     else:
         w = (p["w_q"].astype(jnp.float32) * p["scale"]).astype(x.dtype)
         out = jnp.matmul(x2, w)

@@ -121,6 +121,7 @@ def pipeline_apply(
 
     f = jax.checkpoint(layer_fn) if remat else layer_fn
     nb = len(batched_extra)
+    capture = bool(capture_last_input)  # static: shapes the scan carry
 
     def stage_block(p_local, xin, bex, rex):
         """All of one stage's layers; also the input to its last layer
@@ -163,9 +164,14 @@ def pipeline_apply(
                 return lax.dynamic_update_index_in_dim(
                     bufr, jnp.where(valid, val, old), mcl, 0)
 
-            return (nxt, put(outb, y), put(penb, pen)), None
+            # the penultimate buffer (a second full (M, b, T, D) scratch +
+            # a pp all-reduce below) only exists when the caller asked for
+            # it — T5/toy users don't pay for CLIP's hidden-state capture
+            penb = put(penb, pen) if capture else penb
+            return (nxt, put(outb, y), penb), None
 
-        init = (zero_mb, jnp.zeros_like(xm), jnp.zeros_like(xm))
+        init = (zero_mb, jnp.zeros_like(xm),
+                jnp.zeros_like(xm) if capture else jnp.zeros((), xm.dtype))
         (_, outb, penb), _ = lax.scan(
             tick, init, jnp.arange(M + S - 1))
         # publish the last stage's buffers to every pp peer (tiny for
@@ -173,20 +179,22 @@ def pipeline_apply(
         # caller composes it like any GSPMD array)
         mask = (idx == S - 1).astype(outb.dtype)
         out = lax.psum(outb * mask, axis).reshape(x_local.shape)
+        if not capture:
+            return (out,)
         pen = lax.psum(penb * mask, axis).reshape(x_local.shape)
         return out, pen
 
     bspec = P(batch_axis) if use_dp else P()
     pspec = P(axis)
-    out, pen = jax.shard_map(
+    res = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(jax.tree.map(lambda _: pspec, stacked_params), bspec,
                   *([bspec] * nb), *([P()] * len(extra))),
-        out_specs=(bspec, bspec),
+        out_specs=(bspec, bspec) if capture else (bspec,),
         check_vma=False,
     )(stacked_params, x, *batched_extra, *jax.tree.map(jnp.asarray, extra))
-    return (out, pen) if capture_last_input else out
+    return (res[0], res[1]) if capture else res[0]
 
 
 def pp_stage_sharding(mesh: Mesh, stacked_params, axis: str = "pp"):

@@ -530,19 +530,23 @@ class CNSDRuntime:
         if gen_xT == "seeds":
             lat = self._abs_data((batch,), jnp.int32)
         elif gen_xT in ("img2img", "img2img-seeds"):
-            lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
+            lat = self._abs_data((batch, h // f, w // f, 4), self.dtype,
+                                 spatial=True)
         elif gen_xT:
             lat = self._abs_rep((2,), jnp.uint32)
         else:
-            lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
+            lat = self._abs_data((batch, h // f, w // f, 4), self.dtype,
+                                 spatial=True)
         if hint_u8 == "packed":
             hint = self._abs_data((batch, h, w // 8), jnp.uint8)
         elif hint_u8 == "multi":
-            hint = tuple(self._abs_data((batch, h, w, 3), self.dtype)
+            hint = tuple(self._abs_data((batch, h, w, 3), self.dtype,
+                                        spatial=True)
                          for _ in self.params["controlnet"])
         else:
             hint = self._abs_data((batch, h, w, 3),
-                                  jnp.uint8 if hint_u8 else self.dtype)
+                                  jnp.uint8 if hint_u8 else self.dtype,
+                                  spatial=True)
         ctx = self._abs_data(
             (batch, ctx_len, self.cfg.unet.context_dim), self.dtype)
         scale = self._abs_data((batch,), jnp.float32)
@@ -556,8 +560,10 @@ class CNSDRuntime:
                else self._abs_rep((2,), jnp.uint32))
         extra = ()
         if inpaint:
-            extra = (self._abs_data((batch, h // f, w // f, 4), self.dtype),
-                     self._abs_data((batch, h // f, w // f, 1), self.dtype))
+            extra = (self._abs_data((batch, h // f, w // f, 4), self.dtype,
+                                    spatial=True),
+                     self._abs_data((batch, h // f, w // f, 1), self.dtype,
+                                    spatial=True))
         params_abs = self._abs_tree(
             (self.params["unet"], self.params["controlnet"],
              self.params["vae"]))
@@ -666,27 +672,32 @@ class CNSDRuntime:
             if key is None:
                 key = jax.random.PRNGKey(0)  # ignored by the seeds variant
         elif gen_xT == "img2img-seeds":
-            x_T_arg = self._put_batch(init_latent.astype(self.dtype))
+            x_T_arg = self._put_batch(init_latent.astype(self.dtype),
+                                      spatial=True)
             # per-request seeds ride the KEY slot for this variant
             key = np.asarray(seeds, np.int32)
         elif gen_xT == "img2img":
-            x_T_arg = self._put_batch(init_latent.astype(self.dtype))
+            x_T_arg = self._put_batch(init_latent.astype(self.dtype),
+                                      spatial=True)
         elif gen_xT:
             x_T_arg = self._put_rep(key)  # root key rides the x_T slot
         else:
             if isinstance(x_T, jax.Array) and x_T.dtype == self.dtype:
                 x_T = jnp.copy(x_T)  # donated below; see sample()
-            x_T_arg = self._put_batch(x_T.astype(self.dtype))
+            x_T_arg = self._put_batch(x_T.astype(self.dtype), spatial=True)
         extra = ()
         if inpaint:
-            extra = (self._put_batch(inpaint_latent.astype(self.dtype)),
-                     self._put_batch(inpaint_mask.astype(self.dtype)))
+            extra = (self._put_batch(inpaint_latent.astype(self.dtype),
+                                     spatial=True),
+                     self._put_batch(inpaint_mask.astype(self.dtype),
+                                     spatial=True))
         if hint_u8 == "multi":
-            hint_arg = tuple(self._put_batch(self._norm_hint(hh))
+            hint_arg = tuple(self._put_batch(self._norm_hint(hh),
+                                             spatial=True)
                              for hh in hint)
         else:
             hint_arg = self._put_batch(
-                hint if hint_u8 else hint.astype(self.dtype))
+                hint if hint_u8 else hint.astype(self.dtype), spatial=True)
         return eng(
             self.params["unet"], self.params["controlnet"],
             self.params["vae"], sched,
@@ -808,15 +819,18 @@ class CNSDRuntime:
         sched = self._make_schedule(num_steps, sampler)
         sched_abs = {k: self._abs_rep(v.shape, v.dtype) for k, v in sched.items()}
         f = self.cfg.vae.downsample_factor
-        lat = self._abs_data((batch, h // f, w // f, 4), self.dtype)
+        lat = self._abs_data((batch, h // f, w // f, 4), self.dtype,
+                             spatial=True)
         if hint_u8 == "packed":
             hint = self._abs_data((batch, h, w // 8), jnp.uint8)
         elif hint_u8 == "multi":
-            hint = tuple(self._abs_data((batch, h, w, 3), self.dtype)
+            hint = tuple(self._abs_data((batch, h, w, 3), self.dtype,
+                                        spatial=True)
                          for _ in self.params["controlnet"])
         else:
             hint = self._abs_data((batch, h, w, 3),
-                                  jnp.uint8 if hint_u8 else self.dtype)
+                                  jnp.uint8 if hint_u8 else self.dtype,
+                                  spatial=True)
         ctx = self._abs_data(
             (batch, ctx_len, self.cfg.unet.context_dim), self.dtype
         )
@@ -877,7 +891,8 @@ class CNSDRuntime:
         eng = Engine(run, spmd=self.mesh is not None,
                      name=f"decoder_b{batch}_{h}x{w}")
         f = self.cfg.vae.downsample_factor
-        z = self._abs_data((batch, h // f, w // f, 4), self.dtype)
+        z = self._abs_data((batch, h // f, w // f, 4), self.dtype,
+                           spatial=True)
         params_abs = self._abs_tree(self.params["vae"])
         if self._aot_ready(batch):
             eng.load(params_abs, z)
@@ -910,7 +925,7 @@ class CNSDRuntime:
         eng = Engine(run, spmd=self.mesh is not None,
                      name=f"encoder_b{batch}_{h}x{w}"
                      + ("_det" if deterministic else ""))
-        img = self._abs_data((batch, h, w, 3), self.dtype)
+        img = self._abs_data((batch, h, w, 3), self.dtype, spatial=True)
         params_abs = self._abs_tree(self.params["vae"])
         if self._aot_ready(batch):
             if deterministic:
@@ -922,13 +937,15 @@ class CNSDRuntime:
 
     # ----------------------------------------------------------- user API
 
-    def _put_batch(self, x, ndim=None):
+    def _put_batch(self, x, ndim=None, spatial=False):
         """device_put with dp batch sharding when a mesh is configured.
         Batches that don't tile the dp axis (e.g. a serving batch-1 cut on
         a dp=2 mesh) go in replicated — matching _aot_ready's on-demand-jit
-        fallback for those shapes (GSPMD re-shards inside the program)."""
+        fallback for those shapes (GSPMD re-shards inside the program).
+        spatial=True marks NHWC tensors (latents, hints, images) whose dim 1
+        is image H, eligible for sp sharding (see _io_sharding)."""
         if isinstance(x, tuple):  # per-net containers (multi-ControlNet)
-            return tuple(self._put_batch(v, ndim) for v in x)
+            return tuple(self._put_batch(v, ndim, spatial) for v in x)
         if self.mesh is None:
             return jnp.asarray(x)
         nd = ndim if ndim is not None else np.ndim(x)
@@ -936,21 +953,23 @@ class CNSDRuntime:
         if nd == 0 or b % self.mesh.shape.get("dp", 1) != 0:
             return self._put_rep(x)
         return jax.device_put(np.asarray(x) if not hasattr(x, "sharding") else x,
-                              self._io_sharding(np.shape(x)))
+                              self._io_sharding(np.shape(x), spatial))
 
-    def _io_sharding(self, shape):
+    def _io_sharding(self, shape, spatial=False):
         """Input/abstract-arg sharding: batch over dp always; NHWC spatial
-        inputs (latents, hints, images) additionally shard H over sp when
-        the mesh has the axis and H tiles it — GSPMD propagates the sp
-        shard through the UNet (conv halos, norm moments, token-sharded
-        attention; see parallel/mesh.py). Non-spatial inputs (ids, ctx)
-        and sp-indivisible heights stay dp-only."""
+        inputs (latents, hints, images — the call site says so explicitly
+        via spatial=True, rather than a rank heuristic that would silently
+        sp-shard a non-spatial dim of a future rank-4 input) additionally
+        shard H over sp when the mesh has the axis and H tiles it — GSPMD
+        propagates the sp shard through the UNet (conv halos, norm moments,
+        token-sharded attention; see parallel/mesh.py). Non-spatial inputs
+        (ids, ctx) and sp-indivisible heights stay dp-only."""
         from stablediffusioneo_tpu.parallel.mesh import (
             data_sharding, latent_sharding)
 
         nd = len(shape)
         sp = self.mesh.shape.get("sp", 1)
-        if sp > 1 and nd >= 4 and shape[1] % sp == 0:
+        if spatial and sp > 1 and nd >= 4 and shape[1] % sp == 0:
             return latent_sharding(self.mesh, nd)
         return data_sharding(self.mesh, nd)
 
@@ -991,13 +1010,13 @@ class CNSDRuntime:
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype,
                                            sharding=x.sharding), tree)
 
-    def _abs_data(self, shape, dtype):
-        """Batch-dp (+ spatial-sp, see _io_sharding) abstract array
-        (replicated without a mesh)."""
+    def _abs_data(self, shape, dtype, spatial=False):
+        """Batch-dp (+ spatial-sp when spatial=True, see _io_sharding)
+        abstract array (replicated without a mesh)."""
         if self.mesh is None:
             return jax.ShapeDtypeStruct(shape, dtype)
         return jax.ShapeDtypeStruct(shape, dtype,
-                                    sharding=self._io_sharding(shape))
+                                    sharding=self._io_sharding(shape, spatial))
 
     def _abs_rep(self, shape, dtype):
         if self.mesh is None:
@@ -1111,14 +1130,15 @@ class CNSDRuntime:
         if isinstance(x_T, jax.Array) and x_T.dtype == self.dtype:
             x_T = jnp.copy(x_T)
         if multi:
-            hint_arg = tuple(self._put_batch(self._norm_hint(hh))
+            hint_arg = tuple(self._put_batch(self._norm_hint(hh),
+                                             spatial=True)
                              for hh in hint)
         else:
             hint_arg = self._put_batch(
-                hint if hint_u8 else hint.astype(self.dtype))
+                hint if hint_u8 else hint.astype(self.dtype), spatial=True)
         return eng(
             self.params["unet"], self.params["controlnet"], sched,
-            self._put_batch(x_T.astype(self.dtype)),
+            self._put_batch(x_T.astype(self.dtype), spatial=True),
             hint_arg,
             self._put_batch(ctx_cond.astype(self.dtype)),
             self._put_batch(ctx_uncond.astype(self.dtype)),
@@ -1132,7 +1152,8 @@ class CNSDRuntime:
         b, lh, lw, _ = z.shape
         f = self.cfg.vae.downsample_factor
         eng = self.decoder_engine(b, lh * f, lw * f)
-        return eng(self.params["vae"], self._put_batch(z.astype(self.dtype)))
+        return eng(self.params["vae"],
+                   self._put_batch(z.astype(self.dtype), spatial=True))
 
     def decode_latent(self, z: jax.Array) -> np.ndarray:
         return np.asarray(self.decode_latent_device(z))
@@ -1147,7 +1168,7 @@ class CNSDRuntime:
                              "deterministic=True")
         b, h, w, _ = img.shape
         eng = self.encoder_engine(b, h, w, deterministic=deterministic)
-        img_dev = self._put_batch(img.astype(self.dtype))
+        img_dev = self._put_batch(img.astype(self.dtype), spatial=True)
         if deterministic:
             return eng(self.params["vae"], img_dev)
         return eng(self.params["vae"], img_dev, self._put_rep(key))

@@ -23,7 +23,7 @@ class TestManifestContent:
         assert set(man["artifacts"]) == {
             "control_sd15_canny", "clip_vocab", "clip_merges", "hed",
             "openpose_body", "openpose_hand", "mlsd_large", "dpt_hybrid",
-            "dpt_large", "uniformer", "pt_inception",
+            "dpt_large", "uniformer", "pt_inception", "sdxl_base",
         }
 
     def test_universes_load_and_digests_match(self, man):

@@ -133,10 +133,16 @@ class TestRuntimeSpEngines:
         # _io_sharding reads only self.mesh — no params/engines needed
         rt = types.SimpleNamespace(mesh=make_mesh(dp=2, tp=2, sp=2))
         sharding = CNSDRuntime._io_sharding
-        assert sharding(rt, (2, 64, 64, 3)).spec[:2] == ("dp", "sp")
+        assert sharding(rt, (2, 64, 64, 3), spatial=True).spec[:2] == (
+            "dp", "sp")
+        # sp keys on the call site's explicit spatial flag: a rank-4 input
+        # NOT flagged spatial (e.g. windowed context (B, 3, 77, D)) must
+        # stay dp-only rather than being silently sp-sharded on dim 1
+        assert sharding(rt, (2, 3, 77, 768)).spec[1] is None
         # non-spatial / sp-indivisible inputs fall back to dp-only
         assert sharding(rt, (2, 77, 768)).spec == P("dp", None, None)
-        assert sharding(rt, (2, 63, 63, 3, 1)).spec[1] is None
+        assert sharding(rt, (2, 77, 768), spatial=True).spec[1] is None
+        assert sharding(rt, (2, 63, 63, 3), spatial=True).spec[1] is None
 
     @pytest.mark.slow  # ~60 s: two pipelines' engines compile
     def test_process_sp_parity(self, pipes):
