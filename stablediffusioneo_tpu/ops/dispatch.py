@@ -22,6 +22,12 @@ _FLAGS: Dict[str, bool] = {
     # XLA's fusion of the norm into surrounding elementwise ops. Enable via
     # set_kernels(groupnorm=True) / SDEO_FORCE_GN_PALLAS=1 for experiments.
     "groupnorm": os.environ.get("SDEO_FORCE_GN_PALLAS", "0") == "1",
+    # fused single-read LayerNorm (ops/pallas/layernorm.py): ON by default
+    # on TPU — unlike the GN kernel it wins e2e (SDXL r5 ledger: XLA's
+    # row-reduction stats kernels run at ~11% HBM bw, 23% of SDXL device
+    # time; the big transformer-LN sites have no producer fusion to lose).
+    # Disable via SDEO_DISABLE_LN_PALLAS=1.
+    "layernorm": os.environ.get("SDEO_DISABLE_LN_PALLAS", "0") != "1",
     "flash_attention": os.environ.get("SDEO_DISABLE_PALLAS", "0") != "1",
     # rematerialize UNet blocks under grad (training memory <-> +compute);
     # off for inference (no residuals are stored anyway)

@@ -35,7 +35,10 @@ def group_norm(
     Dispatches to the fused Pallas kernel on TPU when the slab fits VMEM
     (ops/pallas/groupnorm.py); this XLA path is the reference/fallback.
     """
-    from stablediffusioneo_tpu.ops.dispatch import kernels_enabled
+    from stablediffusioneo_tpu.ops.dispatch import (
+        kernels_enabled,
+        pallas_interpret_default,
+    )
 
     if kernels_enabled("groupnorm") and x.ndim == 4:
         from stablediffusioneo_tpu.ops.pallas.groupnorm import (
@@ -44,8 +47,11 @@ def group_norm(
         )
 
         if group_norm_pallas_supported(x.shape, x.dtype, groups):
+            # interpret follows SDEO_PALLAS_INTERPRET so the kernel runs on
+            # non-TPU backends (kernels_enabled admits them in that mode)
             return fused_group_norm(
-                x, gamma, beta, groups=groups, eps=eps, swish=swish
+                x, gamma, beta, groups=groups, eps=eps, swish=swish,
+                interpret=pallas_interpret_default(),
             )
     orig_dtype = x.dtype
     n = x.shape[0]
@@ -126,7 +132,33 @@ def layer_norm(
 
     Same bandwidth discipline as group_norm: one-pass fp32-accumulated
     stats over the input at its own dtype, then an orig-dtype FMA with the
-    per-row scale/shift — no fp32 materialization of x."""
+    per-row scale/shift — no fp32 materialization of x.
+
+    Big bf16 sites (transformer-block norms) dispatch to the fused Pallas
+    kernel (ops/pallas/layernorm.py): one HBM read + one write instead of
+    XLA's stats re-read — the stats kernels are 23% of SDXL device time
+    (docs/xplane_sdxl.md)."""
+    from stablediffusioneo_tpu.ops.dispatch import (
+        kernels_enabled,
+        pallas_interpret_default,
+        spmd_partitioning_enabled,
+    )
+
+    # spmd gate: the LN pallas_call has no partitioning rule yet, so inside
+    # a mesh-engine trace GSPMD would have to replicate its operands
+    # (all-gathering dp/sp-sharded activations); mesh engines keep the XLA
+    # form, which GSPMD partitions natively.
+    if kernels_enabled("layernorm") and not spmd_partitioning_enabled():
+        from stablediffusioneo_tpu.ops.pallas.layernorm import (
+            fused_layer_norm,
+            layer_norm_pallas_supported,
+        )
+
+        if layer_norm_pallas_supported(x.shape, x.dtype):
+            return fused_layer_norm(
+                x, gamma, beta, eps=eps,
+                interpret=pallas_interpret_default(),
+            )
     orig_dtype = x.dtype
     c = x.shape[-1]
     if orig_dtype == jnp.float32:

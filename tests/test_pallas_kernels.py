@@ -90,6 +90,35 @@ class TestFusedGroupNorm:
 
         assert not kernels_enabled("groupnorm")
 
+    def test_interpret_carveout_runs_gn_and_int8_on_cpu(self, rng, monkeypatch):
+        """SDEO_PALLAS_INTERPRET=1 admits ALL kernel families on non-TPU
+        backends, so every family's call site must thread interpret through
+        — combining it with SDEO_FORCE_GN_PALLAS / SDEO_INT8_PALLAS used to
+        attempt real Mosaic lowering on CPU and crash (ADVICE r4 #1)."""
+        from stablediffusioneo_tpu.ops import dispatch
+        from stablediffusioneo_tpu.ops.norms import group_norm
+        from stablediffusioneo_tpu.ops.pallas.quant import (
+            quantize_weights, quantized_linear)
+
+        monkeypatch.setenv("SDEO_PALLAS_INTERPRET", "1")
+        monkeypatch.setattr(dispatch, "_FLAGS",
+                            dict(dispatch._FLAGS,
+                                 groupnorm=True, int8_linear=True))
+        assert dispatch.kernels_enabled("groupnorm")
+        x = rng.standard_normal((1, 8, 8, 64)).astype(np.float32)
+        g = np.ones(64, np.float32)
+        b = np.zeros(64, np.float32)
+        out = group_norm(jnp.asarray(x, jnp.bfloat16), jnp.asarray(g),
+                         jnp.asarray(b), groups=8)
+        assert out.shape == x.shape
+        q, s = quantize_weights(
+            jnp.asarray(rng.standard_normal((256, 256)).astype(np.float32)))
+        xx = jnp.asarray(rng.standard_normal((8, 256)).astype(np.float32))
+        got = quantized_linear(xx, {"w_q": q, "scale": s})
+        ref = xx @ (q.astype(jnp.float32) * s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
 
 class TestQuantizedMatmul:
     def test_quantize_dequant_matmul(self, rng):
@@ -197,7 +226,7 @@ class TestFusedAttention:
         scale = d ** -0.5
         out = pa._packed_math(q, k, v, h, scale)
         assert s > pa._BWD_CHUNK_THRESHOLD and s % pa._BWD_CHUNK == 0
-        dq, dk, dv = pa._packed_bwd(h, scale, True, (q, k, v, out), g)
+        dq, dk, dv = pa._packed_bwd(h, scale, True, False, (q, k, v, out), g)
         _, vjp = jax.vjp(lambda a, b_, c_: pa._packed_math(a, b_, c_, h,
                                                            scale), q, k, v)
         rq, rk, rv = vjp(g)
@@ -309,3 +338,90 @@ class TestFusedAttention:
         # f32 gets the raised scoped-vmem limit; measured bf16 does not
         assert _compiler_params(2, 40, 4) is not None
         assert _compiler_params(2, 40, 2) is None
+
+
+class TestFusedLayerNorm:
+    """ops/pallas/layernorm.py — single-read fused LN (SDXL's 233
+    norm-stat launches/step, docs/xplane_sdxl.md)."""
+
+    @pytest.mark.parametrize("shape", [(2, 4096, 640), (8, 1024, 1280),
+                                       (2, 4096, 320)])
+    def test_vs_reference(self, rng, shape):
+        from stablediffusioneo_tpu.ops.pallas.layernorm import (
+            fused_layer_norm,
+            layer_norm_pallas_supported,
+        )
+        from stablediffusioneo_tpu.ops.norms import layer_norm
+
+        c = shape[-1]
+        x = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+        g = jnp.asarray(rng.standard_normal((c,)) * 0.1 + 1.0, jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.bfloat16)
+        assert layer_norm_pallas_supported(shape, jnp.bfloat16)
+        out = np.asarray(
+            fused_layer_norm(x, g, b, eps=1e-5, interpret=True),
+            np.float32)
+        ref = np.asarray(layer_norm(x, g, b, 1e-5), np.float32)
+        np.testing.assert_allclose(out, ref, atol=3e-2, rtol=3e-2)
+
+    def test_support_predicate(self):
+        from stablediffusioneo_tpu.ops.pallas.layernorm import (
+            layer_norm_pallas_supported,
+        )
+
+        # tiny CLIP towers stay on XLA (launch overhead)
+        assert not layer_norm_pallas_supported((2, 77, 768), jnp.bfloat16)
+        # fp32 keeps the exact two-pass XLA form (parity tests pin it)
+        assert not layer_norm_pallas_supported((2, 4096, 640), jnp.float32)
+        # row counts that don't chunk by 8 stay on XLA
+        assert not layer_norm_pallas_supported((1, 4095, 640), jnp.bfloat16)
+        assert layer_norm_pallas_supported((2, 4096, 640), jnp.bfloat16)
+
+    def test_differentiable(self, rng):
+        """Training traces grad through layer_norm sites; the kernel's
+        custom VJP (XLA-recompute backward) must match XLA's grads."""
+        from stablediffusioneo_tpu.ops.pallas.layernorm import (
+            fused_layer_norm,
+        )
+        from stablediffusioneo_tpu.ops.norms import layer_norm
+
+        shape = (2, 2048, 320)
+        x = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+        g = jnp.asarray(rng.standard_normal((320,)) * 0.1 + 1.0,
+                        jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((320,)) * 0.1, jnp.bfloat16)
+        co = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+
+        def loss_k(x_, g_, b_):
+            return jnp.sum(
+                fused_layer_norm(x_, g_, b_, eps=1e-5, interpret=True)
+                .astype(jnp.float32) * co.astype(jnp.float32))
+
+        def loss_r(x_, g_, b_):
+            return jnp.sum(layer_norm(x_, g_, b_, 1e-5).astype(jnp.float32)
+                           * co.astype(jnp.float32))
+
+        gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, g, b)
+        gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, g, b)
+        for a, r in zip(gk, gr):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(r, np.float32),
+                atol=0.15, rtol=0.15)
+
+    def test_dispatch_spmd_gate(self, rng, monkeypatch):
+        """Inside a mesh-engine (spmd) trace the LN kernel must NOT
+        dispatch — it has no partitioning rule, so GSPMD would replicate
+        dp/sp-sharded activations through it."""
+        from stablediffusioneo_tpu.ops import dispatch
+        from stablediffusioneo_tpu.ops.norms import layer_norm
+
+        monkeypatch.setenv("SDEO_PALLAS_INTERPRET", "1")
+        x = jnp.asarray(rng.standard_normal((2, 4096, 640)), jnp.bfloat16)
+        g = jnp.ones((640,), jnp.bfloat16)
+        b = jnp.zeros((640,), jnp.bfloat16)
+        with dispatch.spmd_attention_scope(True):
+            out = layer_norm(x, g, b, 1e-5)  # must take the XLA path
+        ref = layer_norm(x, g, b, 1e-5)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=3e-2, rtol=3e-2)
