@@ -22,12 +22,15 @@ _FLAGS: Dict[str, bool] = {
     # XLA's fusion of the norm into surrounding elementwise ops. Enable via
     # set_kernels(groupnorm=True) / SDEO_FORCE_GN_PALLAS=1 for experiments.
     "groupnorm": os.environ.get("SDEO_FORCE_GN_PALLAS", "0") == "1",
-    # fused single-read LayerNorm (ops/pallas/layernorm.py): ON by default
-    # on TPU — unlike the GN kernel it wins e2e (SDXL r5 ledger: XLA's
-    # row-reduction stats kernels run at ~11% HBM bw, 23% of SDXL device
-    # time; the big transformer-LN sites have no producer fusion to lose).
-    # Disable via SDEO_DISABLE_LN_PALLAS=1.
-    "layernorm": os.environ.get("SDEO_DISABLE_LN_PALLAS", "0") != "1",
+    # fused single-read LayerNorm (ops/pallas/layernorm.py): OFF by default,
+    # same verdict as the GN kernel. The single-read premise is sound in
+    # isolation, but the r5 same-session SDXL A/B measured it ~260 ms/image
+    # SLOWER e2e (p50 2.97 s ON vs 2.71 s OFF at 1024^2/20-step) — the
+    # custom call is a fusion/scheduling barrier at 60+ sites/step that
+    # costs more than the stats re-read it saves (ledger in
+    # docs/performance.md). Enable via SDEO_FORCE_LN_PALLAS=1 /
+    # set_kernels(layernorm=True) for experiments.
+    "layernorm": os.environ.get("SDEO_FORCE_LN_PALLAS", "0") == "1",
     "flash_attention": os.environ.get("SDEO_DISABLE_PALLAS", "0") != "1",
     # rematerialize UNet blocks under grad (training memory <-> +compute);
     # off for inference (no residuals are stored anyway)

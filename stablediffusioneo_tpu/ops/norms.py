@@ -134,10 +134,11 @@ def layer_norm(
     stats over the input at its own dtype, then an orig-dtype FMA with the
     per-row scale/shift — no fp32 materialization of x.
 
-    Big bf16 sites (transformer-block norms) dispatch to the fused Pallas
-    kernel (ops/pallas/layernorm.py): one HBM read + one write instead of
-    XLA's stats re-read — the stats kernels are 23% of SDXL device time
-    (docs/xplane_sdxl.md)."""
+    An opt-in fused Pallas kernel exists for big bf16 sites
+    (ops/pallas/layernorm.py, SDEO_FORCE_LN_PALLAS=1) but is OFF by
+    default: the r5 same-session SDXL A/B measured it ~260 ms/image
+    slower e2e — the custom-call fusion barrier costs more than the
+    stats re-read it saves (docs/performance.md ledger)."""
     from stablediffusioneo_tpu.ops.dispatch import (
         kernels_enabled,
         pallas_interpret_default,

@@ -23,6 +23,14 @@ B*T with T in {1024, 4096, 9216, 16384} — all row-chunkable.
 Dispatch happens in ops/norms.layer_norm (flag "layernorm",
 ops/dispatch.py). bf16-only by design: the fp32 path keeps the exact
 two-pass XLA form that the fp32 integration-parity tests pin down.
+
+VERDICT (r5 ledger, docs/performance.md): e2e-NEGATIVE, default OFF.
+The isolated premise holds (the kernel is one read + one write), but the
+same-session SDXL A/B measured p50 2.97 s with the kernel vs 2.71 s
+without (1024^2, 20-step, real chip) — at 60+ custom-call sites per
+step the fusion/scheduling barrier costs more than XLA's stats re-read.
+Same failure family as ops/pallas/groupnorm.py ("What matters" #6).
+Kept as an opt-in (SDEO_FORCE_LN_PALLAS=1) for future XLA regressions.
 """
 
 from __future__ import annotations

@@ -419,8 +419,14 @@ class TestFusedLayerNorm:
         x = jnp.asarray(rng.standard_normal((2, 4096, 640)), jnp.bfloat16)
         g = jnp.ones((640,), jnp.bfloat16)
         b = jnp.zeros((640,), jnp.bfloat16)
-        with dispatch.spmd_attention_scope(True):
-            out = layer_norm(x, g, b, 1e-5)  # must take the XLA path
+        # force the (default-off, e2e-negative) kernel on so the spmd gate
+        # is what decides the path
+        dispatch.set_kernels(layernorm=True)
+        try:
+            with dispatch.spmd_attention_scope(True):
+                out = layer_norm(x, g, b, 1e-5)  # must take the XLA path
+        finally:
+            dispatch.set_kernels(layernorm=False)
         ref = layer_norm(x, g, b, 1e-5)
         np.testing.assert_allclose(np.asarray(out, np.float32),
                                    np.asarray(ref, np.float32),
