@@ -133,6 +133,93 @@ def capture_sdxl(outdir: str):
     print("trace written to", outdir, flush=True)
 
 
+def capture_hires(outdir: str):
+    """PROFILE_MODE=hires: trace one two-pass hires-fix process() —
+    base pass at PROFILE_RESOLUTION (default 512), 2x latent upscale,
+    img2img refine with fresh annotation (the BENCH_MODE=hires workload;
+    the refine leg's self-attention runs the streaming flash kernel)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from stablediffusioneo_tpu.config import sd15_pipeline
+    from stablediffusioneo_tpu.models import (
+        init_clip_text, init_controlnet, init_unet, init_vae,
+    )
+    from stablediffusioneo_tpu.models.tokenizer import toy_tokenizer
+    from stablediffusioneo_tpu.pipeline.canny2image import Canny2ImagePipeline
+    from stablediffusioneo_tpu.runtime.cache import enable_persistent_cache
+    from stablediffusioneo_tpu.runtime.profiling import _hard_sync
+
+    enable_persistent_cache(None)
+    cfg = sd15_pipeline(dtype="bfloat16")
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    shapes = {
+        "unet": jax.eval_shape(lambda k: init_unet(k, cfg.unet), ks[0]),
+        "controlnet": jax.eval_shape(
+            lambda k: init_controlnet(k, cfg.controlnet), ks[1]),
+        "vae": jax.eval_shape(lambda k: init_vae(k, cfg.vae), ks[2]),
+        "clip": jax.eval_shape(lambda k: init_clip_text(k, cfg.clip), ks[3]),
+    }
+    params = jax.jit(lambda: jax.tree.map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes))()
+    tok = toy_tokenizer(vocab_size=cfg.clip.vocab_size,
+                        max_length=cfg.clip.max_length)
+    pipe = Canny2ImagePipeline(params, tok, cfg)
+    res = int(os.environ.get("PROFILE_RESOLUTION", "512"))
+    rng = np.random.default_rng(0)
+    img = (rng.random((res, res, 3)) * 255).astype(np.uint8)
+
+    def run():
+        return pipe.process(img, "a bird", num_samples=1,
+                            image_resolution=res, ddim_steps=20, seed=1,
+                            hires_upscale=2.0, hires_denoise=0.5)
+
+    print("warmup (compile)...", flush=True)
+    run()
+    print(f"tracing one hires process() {res}->{2*res} ...", flush=True)
+    jax.profiler.start_trace(outdir)
+    out = run()
+    _hard_sync(jnp.asarray(out[1]))
+    jax.profiler.stop_trace()
+    print("trace written to", outdir, "timings:", pipe.last_timings,
+          flush=True)
+
+
+def capture_annotators(outdir: str):
+    """PROFILE_MODE=annotators: trace one __call__ per annotator family
+    (hed / midas dpt_large / openpose body) on a PROFILE_RESOLUTION image,
+    with a host-side wall split printed per phase. Canny is host-only and
+    not traced."""
+    import time as _time
+
+    import numpy as np
+    import jax
+
+    from stablediffusioneo_tpu.annotators.hed import HEDdetector
+    from stablediffusioneo_tpu.annotators.midas import MidasDetector
+    from stablediffusioneo_tpu.annotators.openpose import OpenposeDetector
+
+    res = int(os.environ.get("PROFILE_RESOLUTION", "512"))
+    rng = np.random.default_rng(2946901)
+    img = (rng.random((res, res, 3)) * 255).astype(np.uint8)
+    dets = (
+        ("hed", HEDdetector()),
+        ("midas", MidasDetector(model_type="dpt_large")),
+        ("openpose", OpenposeDetector()),
+    )
+    for name, det in dets:  # warm outside the trace
+        det(img)
+    jax.profiler.start_trace(outdir)
+    for name, det in dets:
+        t0 = _time.perf_counter()
+        det(img)
+        print(f"[annotators] {name}: wall {1e3*(_time.perf_counter()-t0):.0f}"
+              " ms", flush=True)
+    jax.profiler.stop_trace()
+    print("trace written to", outdir, flush=True)
+
+
 def capture_train(outdir: str):
     """PROFILE_MODE=train: trace one ControlNet fine-tune step (the
     BENCH_MODE=train workload — forward + flash-attention VJP + AdamW)
@@ -278,6 +365,10 @@ if __name__ == "__main__":
             capture_sdxl(outdir)
         elif os.environ.get("PROFILE_MODE") == "train":
             capture_train(outdir)
+        elif os.environ.get("PROFILE_MODE") == "hires":
+            capture_hires(outdir)
+        elif os.environ.get("PROFILE_MODE") == "annotators":
+            capture_annotators(outdir)
         else:
             capture(outdir)
     parse(outdir)

@@ -93,7 +93,11 @@ class HEDdetector:
                 params = convert_hed(load_torch_state_dict(ckpt_path))
             else:
                 params = init_hed(jax.random.PRNGKey(0))
-        self.params = params
+        from stablediffusioneo_tpu.annotators._dtype import cast_params
+
+        # bf16 on TPU / f32 elsewhere (annotators/_dtype.py) — the VGG
+        # trunk is MXU-rate-bound and the output is a uint8 edge map
+        self.params = cast_params(params)
         # Whole detector as ONE device program: uint8 pixels up, uint8 edge
         # map down. The reference flavor (hed/__init__.py:69-76) fetches all
         # five f32 side maps and fuses on host — ~5 MB down per call on a
@@ -104,11 +108,16 @@ class HEDdetector:
 
     @staticmethod
     def _fused(p, u8):
-        x = u8.astype(jnp.float32)
+        # compute dtype follows the params (annotators/_dtype.py policy);
+        # the upsample/mean/sigmoid epilogue runs f32 either way — it is
+        # tiny next to the VGG trunk and keeps the 5-map fuse exact
+        dt = jax.tree.leaves(p)[0].dtype
+        x = u8.astype(dt)
         h, w = x.shape[1], x.shape[2]
         edges = hed_apply(p, x)
         ups = [
-            jax.image.resize(e[0, :, :, 0], (h, w), method="bilinear")
+            jax.image.resize(e[0, :, :, 0].astype(jnp.float32), (h, w),
+                             method="bilinear")
             for e in edges
         ]
         edge = jax.nn.sigmoid(jnp.mean(jnp.stack(ups), axis=0))

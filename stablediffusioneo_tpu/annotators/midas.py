@@ -373,14 +373,22 @@ class MidasDetector:
             # random weights (like the other detectors' fallback) — flow
             # tests and benchmarks without a checkpoint
             params = init_dpt(jax.random.PRNGKey(0))
-        self.params = params
+        from stablediffusioneo_tpu.annotators._dtype import cast_params
+
+        # bf16 on TPU / f32 elsewhere (annotators/_dtype.py): the ViT-L
+        # trunk + DPT head are MXU-rate-bound; norm/softmax fp32 islands
+        # live inside ops.norms/ops.attention. Depth comes back f32 — the
+        # host normalizes over min/max before quantizing.
+        self.params = cast_params(params)
+        dt = jax.tree.leaves(self.params)[0].dtype
         # uint8 upload; ImageNet normalize in-graph (4x cheaper transfer
         # to a network-attached TPU than f32 pixels)
-        mean = jnp.asarray(_IMAGENET_MEAN)
-        std = jnp.asarray(_IMAGENET_STD)
+        mean = jnp.asarray(_IMAGENET_MEAN, dt)
+        std = jnp.asarray(_IMAGENET_STD, dt)
         self._apply = jax.jit(
             lambda p, u8: apply_fn(
-                p, (u8.astype(jnp.float32) / 255.0 - mean) / std))
+                p, (u8.astype(dt) / 255.0 - mean) / std
+            ).astype(jnp.float32))
 
     def __call__(self, input_image: np.ndarray, a: float = np.pi * 2.0,
                  bg_th: float = 0.1) -> Tuple[np.ndarray, np.ndarray]:

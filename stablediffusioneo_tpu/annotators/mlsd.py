@@ -134,8 +134,15 @@ class MLSDdetector:
                 load_torch_state_dict,
             )
 
-            params = convert_mlsd_large(load_torch_state_dict(ckpt_path))
-            jitted = jax.jit(mlsd_large_apply)
+            from stablediffusioneo_tpu.annotators._dtype import cast_params
+
+            # bf16 on TPU / f32 elsewhere (annotators/_dtype.py); the
+            # decode thresholds run on the f32 output maps either way
+            params = cast_params(
+                convert_mlsd_large(load_torch_state_dict(ckpt_path)))
+            dt = jax.tree.leaves(params)[0].dtype
+            jitted = jax.jit(lambda p, x: mlsd_large_apply(
+                p, x.astype(dt)).astype(jnp.float32))
             model_fn = lambda x: jitted(params, jnp.asarray(x))
         elif model_fn is None:
             params = init_tiny_mlsd(jax.random.PRNGKey(0))

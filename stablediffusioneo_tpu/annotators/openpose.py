@@ -501,25 +501,31 @@ class OpenposeDetector:
                 body_params = convert_body(load_torch_state_dict(body_ckpt))
             else:
                 body_params = init_body(jax.random.PRNGKey(0))
-        self.body_params = body_params
+        from stablediffusioneo_tpu.annotators._dtype import cast_params
+
+        # bf16 on TPU / f32 elsewhere (annotators/_dtype.py); paf/heat
+        # come back f32 — the host peak/limb decode stays exact
+        self.body_params = cast_params(body_params)
         if hand_params is None:
             if hand_ckpt is not None:
                 hand_params = convert_hand(load_torch_state_dict(hand_ckpt))
             else:
                 hand_params = init_hand(jax.random.PRNGKey(1))
-        self.hand_params = hand_params
+        self.hand_params = cast_params(hand_params)
+        dt = jax.tree.leaves(self.body_params)[0].dtype
         # uint8 upload; the CMU /256-0.5 normalize runs in-graph (4x
         # cheaper transfer to a network-attached TPU than f32 pixels).
         # paf+heat come back as ONE concatenated array: the device->host
         # fetch is RTT-bound on a tunneled chip (~45 ms/transfer for a
         # 120 KB result), so two fetches cost double one.
         def _fused_body(p, u8):
-            paf, heat = body_apply(p, u8.astype(jnp.float32) / 256.0 - 0.5)
-            return jnp.concatenate([paf, heat], axis=-1)
+            paf, heat = body_apply(p, u8.astype(dt) / 256.0 - 0.5)
+            return jnp.concatenate([paf, heat], axis=-1).astype(jnp.float32)
 
         self._apply = jax.jit(_fused_body)
         self._hand_apply = jax.jit(
-            lambda p, u8: hand_apply(p, u8.astype(jnp.float32) / 256.0 - 0.5))
+            lambda p, u8: hand_apply(
+                p, u8.astype(dt) / 256.0 - 0.5).astype(jnp.float32))
 
     def _infer_maps(self, img: np.ndarray, scales=(0.5,)) -> Tuple[np.ndarray, np.ndarray]:
         h, w = img.shape[:2]

@@ -246,12 +246,17 @@ class UniformerDetector:
                 "backbone": init_uniformer_s(k1),
                 "decode_head": init_upernet(k2),
             }
-        self.params = params
+        from stablediffusioneo_tpu.annotators._dtype import cast_params
+
+        # bf16 on TPU / f32 elsewhere (annotators/_dtype.py); the host
+        # argmax over class logits is dtype-insensitive
+        self.params = cast_params(params)
         self.palette = ade20k_palette()
+        dt = jax.tree.leaves(self.params)[0].dtype
 
         def fwd(p, x):
-            feats = uniformer_apply(p["backbone"], x)
-            return upernet_apply(p["decode_head"], feats)
+            feats = uniformer_apply(p["backbone"], x.astype(dt))
+            return upernet_apply(p["decode_head"], feats).astype(jnp.float32)
 
         self._apply = jax.jit(fwd)
 

@@ -691,7 +691,8 @@ def main():
         return
 
     pipe = Canny2ImagePipeline(params, tok, cfg, quantize_linears=int8)
-    del params  # runtime holds the bf16 copy
+    # NOTE: `params` is intentionally kept alive — the runtime holds the
+    # same device buffers, and the in-proc train row reuses the trees
 
     if mode == "annotators":
         print(json.dumps(_bench_annotators(pipe, resolution, steps)),
@@ -745,14 +746,16 @@ def main():
     # driver numbers every round since r02 — runs last. All subprocess
     # rows use the persistent compile cache, so a driver run on a machine
     # where bench ran this round pays near-zero compile.
+    # train and yolo run IN-PROC (r05): each subprocess row pays a fresh
+    # device attach, and attach latency on the tunneled chip is the
+    # budget wildcard — the r04/r05 driver runs lost the train row to
+    # attach+compile storms inside the 600 s sub-cap. Both rows' state is
+    # function-local (freed on return); per-row try/except still isolates
+    # an OOM or error from the remaining rows.
     rows = (
         ("annotators", 160, lambda: _bench_annotators(pipe, 512, steps)),
-        ("train", 200, lambda: _sub_bench(
-            {"BENCH_MODE": "train"},
-            timeout=min(sub_cap, max(60.0, budget - _elapsed())))),
-        ("yolo", 160, lambda: _sub_bench(
-            {"BENCH_MODE": "yolo"},
-            timeout=min(sub_cap, max(60.0, budget - _elapsed())))),
+        ("train", 150, lambda: _bench_train(cfg, params)),
+        ("yolo", 150, lambda: _bench_yolo()),
         ("batch4", 90,
          lambda: _bench_process(pipe, "batch4", (512,), 4, steps, 5,
                                 sampler, enc_cache, tome, family)),

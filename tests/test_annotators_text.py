@@ -123,6 +123,28 @@ class TestHED:
         assert edge.shape == (48, 40)
         assert edge.dtype == np.uint8
 
+    def test_detector_bf16_policy(self, rng, monkeypatch):
+        """SDEO_ANNOTATOR_DTYPE=bfloat16 (the TPU default) casts the net
+        and yields an edge map close to the f32 path — the uint8 hint
+        quantization dominates the bf16 rounding (annotators/_dtype.py)."""
+        import stablediffusioneo_tpu.annotators.hed as hed_mod
+
+        monkeypatch.setattr(
+            hed_mod, "_BLOCKS",
+            [(3, 8, 2), (8, 16, 2), (16, 32, 3), (32, 64, 3), (64, 64, 3)],
+        )
+        img = (rng.random((48, 40, 3)) * 255).astype(np.uint8)
+        ref = HEDdetector()(img)
+        monkeypatch.setenv("SDEO_ANNOTATOR_DTYPE", "bfloat16")
+        det = HEDdetector()
+        assert jax.tree.leaves(det.params)[0].dtype == jnp.bfloat16
+        edge = det(img)
+        assert edge.shape == (48, 40) and edge.dtype == np.uint8
+        # random-init tiny net: sigmoid output near 0.5, bf16 shifts a few
+        # uint8 counts — coarse agreement is the right bar
+        assert np.mean(np.abs(edge.astype(np.int32)
+                              - ref.astype(np.int32))) < 8.0
+
 
 class TestWindowedPrompt:
     def test_tokenize_windowed(self):
