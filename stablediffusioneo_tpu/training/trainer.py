@@ -69,10 +69,24 @@ def diffusion_loss(
 ) -> jax.Array:
     a = sqrt_abar[t][:, None, None, None]
     s = sqrt_one_minus_abar[t][:, None, None, None]
-    x_t = (a * x0 + s * noise).astype(x0.dtype)
+    x_t = a * x0 + s * noise  # noising at input precision
+    # Mixed precision (cfg.dtype, default bf16): forward/backward compute
+    # in the hot-path dtype while AdamW keeps the f32 master params — the
+    # standard TPU recipe. The cast lives INSIDE the differentiated
+    # function, so grads convert back to f32 per-leaf on the way out.
+    # Before this, an f32 batch silently upcast the whole step: the r5
+    # train xplane showed every conv/fusion at f32 (docs/xplane_train.md).
+    dt = jnp.dtype(cfg.dtype)
+
+    def cast(tree):
+        return jax.tree.map(
+            lambda p: p.astype(dt)
+            if jnp.issubdtype(p.dtype, jnp.floating) else p, tree)
+
     eps_hat = controlled_unet_apply(
-        unet_params, controlnet_params, cfg.controlnet,
-        x_t, hint, t.astype(jnp.float32), ctx,
+        cast(unet_params), cast(controlnet_params), cfg.controlnet,
+        x_t.astype(dt), hint.astype(dt), t.astype(jnp.float32),
+        ctx.astype(dt),
     )
     return jnp.mean(jnp.square(eps_hat.astype(jnp.float32) - noise.astype(jnp.float32)))
 
