@@ -195,6 +195,104 @@ PAF_CHANNELS = [
 ]
 
 
+def _cv2_cubic_weights(src: int, dst: int) -> np.ndarray:
+    """(dst, src) matrix W with W @ v == cv2.resize(v, INTER_CUBIC) along
+    one axis for float input: half-pixel centers, Keys kernel A=-0.75
+    (cv2's bicubic), replicate-clamped borders. Linear, so chained resizes
+    compose by matrix product — the device upsample path uses this to
+    reproduce the reference's two-stage cv2 chain exactly (~1e-5)."""
+    scale = src / dst
+    A = -0.75
+    W = np.zeros((dst, src), np.float32)
+    for i in range(dst):
+        sx = (i + 0.5) * scale - 0.5
+        x0 = int(np.floor(sx))
+        f = sx - x0
+        for t in (-1, 0, 1, 2):
+            d = abs(f - t)
+            if d <= 1.0:
+                w = ((A + 2.0) * d - (A + 3.0)) * d * d + 1.0
+            elif d < 2.0:
+                w = (((d - 5.0) * d + 8.0) * d - 4.0) * A
+            else:
+                w = 0.0
+            W[i, min(max(x0 + t, 0), src - 1)] += w
+    return W
+
+
+def _upsample_matrices(small_h: int, small_w: int, padded_h: int,
+                       padded_w: int, scaled_h: int, scaled_w: int,
+                       h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-axis matrices reproducing body.py's upsample chain: net output
+    -> cv2 cubic to the padded size -> crop to the scaled size -> cv2
+    cubic to the image size. All three stages are linear maps, so the
+    composition is one (h, small_h) x (w, small_w) matrix pair."""
+    wy = _cv2_cubic_weights(scaled_h, h) @ \
+        _cv2_cubic_weights(small_h, padded_h)[:scaled_h]
+    wx = _cv2_cubic_weights(scaled_w, w) @ \
+        _cv2_cubic_weights(small_w, padded_w)[:scaled_w]
+    return wy, wx
+
+
+def _gaussian_matrix(n: int) -> np.ndarray:
+    """(n, n) matrix applying the sigma=3 25-tap gaussian with cv2
+    BORDER_REFLECT semantics along one axis — the linear form of
+    `_gaussian_sigma3`, composable with the cubic upsample matrices so the
+    device decode smooths for free inside the same matmul pair."""
+    k = cv2.getGaussianKernel(25, 3).astype(np.float32)[:, 0]
+    G = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for t in range(-12, 13):
+            j = i + t
+            while j < 0 or j >= n:  # repeated reflection for n < radius
+                j = -j - 1 if j < 0 else 2 * n - j - 1
+            G[i, j] += k[t + 12]
+    return G
+
+
+class _VirtualMap:
+    """Lazily evaluates the full-res upsampled map `wy @ small @ wx.T`
+    at individual (y, x, c) points — exactly the values the materialized
+    cv2 resize chain would hold, without building or fetching the
+    (h, w, C) array. Supports the `m[ys, xs, c]` indexing `score_limbs`
+    uses (ys/xs int arrays or scalars, c a channel index)."""
+
+    def __init__(self, small: np.ndarray, wy: np.ndarray, wx: np.ndarray):
+        self.small = np.asarray(small, np.float32)  # (sh, sw, C)
+        self.wy = wy    # (h, sh)
+        self.wx = wx    # (w, sw)
+
+    def __getitem__(self, idx):
+        ys, xs, c = idx
+        ys = np.atleast_1d(np.asarray(ys, np.int64))
+        xs = np.atleast_1d(np.asarray(xs, np.int64))
+        m = self.small[:, :, c]                       # (sh, sw)
+        # val_k = wy[ys[k]] @ m @ wx[xs[k]]
+        return np.einsum("ks,sw,kw->k", self.wy[ys], m, self.wx[xs],
+                         optimize=True)
+
+
+def peaks_from_mask(mask: np.ndarray, heat_small: np.ndarray,
+                    wy: np.ndarray, wx: np.ndarray) -> List[List[Tuple]]:
+    """find_peaks from a device-computed peak mask (h, w, 18) plus the
+    net-resolution heatmaps: peak coords come from the mask, peak scores
+    from the virtual raw upsampled map at those coords (identical values
+    to indexing the materialized full-res map)."""
+    all_peaks: List[List[Tuple]] = []
+    peak_id = 0
+    for part in range(18):
+        ys, xs = np.nonzero(mask[:, :, part])
+        if len(ys):
+            vm = _VirtualMap(heat_small, wy, wx)
+            scores = vm[ys, xs, part]
+        peaks = []
+        for k, (x, y) in enumerate(zip(xs, ys)):
+            peaks.append((int(x), int(y), float(scores[k]), peak_id))
+            peak_id += 1
+        all_peaks.append(peaks)
+    return all_peaks
+
+
 def _gaussian_sigma3(stack: np.ndarray) -> np.ndarray:
     """sigma=3 gaussian over the leading two axes of (h, w, c) f32.
 
@@ -480,6 +578,7 @@ class OpenposeDetector:
 
     BOX_SIZE = 368
     STRIDE = 8
+    PEAK_THRESH = 0.1  # find_peaks default (body.py threshold)
 
     # hand-net multi-scale search (hand.py:27): crop is square, so scaled
     # inputs are EXACTLY scale*368 px — four fixed compiled shapes, ever.
@@ -527,6 +626,32 @@ class OpenposeDetector:
             lambda p, u8: hand_apply(
                 p, u8.astype(dt) / 256.0 - 0.5).astype(jnp.float32))
 
+        # single-scale fast decode: net + heat upsample/gaussian (as one
+        # composed matmul pair) + the 4-neighbour peak mask, ALL in-graph.
+        # Fetch = raw net maps (23^2 x 57, 120 KB) + the u8 mask — the
+        # reference's host chain (two 57-channel cv2 cubic resizes + a
+        # sigma-3 gaussian, ~285 ms/frame on one core, body.py:24-219)
+        # never materializes: limb scores and peak scores sample the
+        # virtual upsampled maps exactly via the same linear maps.
+        def _fused_decode(p, u8, wyg, wxg):
+            paf, heat = body_apply(p, u8.astype(dt) / 256.0 - 0.5)
+            both = jnp.concatenate(
+                [paf, heat], axis=-1).astype(jnp.float32)[0]   # (sh, sw, 57)
+            hm = both[:, :, 38:56]                             # 18 parts
+            m = jnp.einsum("hs,swc->hwc", wyg, hm)
+            m = jnp.einsum("wt,htc->hwc", wxg, m)              # (h, w, 18)
+            pk = m > self.PEAK_THRESH
+            ones = jnp.ones_like(pk[:1])
+            pk &= jnp.concatenate([ones, m[1:] >= m[:-1]], axis=0)
+            pk &= jnp.concatenate([m[:-1] >= m[1:], ones], axis=0)
+            ones = jnp.ones_like(pk[:, :1])
+            pk &= jnp.concatenate([ones, m[:, 1:] >= m[:, :-1]], axis=1)
+            pk &= jnp.concatenate([m[:, :-1] >= m[:, 1:], ones], axis=1)
+            return both, pk.astype(jnp.uint8)
+
+        self._decode = jax.jit(_fused_decode)
+        self._mat_cache: Dict[Tuple, Tuple] = {}
+
     def _infer_maps(self, img: np.ndarray, scales=(0.5,)) -> Tuple[np.ndarray, np.ndarray]:
         h, w = img.shape[:2]
         heat_avg = np.zeros((h, w, 19), np.float32)
@@ -553,6 +678,35 @@ class OpenposeDetector:
             heat_avg += up(heat_full) / len(scales)
             paf_avg += up(paf_full) / len(scales)
         return paf_avg, heat_avg
+
+    def _decode_matrices(self, h: int, w: int, scale: float):
+        """Cached per-(h, w, scale): raw upsample matrices (host virtual
+        sampling) + gaussian-composed device copies (peak mask)."""
+        key = (h, w, scale)
+        if key not in self._mat_cache:
+            s = scale * self.BOX_SIZE / h
+            sh, sw = int(round(h * s)), int(round(w * s))
+            ph = sh + (self.STRIDE - sh % self.STRIDE) % self.STRIDE
+            pw = sw + (self.STRIDE - sw % self.STRIDE) % self.STRIDE
+            wy, wx = _upsample_matrices(ph // self.STRIDE, pw // self.STRIDE,
+                                        ph, pw, sh, sw, h, w)
+            wyg = jnp.asarray(_gaussian_matrix(h) @ wy)
+            wxg = jnp.asarray(_gaussian_matrix(w) @ wx)
+            self._mat_cache[key] = (wy, wx, wyg, wxg, (sh, sw), (ph, pw))
+        return self._mat_cache[key]
+
+    def _infer_fast(self, img: np.ndarray, scale: float = 0.5):
+        """Single-scale device decode: returns (raw net maps (sh,sw,57),
+        peak mask (h,w,18) u8, wy, wx) — see _fused_decode."""
+        h, w = img.shape[:2]
+        wy, wx, wyg, wxg, (sh, sw), (ph, pw) = self._decode_matrices(
+            h, w, scale)
+        scaled = cv2.resize(img, (sw, sh), interpolation=cv2.INTER_CUBIC)
+        padded = np.pad(scaled, ((0, ph - sh), (0, pw - sw), (0, 0)),
+                        constant_values=128)
+        both, mask = self._decode(self.body_params,
+                                  jnp.asarray(padded[None]), wyg, wxg)
+        return np.asarray(both), np.asarray(mask), wy, wx
 
     def _infer_hand_peaks(self, crop: np.ndarray, scales=None) -> np.ndarray:
         """Run the hand net multi-scale on one square crop and decode 21
@@ -585,9 +739,14 @@ class OpenposeDetector:
         # the CMU nets are BGR-trained; the reference flips at entry
         # (annotator/openpose/__init__.py:35) and draws on the flipped frame
         img = img[:, :, ::-1].copy()
-        paf, heat = self._infer_maps(img)
-        peaks = find_peaks(heat)
-        connections = score_limbs(paf, peaks, img.shape[0])
+        # device decode (net + upsample + gaussian + peak mask in-graph);
+        # peak/limb scores sample the virtual full-res maps — identical
+        # values to the materialized chain (`_infer_maps`, kept for
+        # multi-scale use) without the ~285 ms/frame of host resizes
+        small, mask, wy, wx = self._infer_fast(img)
+        peaks = peaks_from_mask(mask, small[:, :, 38:], wy, wx)
+        paf_v = _VirtualMap(small[:, :, :38], wy, wx)
+        connections = score_limbs(paf_v, peaks, img.shape[0])
         candidate, subset = assemble_people(peaks, connections)
         canvas = np.zeros_like(img)
         canvas = draw_bodypose(canvas, candidate, subset)

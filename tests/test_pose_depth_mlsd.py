@@ -101,6 +101,59 @@ class TestOpenpose:
         # one candidate pair, but subset pruned (<4 parts) -> check pre-prune
         assert candidate.shape[0] == 2
 
+    def test_virtual_decode_matches_materialized(self):
+        """The device-decode path (composed cubic+gaussian matrices, peak
+        mask in-graph, virtual map sampling) must reproduce the legacy
+        host chain: same peak coords on blobby maps, same scores/paf
+        values to float precision."""
+        import cv2
+
+        from stablediffusioneo_tpu.annotators.openpose import (
+            _VirtualMap, _gaussian_matrix, _gaussian_sigma3,
+            _upsample_matrices, find_peaks, peaks_from_mask,
+        )
+
+        h = w = 128
+        sh = sw = 92          # scaled size (pad 4 -> padded 96, small 12)
+        ph = pw = 96
+        rng = np.random.default_rng(7)
+        small = np.zeros((12, 12, 19), np.float32)
+        yy, xx = np.mgrid[0:12, 0:12]
+        small[:, :, 1] = np.exp(-((yy - 4) ** 2 + (xx - 3) ** 2) / 4.0)
+        small[:, :, 2] = np.exp(-((yy - 7) ** 2 + (xx - 9) ** 2) / 4.0)
+        small += rng.standard_normal(small.shape).astype(np.float32) * 0.01
+
+        # legacy: materialized cv2 chain + host gaussian + find_peaks
+        up1 = cv2.resize(small, (pw, ph),
+                         interpolation=cv2.INTER_CUBIC)[:sh, :sw]
+        full = cv2.resize(up1, (w, h), interpolation=cv2.INTER_CUBIC)
+        peaks_ref = find_peaks(full)
+
+        # device-path equivalent, evaluated on host
+        wy, wx = _upsample_matrices(12, 12, ph, pw, sh, sw, h, w)
+        m = np.einsum("hs,swc->hwc", _gaussian_matrix(h) @ wy,
+                      small[:, :, :18])
+        m = np.einsum("wt,htc->hwc", _gaussian_matrix(w) @ wx, m)
+        ref_m = _gaussian_sigma3(np.ascontiguousarray(full[:, :, :18]))
+        np.testing.assert_allclose(m, ref_m, atol=1e-4)
+        mask = m > 0.1
+        mask[1:] &= m[1:] >= m[:-1]
+        mask[:-1] &= m[:-1] >= m[1:]
+        mask[:, 1:] &= m[:, 1:] >= m[:, :-1]
+        mask[:, :-1] &= m[:, :-1] >= m[:, 1:]
+        peaks_new = peaks_from_mask(mask.astype(np.uint8), small, wy, wx)
+        for pr, pn in zip(peaks_ref, peaks_new):
+            assert [(p[0], p[1]) for p in pr] == [(p[0], p[1]) for p in pn]
+            for a, b in zip(pr, pn):
+                assert abs(a[2] - b[2]) < 1e-4  # virtual score == full map
+
+        # virtual paf sampling == materialized map at arbitrary points
+        vm = _VirtualMap(small, wy, wx)
+        ys = np.asarray([5, 60, 127, 33])
+        xs = np.asarray([7, 90, 0, 127])
+        np.testing.assert_allclose(vm[ys, xs, 2], full[ys, xs, 2],
+                                   atol=1e-5)
+
     def test_detector_surface(self, rng):
         from stablediffusioneo_tpu.annotators.openpose import OpenposeDetector
 
