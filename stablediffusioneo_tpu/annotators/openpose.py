@@ -647,7 +647,22 @@ class OpenposeDetector:
             ones = jnp.ones_like(pk[:, :1])
             pk &= jnp.concatenate([ones, m[:, 1:] >= m[:, :-1]], axis=1)
             pk &= jnp.concatenate([m[:, :-1] >= m[:, 1:], ones], axis=1)
-            return both, pk.astype(jnp.uint8)
+            # ONE u8 blob fetch: the (h, w, 18) u8 mask alone is ~4.7 MB
+            # at 512^2 — ~170 ms on the ~28 MB/s tunnel (the r5 regression
+            # the first device-decode cut measured). Bit-pack the mask
+            # (8x) and ride the f32 net maps' bytes in the same array so
+            # the RTT-bound fetch happens once (same trick as the r3
+            # bit-packed hint upload).
+            flat = pk.reshape(-1)
+            pad = (-flat.shape[0]) % 8
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad,), flat.dtype)]) if pad else flat
+            bits = flat.reshape(-1, 8).astype(jnp.uint8)
+            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+            packed = (bits * weights).sum(axis=1, dtype=jnp.uint8)
+            map_bytes = jax.lax.bitcast_convert_type(
+                both, jnp.uint8).reshape(-1)
+            return jnp.concatenate([map_bytes, packed])
 
         self._decode = jax.jit(_fused_decode)
         self._mat_cache: Dict[Tuple, Tuple] = {}
@@ -704,9 +719,16 @@ class OpenposeDetector:
         scaled = cv2.resize(img, (sw, sh), interpolation=cv2.INTER_CUBIC)
         padded = np.pad(scaled, ((0, ph - sh), (0, pw - sw), (0, 0)),
                         constant_values=128)
-        both, mask = self._decode(self.body_params,
-                                  jnp.asarray(padded[None]), wyg, wxg)
-        return np.asarray(both), np.asarray(mask), wy, wx
+        blob = np.asarray(self._decode(self.body_params,
+                                       jnp.asarray(padded[None]), wyg, wxg))
+        # unpack the single u8 blob: f32 net-map bytes, then the
+        # bit-packed (h, w, 18) peak mask (see _fused_decode)
+        mh, mw = ph // self.STRIDE, pw // self.STRIDE
+        nb = mh * mw * 57 * 4
+        both = np.frombuffer(blob[:nb].tobytes(),
+                             np.float32).reshape(mh, mw, 57)
+        mask = np.unpackbits(blob[nb:])[:h * w * 18].reshape(h, w, 18)
+        return both, mask, wy, wx
 
     def _infer_hand_peaks(self, crop: np.ndarray, scales=None) -> np.ndarray:
         """Run the hand net multi-scale on one square crop and decode 21

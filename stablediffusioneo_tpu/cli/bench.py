@@ -43,6 +43,24 @@ def _elapsed():
     return time.perf_counter() - _T_PROC0
 
 
+def _mem_log(tag):
+    """One-line HBM census (bytes in use / limit) — row-level OOM forensics
+    for the in-proc table (the r05 run lost train+yolo+batch4 to one
+    unexplained RESOURCE_EXHAUSTED cascade)."""
+    try:
+        from stablediffusioneo_tpu.runtime.profiling import (
+            device_memory_stats,
+        )
+        for dev, s in device_memory_stats().items():
+            use = s.get("bytes_in_use")
+            lim = s.get("bytes_limit")
+            if use is not None:
+                log(f"[mem {tag}] {dev}: {use/2**30:.2f} GiB in use"
+                    + (f" / {lim/2**30:.2f} GiB" if lim else ""))
+    except Exception:
+        pass
+
+
 def _sub_bench(env_overrides, timeout=600):
     """Run one tracked config as a subprocess (fresh jax state; engine
     compiles hit the persistent XLA cache) and parse its JSON line."""
@@ -293,11 +311,13 @@ def _bench_train(cfg, params):
     }
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
+    _mem_log("train pre-compile")
     state, loss = step_fn(state, unet_params=params["unet"],
                           sqrt_abar=sqrt_a, sqrt_one_minus_abar=sqrt_1ma,
                           batch=batch_h, key=key)
     log(f"[train] compile+first step: {time.perf_counter()-t0:.1f}s "
         f"loss={float(loss):.4f}")
+    _mem_log("train post-compile")
     times = []
     for _ in range(6):
         t0 = time.perf_counter()
@@ -356,6 +376,10 @@ def _bench_annotators(pipe, resolution, steps):
                 f"(annotate {pipe.last_timings.get('preprocess_ms', 0):.0f}"
                 " ms)")
             del det  # free annotator params before the next family
+            import gc
+            gc.collect()  # the jit wrappers sit in ref cycles; collect
+            #               so each family's params leave HBM NOW, not at
+            #               an arbitrary later threshold
     finally:
         pipe.apply_canny = saved
     worst = max(p50s.values())
@@ -779,10 +803,21 @@ def main():
             emit(name, {"skipped": "budget"})
             continue
         t0 = time.perf_counter()
+        _mem_log(f"before {name}")
         try:
             row = thunk()
         except Exception as e:  # noqa: BLE001 — one row must not sink the rest
             row = {"error": repr(e)[:300]}
+            # The exception's traceback pins every frame-local of the
+            # failed row (train state, param trees, ...) until the except
+            # var is cleared — an OOM here cascaded into the next three
+            # rows in the r05 run. Drop the traceback and collect the
+            # frame cycles before the next row allocates.
+            e.__traceback__ = None
+            del e
+            import gc
+            gc.collect()
+            _mem_log(f"after {name} error")
         log(f"[table] {name}: {row.get('metric', row)}: "
             f"{row.get('value')} ({time.perf_counter()-t0:.0f}s, "
             f"elapsed {_elapsed():.0f}s)")
